@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine tuning that would ship to a real cluster.
+  *
+  * The reference engine (datafusion-tpc `src/main.rs:41-56`) hard-codes
+  * `target_partitions(6)` and a thread-per-core scheduler; the Spark-native
+  * equivalents are shuffle-partition sizing, AQE (runtime re-planning /
+  * skew handling), and broadcast-join thresholds — all declared here so every
+  * entry point (tests, Bench, Verify) gets the same engine profile.
+  */
+object GraftSession {
+
+  /** Applies graft's tuning to an existing builder. */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // testdata timestamps: events.ts is TIMESTAMP(NANOS) (unsupported by
+      // Spark's reader → surface as long, converted in Tables.events);
+      // ms-precision cols read as LTZ TIMESTAMP, not NTZ, so epoch functions
+      // apply directly (session tz is UTC, so the instant is unambiguous).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests/bench; on a real cluster the master/deploy mode
+    * comes from spark-submit and only `tune` applies.
+    */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = tune(SparkSession.builder().master(s"local[$cores]").appName("graft"), cores)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable._
+
+/** Event-log (the reference's `logs` table) queries.
+  *
+  * `ref_*` mirror the reference benchmark surface exactly
+  * (`benches/query.rs:23-27`: full_scan / filter / aggregation); the rest are
+  * the batch mirrors of the streaming operators in `graft.streaming`.
+  * Timestamps are emitted as epoch micros/seconds (BIGINT) so the DuckDB
+  * oracle compares without timezone-encoding ambiguity.
+  */
+object Events {
+
+  /** `SELECT * FROM logs` (`benches/query.rs:24`) — scan throughput; the
+    * raw ts is re-encoded as epoch micros for oracle portability.
+    */
+  def refFullScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"), unix_micros(col("ts")).as("ts_us"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+
+  val refFullScanSql: String =
+    """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+      |FROM events""".stripMargin
+
+  /** `SELECT service, pod FROM logs WHERE request_method = 'DELETE'`
+    * (`benches/query.rs:25`) — projection + selective predicate; both must
+    * reach the parquet scan (PushedFilters + 3-column ReadSchema).
+    */
+  def refFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
+  val refFilterSql: String =
+    "SELECT event_id, user_id, event_type FROM events WHERE event_type = 'error'"
+
+  /** `SELECT container, pod, AVG(response_bytes) ... GROUP BY container, pod`
+    * (`benches/query.rs:26`) — two-key hash agg with partial (map-side)
+    * aggregation; exact-cents AVG for cross-engine determinism.
+    */
+  def refAggregation(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(centsAvg(col("value")).as("avg_value"), count(lit(1)).as("n_events"))
+
+  val refAggregationSql: String =
+    s"""SELECT event_type, user_id, ${centsAvgSql("value")} AS avg_value,
+       | COUNT(*) AS n_events
+       |FROM events GROUP BY event_type, user_id""".stripMargin
+
+  /** Tumbling 1-hour window aggregation — batch mirror of the streaming
+    * windowed agg. Group key is the hour bucket: at 100 TB this shuffles on
+    * (hour, type) with map-side combine, output stays tiny.
+    */
+  def hourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        centsSum(col("value")).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  val hourlyAggSql: String =
+    s"""SELECT CAST(epoch(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+       | COUNT(*) AS n_events, ${centsSumSql("value")} AS total_value,
+       | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sessionization (gaps-and-islands, 30-min inactivity gap) — batch mirror
+    * of `flatMapGroupsWithState` sessionization. One shuffle on user_id;
+    * windows + agg stay partition-local. All time math in integral micros.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val frame = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 1800L * 1000000L
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("new_sess",
+        when(lag(col("ts_us"), 1).over(byUser).isNull
+          || col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(frame).cast("bigint"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+  }
+
+  val sessionizeSql: String =
+    """WITH raw AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN LAG(ts_us) OVER w IS NULL
+      |         OR ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM raw
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts_us,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      | MIN(ts_us) AS start_us, MAX(ts_us) - MIN(ts_us) AS duration_us
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
+  /** As-of join — attach the latest order (by o_orderdate, then o_orderkey)
+    * at or before each event's timestamp, per user.
+    *
+    * Spark has no ASOF JOIN; instead of the naive join+row_number (which
+    * materializes |events|×|orders-per-user| rows), this uses the scalable
+    * union-and-sweep plan: union order "markers" with events, one window
+    * sorted by (time, kind) per user, carry the last-seen order forward.
+    * Cost is a single shuffle on user_id — survives 100 TB where the naive
+    * join blows up on active users.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Tables.orders(spark, dir).select(
+      col("o_custkey").as("user_id"),
+      unix_micros(col("o_orderdate")).as("t_us"),
+      lit(0).as("is_event"),
+      lit(null).cast("bigint").as("event_id"),
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    val evs = Tables.events(spark, dir).select(
+      col("user_id"),
+      unix_micros(col("ts")).as("t_us"),
+      lit(1).as("is_event"),
+      col("event_id"),
+      lit(null).cast("bigint").as("o_orderkey"),
+      lit(null).cast("string").as("order_date"))
+    // Orders sort before events at equal t_us (inclusive as-of); among
+    // orders at the same date, ascending o_orderkey makes "last" = max key.
+    val sweep = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("is_event"), col("o_orderkey").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    markers.unionAll(evs)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(sweep))
+      .withColumn("asof_order_date", last(col("order_date"), ignoreNulls = true).over(sweep))
+      .filter(col("is_event") === 1 && col("asof_orderkey").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("asof_orderkey").as("o_orderkey"), col("asof_order_date").as("order_date"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT event_id, user_id, o_orderkey, order_date FROM (
+      | SELECT e.event_id, e.user_id, o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+      |  ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      | FROM events e JOIN orders o
+      |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+      |WHERE rn = 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ref_full_scan" -> (refFullScan _),
+    "ref_filter" -> (refFilter _),
+    "ref_aggregation" -> (refAggregation _),
+    "q_events_hourly" -> (hourlyAgg _),
+    "q_events_sessionize" -> (sessionize _),
+    "q_asof_join" -> (asofJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "ref_full_scan" -> refFullScanSql,
+    "ref_filter" -> refFilterSql,
+    "ref_aggregation" -> refAggregationSql,
+    "q_events_hourly" -> hourlyAggSql,
+    "q_events_sessionize" -> sessionizeSql,
+    "q_asof_join" -> asofJoinSql)
+}

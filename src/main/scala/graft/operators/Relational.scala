@@ -1,0 +1,385 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.Tables
+import graft.functions.Portable._
+
+/** Relational query surface — the reference's own capability space
+  * (DataFusion SQL over parquet, `benches/query.rs:23-27` exercises
+  * scan/filter/aggregation; DataFusion's planner supports the rest).
+  *
+  * Everything here is declarative DataFrame API so Catalyst performs
+  * predicate pushdown, column pruning, join selection (broadcast for dims),
+  * and AQE re-planning — the Spark-native analogue of the reference's
+  * `parquet_pruning(true)` + scheduler work.
+  */
+object Relational {
+
+  private def ts(s: String): Column = lit(s).cast(TimestampType)
+
+  /** TPC-H Q1 — pricing summary report: wide multi-aggregate over a
+    * date-filtered scan. At 100 TB this is a single map-side-combined
+    * hash aggregate over a pruned scan (2 group keys, tiny result).
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= ts("2000-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        centsSum(col("l_extendedprice")).as("sum_base_price"),
+        centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        centsAvg(col("l_extendedprice")).as("avg_price"),
+        centsAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q1Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       | SUM(l_quantity) AS sum_qty,
+       | ${centsSumSql("l_extendedprice")} AS sum_base_price,
+       | ${centsSumSql("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+       | ${centsSumSql("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
+       | SUM(l_quantity)/COUNT(*) AS avg_qty,
+       | ${centsAvgSql("l_extendedprice")} AS avg_price,
+       | ${centsAvgSql("l_discount")} AS avg_disc,
+       | COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 — shipping priority: 3-way join, filter on both sides, agg,
+    * top-k. customer is broadcast-able at small SF; at 100 TB the
+    * orders⋈lineitem join shuffles on orderkey after pushdown.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < ts("1998-06-01"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > ts("1998-06-01"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    s"""SELECT l_orderkey,
+       | ${centsSumSql("l_extendedprice*(1-l_discount)")} AS revenue,
+       | strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       | JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       | AND o_orderdate < TIMESTAMP '1998-06-01'
+       | AND l_shipdate > TIMESTAMP '1998-06-01'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape — 6-way star join, revenue by customer nation within a
+    * region. Dims (region/nation/supplier) are broadcast; the fact-side
+    * orders⋈lineitem join is the only real shuffle.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(o, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    s"""SELECT n_name, ${centsSumSql("l_extendedprice*(1-l_discount)")} AS revenue
+       |FROM customer
+       | JOIN nation ON c_nationkey = n_nationkey
+       | JOIN region ON n_regionkey = r_regionkey
+       | JOIN orders ON o_custkey = c_custkey
+       | JOIN lineitem ON l_orderkey = o_orderkey
+       | JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE r_name = 'ASIA'
+       | AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q6 — forecasting revenue change: highly selective range filters
+    * + scalar aggregate. The whole query should collapse to a pruned
+    * parquet scan with PushedFilters + one partial/final agg.
+    */
+  def q6RevenueForecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24)
+      .agg(centsSum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  val q6Sql: String =
+    s"""SELECT ${centsSumSql("l_extendedprice*l_discount")} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+       | AND l_discount >= 0.05 AND l_discount <= 0.07
+       | AND l_quantity < 24""".stripMargin
+
+  /** Global sort + limit — Catalyst plans a TakeOrderedAndProject (per-
+    * partition top-k then merge), never a full sort, which is what survives
+    * at 100 TB.
+    */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+
+  val topkOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** DISTINCT projection — agg-based dedup with partial aggregation. */
+  def distinctSegments(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_mktsegment"), col("c_nationkey")).distinct()
+
+  val distinctSegmentsSql: String =
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+  /** row_number window — top-3 orders per customer; the partition key is the
+    * shuffle key, no global sort.
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  val windowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      | FROM orders) t WHERE rn <= 3""".stripMargin
+
+  /** Running-total window (ROWS frame) — per-customer cumulative spend.
+    * Summed as exact cents so both engines agree bit-for-bit.
+    */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("running_spend",
+        (sum(cents(col("o_totalprice"))).over(w).cast("double") / 100.0))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+  }
+
+  val windowRunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+      |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0 AS running_spend
+      |FROM orders""".stripMargin
+
+  /** EXISTS ≡ left-semi join — customers with at least one open order over
+    * the threshold. Semi joins never duplicate the left side, so the output
+    * stays bounded by `customer` at any scale.
+    */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 100.0)
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O' AND o.o_totalprice > 100.0)""".stripMargin
+
+  /** NOT EXISTS ≡ left-anti join — customers with no finished orders. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin
+
+  /** GROUP BY ROLLUP — hierarchical subtotals in one pass (grouping sets). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), centsSum(col("o_totalprice")).as("total_spend"))
+
+  val rollupAggSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       | ${centsSumSql("o_totalprice")} AS total_spend
+       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Pivot — event counts per user by type. Spark's pivot yields NULL for
+    * absent cells; filled with 0 to match conditional-aggregation SQL.
+    */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+  }
+
+  val pivotEventsSql: String =
+    """SELECT user_id,
+      | COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      | COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+      | COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      | COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      | COUNT(*) FILTER (WHERE event_type = 'error') AS error
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** CASE WHEN bucketing + aggregation. */
+  def caseAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .withColumn("size_bucket",
+        when(col("p_size") < 10, "small").when(col("p_size") < 30, "medium").otherwise("large"))
+      .groupBy(col("size_bucket"))
+      .agg(count(lit(1)).as("n_parts"),
+        centsSum(col("p_retailprice")).as("total_retail"),
+        min(col("p_size")).as("min_size"), max(col("p_size")).as("max_size"))
+
+  val caseAggSql: String =
+    s"""SELECT CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS size_bucket,
+       | COUNT(*) AS n_parts, ${centsSumSql("p_retailprice")} AS total_retail,
+       | MIN(p_size) AS min_size, MAX(p_size) AS max_size
+       |FROM part
+       |GROUP BY 1""".stripMargin
+
+  /** UNION ALL of two filtered branches + re-aggregation (CTE shape). */
+  def unionCte(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val hi = o.filter(col("o_totalprice") > 300.0).select(col("o_custkey"), col("o_totalprice"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"), col("o_totalprice"))
+    hi.unionAll(urgent)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_rows"), centsSum(col("o_totalprice")).as("spend"))
+  }
+
+  val unionCteSql: String =
+    s"""WITH u AS (
+       | SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 300.0
+       | UNION ALL
+       | SELECT o_custkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT')
+       |SELECT o_custkey, COUNT(*) AS n_rows, ${centsSumSql("o_totalprice")} AS spend
+       |FROM u GROUP BY o_custkey""".stripMargin
+
+  /** TPC-H Q17 shape — agg subquery per part, join back, filter vs 0.2*avg.
+    * The per-key average is a broadcast-able aggregate at typical part
+    * cardinalities; avg of integral quantities is exact in double.
+    */
+  def subqueryAvg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    val p = Tables.part(spark, dir).filter(col("p_brand") === "Brand#1")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((centsSum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  val subqueryAvgSql: String =
+    s"""SELECT (${centsSumSql("l_extendedprice")})/7.0 AS avg_yearly
+       |FROM lineitem
+       | JOIN part ON l_partkey = p_partkey
+       | JOIN (SELECT l_partkey AS ap_partkey, AVG(l_quantity) AS avg_qty
+       |       FROM lineitem GROUP BY l_partkey) a ON l_partkey = ap_partkey
+       |WHERE p_brand = 'Brand#1' AND l_quantity < 0.2*avg_qty""".stripMargin
+
+  /** String predicates + functions — LIKE / substring / upper / length. */
+  def stringOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_name").like("%widget%"))
+      .groupBy(col("p_type"), upper(substring(col("p_name"), 1, 3)).as("prefix"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(length(col("p_name"))).cast("bigint").as("name_chars"))
+
+  val stringOpsSql: String =
+    """SELECT p_type, UPPER(SUBSTRING(p_name, 1, 3)) AS prefix,
+      | COUNT(*) AS n_parts, CAST(SUM(LENGTH(p_name)) AS BIGINT) AS name_chars
+      |FROM part WHERE p_name LIKE '%widget%'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Calendar truncation + monthly aggregation (emitted as DATE: identical
+    * physical type in both engines, no tz ambiguity).
+    */
+  def dateTrunc(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"), centsSum(col("o_totalprice")).as("total_spend"))
+
+  val dateTruncSql: String =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       | COUNT(*) AS n_orders, ${centsSumSql("o_totalprice")} AS total_spend
+       |FROM orders GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q6_revenue_forecast" -> (q6RevenueForecast _),
+    "q_topk_orders" -> (topkOrders _),
+    "q_distinct" -> (distinctSegments _),
+    "q_window_rank" -> (windowRank _),
+    "q_window_running" -> (windowRunning _),
+    "q_semi_join" -> (semiJoin _),
+    "q_anti_join" -> (antiJoin _),
+    "q_rollup" -> (rollupAgg _),
+    "q_pivot" -> (pivotEvents _),
+    "q_case_agg" -> (caseAgg _),
+    "q_union_cte" -> (unionCte _),
+    "q_subquery_avg" -> (subqueryAvg _),
+    "q_string_ops" -> (stringOps _),
+    "q_date_trunc" -> (dateTrunc _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q5_local_supplier" -> q5Sql,
+    "q6_revenue_forecast" -> q6Sql,
+    "q_topk_orders" -> topkOrdersSql,
+    "q_distinct" -> distinctSegmentsSql,
+    "q_window_rank" -> windowRankSql,
+    "q_window_running" -> windowRunningSql,
+    "q_semi_join" -> semiJoinSql,
+    "q_anti_join" -> antiJoinSql,
+    "q_rollup" -> rollupAggSql,
+    "q_pivot" -> pivotEventsSql,
+    "q_case_agg" -> caseAggSql,
+    "q_union_cte" -> unionCteSql,
+    "q_subquery_avg" -> subqueryAvgSql,
+    "q_string_ops" -> stringOpsSql,
+    "q_date_trunc" -> dateTruncSql)
+}
