@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Smoke + semantic checks for every SparkEntry query on sf0.001. */
+class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has an oracle or is documented rows-only") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  for ((name, fn) <- SparkEntry.queries) {
+    test(s"$name runs and is non-empty") {
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q1 aggregates are consistent") {
+    val r = operators.Relational.q1PricingSummary(spark, sf).collect()
+    assert(r.length == 6) // 3 returnflags × 2 linestatus
+    r.foreach { row =>
+      val sumQty = row.getAs[Double]("sum_qty")
+      val n = row.getAs[Long]("count_order")
+      assert(math.abs(row.getAs[Double]("avg_qty") - sumQty / n) < 1e-9)
+    }
+  }
+
+  test("asof join picks the latest order at-or-before each event") {
+    import spark.implicits._
+    val out = operators.Events.asofJoin(spark, sf)
+    val events = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts")
+    val orders = Tables.orders(spark, sf)
+    // naive reference computation via join + max struct
+    val naive = events.join(orders, $"user_id" === $"o_custkey" && $"o_orderdate" <= $"ts")
+      .groupBy($"event_id")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct($"o_orderdate", $"o_orderkey")).as("m"))
+      .select($"event_id", $"m.o_orderkey".as("expect_key"))
+    val joined = out.join(naive, "event_id")
+      .filter($"o_orderkey" =!= $"expect_key")
+    assert(joined.count() == 0)
+  }
+
+  test("sessionize: session count matches distinct flag transitions") {
+    val s = operators.Events.sessionize(spark, sf)
+    val nEvents = s.agg(org.apache.spark.sql.functions.sum("n_events")).head.getLong(0)
+    assert(nEvents == Tables.events(spark, sf).count())
+  }
+}
