@@ -1,0 +1,201 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication family over `documents` / `embeddings` — the core
+  * curation stage of a large-scale training-data pipeline.
+  *
+  * Scale design: exact dedup is a hash group-by (one shuffle on the content
+  * hash). The near-dup operators (MinHash-LSH, SimHash, n-gram blocking)
+  * all reduce the O(n²) pair space to per-bucket joins whose shuffle key is
+  * the bucket/band hash — linear data movement + bucket-local candidate
+  * generation, which is the only shape that survives 100 TB. Brute-force
+  * variants exist only where the oracle needs exactness at test SF.
+  */
+object Dedup {
+
+  /** Exact dedup via full-content group-by: keeper = min doc_id. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(md5(col("text")).as("content_hash"), col("keeper_id"), col("n_copies"))
+
+  val exactSql: String =
+    """SELECT MD5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text""".stripMargin
+
+  /** Exact dedup, window formulation — emits the kept rows themselves
+    * (row_number over the content hash), the shape used when the full row
+    * must survive.
+    */
+  def exactHash(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("content_hash"))
+  }
+
+  val exactHashSql: String =
+    """SELECT doc_id, content_hash FROM (
+      | SELECT doc_id, MD5(text) AS content_hash,
+      |  ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn
+      | FROM documents) t WHERE rn = 1""".stripMargin
+
+  /** Word-3gram shingles, distinct, as an array column (no explode: the
+    * shingle set stays row-local until the LSH bands shuffle).
+    */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("words", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        """array_distinct(transform(sequence(0, greatest(size(words)-3, 0)),
+          |  i -> concat_ws(' ', words[i], words[i+1], words[i+2])))""".stripMargin))
+
+  /** MinHash signatures (64 permutations approximated by seeded xxhash64)
+    * over word-3gram shingles.
+    */
+  private def withMinhash(df: DataFrame): DataFrame =
+    withShingles(df).withColumn("sig",
+      expr("transform(sequence(0, 63), j -> array_min(transform(shingles, s -> xxhash64(s, j))))"))
+
+  /** MinHash + banded LSH near-dup detection: 16 bands × 4 rows.
+    *
+    * Pipeline: signature → band hashes → explode bands (16 rows/doc) →
+    * self-join on (band, band_hash) → distinct candidate pairs → verify
+    * with exact Jaccard on the shingle sets. Output is one row per doc with
+    * its best candidate (nullable), so the result is informative even on
+    * dup-free slices. Est. similarity = matching minhash fraction.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withMinhash(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("shingles"), col("sig"))
+    val bands = docs.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, 15),
+        |  b -> named_struct('band', b, 'bh', xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3])))""".stripMargin))
+      .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val verified = cand
+      .join(docs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"), col("sig").as("sig_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"),
+        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))").cast("double") / 64.0)
+          .as("est_similarity"))
+    val directed = verified.select(col("id_a").as("doc_id"), col("id_b").as("cand_id"), col("jaccard"), col("est_similarity"))
+      .unionAll(verified.select(col("id_b").as("doc_id"), col("id_a").as("cand_id"), col("jaccard"), col("est_similarity")))
+    val best = directed.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("jaccard").desc, col("cand_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cand_id").as("dup_candidate"), col("jaccard"), col("est_similarity"))
+  }
+
+  /** 64-bit SimHash near-dup detection with 4×16-bit band blocking.
+    *
+    * SimHash bit i = sign of Σ_words (±1 by word-hash bit i); candidates
+    * share at least one 16-bit band (Hamming ≤ 3 guarantees a shared band by
+    * pigeonhole over 4 bands); verified by exact Hamming distance ≤ 8.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) -> acc +
+          |  if(aggregate(words, 0, (a, w) -> a + if((shiftright(xxhash64(w), i) & 1) = 1, 1, -1)) > 0,
+          |     shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+    val bands = docs.select(col("doc_id"), col("simhash"), explode(expr(
+      "transform(sequence(0, 3), b -> named_struct('band', b, 'bv', shiftright(simhash, 16*b) & 65535))")).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+    val directed = cand.select(col("id_a").as("doc_id"), col("id_b").as("cand_id"), col("hamming"))
+      .unionAll(cand.select(col("id_b").as("doc_id"), col("id_a").as("cand_id"), col("hamming")))
+    val best = directed.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("hamming"), col("cand_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    docs.select(col("doc_id"), col("simhash"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"), col("cand_id").as("dup_candidate"), col("hamming"))
+  }
+
+  /** Exact character-4gram Jaccard within cheap blocks (lang × length
+    * bucket) — the "verify everything in a small block" pattern for
+    * near-dup detection when LSH recall isn't enough.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(1, greatest(length(text)-3, 1)), i -> substring(text, i, 4)))"))
+      .withColumn("block", concat_ws("#", col("lang"), (col("n_chars") / 100).cast("int")))
+      .select(col("doc_id"), col("block"), col("grams"))
+    val pairs = docs.as("a").join(docs.as("b"),
+        col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+          size(array_union(col("a.grams"), col("b.grams")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+    val directed = pairs.select(col("id_a").as("doc_id"), col("id_b").as("cand_id"), col("jaccard"))
+      .unionAll(pairs.select(col("id_b").as("doc_id"), col("id_a").as("cand_id"), col("jaccard")))
+    val best = directed.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("jaccard").desc, col("cand_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    docs.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cand_id").as("dup_candidate"), col("jaccard"))
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ 0.4, exact brute force over the
+    * id-ordered pair space (oracle-checkable). The LSH-bucketed scale path
+    * is `graft.similarity.Ann.topkLsh`.
+    */
+  def embedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val dot = "aggregate(zip_with(ea, eb, (x, y) -> x*y), cast(0 as double), (a, x) -> a + x)"
+    val na = "sqrt(aggregate(ea, cast(0 as double), (a, x) -> a + x*x))"
+    val nb = "sqrt(aggregate(eb, cast(0 as double), (a, x) -> a + x*x))"
+    e.select(col("vec_id").as("vec_a"), col("emb").as("ea")).join(
+        e.select(col("vec_id").as("vec_b"), col("emb").as("eb")),
+        col("vec_a") < col("vec_b"))
+      .withColumn("cos", expr(s"$dot / ($na * $nb)"))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
+  val embeddingSql: String =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exact _),
+    "dedup_exact_hash" -> (exactHash _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhash _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_embedding" -> (embedding _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactSql,
+    "dedup_exact_hash" -> exactHashSql,
+    "dedup_embedding" -> embeddingSql)
+}

@@ -1,0 +1,85 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * `topk` is the exact brute-force baseline (oracle-checkable); `topkLsh`
+  * is the scale path: random-hyperplane LSH buckets the vectors so each
+  * query only scans its bucket — the shuffle key is the bucket id, and at
+  * 100 TB the bucket index is what you'd persist (bucketed table) so probes
+  * become co-located joins with no full scan.
+  */
+object Ann {
+
+  private val dot = "aggregate(zip_with(ea, eb, (x, y) -> x*y), cast(0 as double), (a, x) -> a + x)"
+  private val normA = "sqrt(aggregate(ea, cast(0 as double), (a, x) -> a + x*x))"
+  private val normB = "sqrt(aggregate(eb, cast(0 as double), (a, x) -> a + x*x))"
+
+  /** Exact top-5 cosine neighbors for each query vector (vec_id < 20),
+    * ranked with a unique tie-break. The query side is broadcast; the
+    * candidate side streams — one pass over the corpus regardless of scale.
+    */
+  def topk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("emb").as("ea"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr(s"$dot / ($normA * $normB)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  val topkSql: String =
+    """SELECT query_id, neighbor_id, rank FROM (
+      | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+      | FROM embeddings q, embeddings c
+      | WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id) t
+      |WHERE rank <= 5""".stripMargin
+
+  /** Random-hyperplane LSH ANN: 12 fixed Gaussian hyperplanes (seed 42)
+    * give a 12-bit bucket signature; queries probe only their own bucket.
+    * Approximate by construction — rows-only check.
+    */
+  def topkLsh(spark: SparkSession, dir: String): DataFrame = {
+    val rng = new scala.util.Random(42)
+    val planes: Seq[Seq[Double]] = Seq.fill(12)(Seq.fill(64)(rng.nextGaussian()))
+    val bucketExpr = expr(
+      """aggregate(sequence(0, 11), cast(0 as bigint), (acc, j) -> acc +
+        |  if(aggregate(zip_with(emb, planes[j], (x, y) -> x*y), cast(0 as double), (a, x) -> a + x) > 0,
+        |     shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("planes", typedlit(planes))
+      .withColumn("bucket", bucketExpr)
+      .select(col("vec_id"), col("emb"), col("bucket"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("emb").as("ea"), col("bucket"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr(s"$dot / ($normA * $normB)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("bucket"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk" -> (topk _),
+    "ann_topk_lsh" -> (topkLsh _))
+
+  val oracles: Map[String, String] = Map(
+    "ann_topk" -> topkSql)
+}

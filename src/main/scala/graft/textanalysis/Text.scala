@@ -1,0 +1,114 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table — the quality /
+  * profiling stage of a training-data pipeline. Everything is built from
+  * codegen'd builtin functions (no UDFs), so the whole stage stays inside
+  * WholeStageCodegen and scales linearly with a single pass over the text.
+  */
+object Text {
+
+  private val noSpaceLen: Column = length(expr("replace(text, ' ', '')"))
+  private val nTokens: Column = (length(col("text")) - noSpaceLen + 1).cast("bigint")
+  private val nPunct: Column =
+    (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("bigint")
+  private val nDigits: Column =
+    (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).cast("bigint")
+
+  /** Per-document counting stats — token/punct/digit counts via
+    * engine-portable length/replace arithmetic (identical in DuckDB).
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("bigint").as("n_chars_calc"),
+      nTokens.as("n_tokens"),
+      nPunct.as("n_punct"),
+      nDigits.as("n_digits"),
+      (noSpaceLen.cast("double") / (length(col("text")) - noSpaceLen + 1)).as("avg_token_len"))
+
+  val statsSql: String =
+    """SELECT doc_id,
+      | LENGTH(text) AS n_chars_calc,
+      | LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens,
+      | LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+      | LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+      | CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS avg_token_len
+      |FROM documents""".stripMargin
+
+  /** Composite quality score (length / punctuation / digit ratios) + filter
+    * flag — the "keep or drop" signal of a pretraining data pipeline.
+    * Expression shape mirrored exactly in the oracle so doubles match.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val lenScore = least(lit(1.0), nTokens / 100.0)
+    val punctRatio = nPunct.cast("double") / length(col("text"))
+    val digitRatio = nDigits.cast("double") / length(col("text"))
+    val score = lit(0.5) * lenScore + lit(0.25) * (lit(1.0) - punctRatio) +
+      lit(0.25) * (lit(1.0) - digitRatio)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      score.as("quality_score"),
+      (score >= 0.75).as("passes"))
+  }
+
+  val qualitySql: String = {
+    val nTok = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
+    val nPun = "(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+    val nDig = "(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))"
+    val score = s"0.5*LEAST(1.0, $nTok/100.0) + 0.25*(1.0 - CAST($nPun AS DOUBLE)/LENGTH(text)) + 0.25*(1.0 - CAST($nDig AS DOUBLE)/LENGTH(text))"
+    s"""SELECT doc_id, $score AS quality_score, ($score) >= 0.75 AS passes
+       |FROM documents""".stripMargin
+  }
+
+  /** Heuristic language ID — stopword hits per language + a CJK-codepoint
+    * signal, argmax via struct-ordered GREATEST. Pure codegen'd builtins;
+    * rows-only check (not expressible as portable SQL).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val stopwords = Map(
+      "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+      "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "un", "una", "es"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit", "den"),
+      "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"),
+      "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "人", "这"))
+    val base = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+    val scored = stopwords.foldLeft(base) { case (df, (lang, sw)) =>
+      val inList = sw.map(w => s"'$w'").mkString(", ")
+      df.withColumn(s"score_$lang",
+        expr(s"size(filter(words, w -> w IN ($inList)))")
+          + (if (lang == "zh")
+               length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", ""))
+             else lit(0)))
+    }
+    val candidates = stopwords.keys.toSeq.sorted
+      .map(l => struct(col(s"score_$l").as("score"), lit(l).as("lang")))
+    scored.select(
+      col("doc_id"),
+      greatest(candidates: _*).getField("lang").as("pred_lang"),
+      col("lang").as("labeled_lang"))
+  }
+
+  /** Content fingerprint via md5 — portable across engines. */
+  def fingerprintMd5(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), md5(col("text")).as("fp"))
+
+  val fingerprintMd5Sql: String =
+    "SELECT doc_id, MD5(text) AS fp FROM documents"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (stats _),
+    "text_quality" -> (quality _),
+    "text_lang_id" -> (langId _),
+    "text_fingerprint_md5" -> (fingerprintMd5 _))
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> statsSql,
+    "text_quality" -> qualitySql,
+    "text_fingerprint_md5" -> fingerprintMd5Sql)
+}
