@@ -48,32 +48,43 @@ object Ann {
       | WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id) t
       |WHERE rank <= 5""".stripMargin
 
-  /** Random-hyperplane LSH ANN: 12 fixed Gaussian hyperplanes (seed 42)
-    * give a 12-bit bucket signature; queries probe only their own bucket.
-    * Approximate by construction — rows-only check.
+  /** Random-hyperplane LSH ANN: L=4 hash tables × 6 Gaussian hyperplanes
+    * (seed 42) → 64 buckets per table; a query probes its bucket in every
+    * table and candidates are unioned — the standard recall/cost dial
+    * (more tables = higher recall). The shuffle key is (table, bucket); at
+    * 100 TB the bucketed layout is what you persist so probes become
+    * co-located joins. Approximate by construction — rows-only check.
     */
   def topkLsh(spark: SparkSession, dir: String): DataFrame = {
     val rng = new scala.util.Random(42)
-    val planes: Seq[Seq[Double]] = Seq.fill(12)(Seq.fill(64)(rng.nextGaussian()))
-    val bucketExpr = expr(
-      """aggregate(sequence(0, 11), cast(0 as bigint), (acc, j) -> acc +
-        |  if(aggregate(zip_with(emb, planes[j], (x, y) -> x*y), cast(0 as double), (a, x) -> a + x) > 0,
-        |     shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin)
+    val nTables = 4
+    val planesPerTable = 6
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(nTables * planesPerTable)(Seq.fill(64)(rng.nextGaussian()))
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("planes", typedlit(planes))
-      .withColumn("bucket", bucketExpr)
-      .select(col("vec_id"), col("emb"), col("bucket"))
+      .withColumn("tb", explode(expr(
+        s"""transform(sequence(0, ${nTables - 1}), t -> named_struct('table_id', t,
+           | 'bucket', aggregate(sequence(0, ${planesPerTable - 1}), cast(0 as bigint), (acc, j) -> acc +
+           |   if(aggregate(zip_with(emb, planes[t*$planesPerTable + j], (x, y) -> x*y),
+           |      cast(0 as double), (a, x) -> a + x) > 0,
+           |      shiftleft(cast(1 as bigint), j), cast(0 as bigint)))))""".stripMargin)))
+      .select(col("vec_id"), col("emb"),
+        col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
     val q = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("emb").as("ea"), col("bucket"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("emb").as("ea"), col("table_id"), col("bucket"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"), col("table_id"), col("bucket"))
+    val cand = q.join(c, Seq("table_id", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("ea"), col("eb"))
+      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", expr(s"$dot / ($normA * $normB)"))
+    cand.withColumn("cos", expr(s"$dot / ($normA * $normB)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .select(col("query_id"), col("bucket"), col("neighbor_id"), col("rank"), col("cos"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
