@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.native
 
 /** Deduplication family over `documents` / `embeddings` — the core
   * curation stage of a large-scale training-data pipeline.
@@ -112,10 +113,7 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .withColumn("words", split(col("text"), " "))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) -> acc +
-          |  if(aggregate(words, 0, (a, w) -> a + if((shiftright(xxhash64(w), i) & 1) = 1, 1, -1)) > 0,
-          |     shiftleft(cast(1 as bigint), i), cast(0 as bigint)))""".stripMargin))
+      .withColumn("simhash", native.simHash64(col("words")))
       .select(col("doc_id"), col("simhash"))
     val bands = docs.select(col("doc_id"), col("simhash"), explode(expr(
       "transform(sequence(0, 3), b -> named_struct('band', b, 'bv', shiftright(simhash, 16*b) & 65535))")).as("bb"))
@@ -170,13 +168,10 @@ object Dedup {
   def embedding(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val dot = "aggregate(zip_with(ea, eb, (x, y) -> x*y), cast(0 as double), (a, x) -> a + x)"
-    val na = "sqrt(aggregate(ea, cast(0 as double), (a, x) -> a + x*x))"
-    val nb = "sqrt(aggregate(eb, cast(0 as double), (a, x) -> a + x*x))"
     e.select(col("vec_id").as("vec_a"), col("emb").as("ea")).join(
         e.select(col("vec_id").as("vec_b"), col("emb").as("eb")),
         col("vec_a") < col("vec_b"))
-      .withColumn("cos", expr(s"$dot / ($na * $nb)"))
+      .withColumn("cos", native.cosineSim(col("ea"), col("eb")))
       .filter(col("cos") >= 0.4)
       .select(col("vec_a"), col("vec_b"))
   }

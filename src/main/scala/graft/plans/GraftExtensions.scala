@@ -1,0 +1,33 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import org.apache.spark.sql.graft.{CosineSimilarity, RollingHash, SimHash64}
+
+/** SparkSessionExtensions wiring: exposes graft's native expressions as SQL
+  * functions (`spark.sql.extensions=graft.plans.GraftExtensions` or
+  * `.withExtensions(new GraftExtensions)`), so `spark.sql("SELECT
+  * graft_cosine(a, b) ...")` works alongside the DataFrame API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two double arrays"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(s) - 64-bit polynomial content hash"),
+      (args: Seq[Expression]) => RollingHash(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+  }
+}

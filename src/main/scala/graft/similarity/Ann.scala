@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.native
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -33,7 +34,7 @@ object Ann {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", expr(s"$dot / ($normA * $normB)"))
+      .withColumn("cos", native.cosineSim(col("ea"), col("eb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -81,7 +82,7 @@ object Ann {
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.withColumn("cos", expr(s"$dot / ($normA * $normB)"))
+    cand.withColumn("cos", native.cosineSim(col("ea"), col("eb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))

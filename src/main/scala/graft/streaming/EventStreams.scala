@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the event log — the streaming side
+  * of the engine. Batch mirrors (`q_events_hourly` / `q_events_sessionize`)
+  * are oracle-checked; these run the same logic incrementally with
+  * watermarks and state stores (the 100 TB path: partition state by user,
+  * shuffle once, RocksDB state backend in production).
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(startUs: Long, lastUs: Long, nEvents: Int)
+
+  case class Session(user_id: Long, start_us: Long, n_events: Int, duration_us: Long)
+
+  /** Watermarked tumbling-window aggregation (streaming mirror of
+    * `Events.hourlyAgg`): 1-hour windows, 2-hour lateness bound.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Stateful sessionization via flatMapGroupsWithState (streaming mirror of
+    * `Events.sessionize`): 30-min inactivity gap, event-time timeout closes
+    * sessions once the watermark passes start+gap.
+    */
+  def sessionize(events: Dataset[Event], gapUs: Long = 1800L * 1000000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def updateState(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val closed = scala.collection.mutable.ListBuffer[Session]()
+      if (state.hasTimedOut) {
+        state.getOption.foreach { s =>
+          closed += Session(userId, s.startUs, s.nEvents, s.lastUs - s.startUs)
+        }
+        state.remove()
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val tUs = e.ts.getTime * 1000L
+          cur match {
+            case Some(s) if tUs - s.lastUs <= gapUs =>
+              cur = Some(s.copy(lastUs = tUs, nEvents = s.nEvents + 1))
+            case Some(s) =>
+              closed += Session(userId, s.startUs, s.nEvents, s.lastUs - s.startUs)
+              cur = Some(SessionState(tUs, tUs, 1))
+            case None =>
+              cur = Some(SessionState(tUs, tUs, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L)
+        }
+      }
+      closed.iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateState)
+  }
+}

@@ -101,11 +101,20 @@ object Text {
   val fingerprintMd5Sql: String =
     "SELECT doc_id, MD5(text) AS fp FROM documents"
 
+  /** Content fingerprint via graft's native 64-bit rolling hash (codegen
+    * Catalyst expression) — cheaper than md5; rows-only check.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      graft.functions.native.rollingHash(col("text")).as("fp64"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (stats _),
     "text_quality" -> (quality _),
     "text_lang_id" -> (langId _),
-    "text_fingerprint_md5" -> (fingerprintMd5 _))
+    "text_fingerprint_md5" -> (fingerprintMd5 _),
+    "text_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> statsSql,

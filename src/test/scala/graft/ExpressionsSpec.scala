@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.functions.native
+
+/** Native Catalyst expression correctness (vs interpreted HOF formulations)
+  * + SQL registration through GraftExtensions.
+  */
+class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder().master("local[2]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    GraftSession.tune(b, 2).getOrCreate()
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("cosineSim matches the HOF formulation exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.5, -1.5, 2.5), Seq(-0.5, 1.0, 0.25))).toDF("ea", "eb")
+    val dot = "aggregate(zip_with(ea, eb, (x, y) -> x*y), cast(0 as double), (a, x) -> a + x)"
+    val na = "sqrt(aggregate(ea, cast(0 as double), (a, x) -> a + x*x))"
+    val nb = "sqrt(aggregate(eb, cast(0 as double), (a, x) -> a + x*x))"
+    val rows = df.select(
+      native.cosineSim(col("ea"), col("eb")).as("fast"),
+      expr(s"$dot / ($na * $nb)").as("slow")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("rollingHash is deterministic and content-sensitive") {
+    import spark.implicits._
+    val df = Seq("hello world", "hello world", "hello worlD").toDF("text")
+    val hs = df.select(native.rollingHash(col("text"))).collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+    assert(hs(0) != hs(2))
+  }
+
+  test("simHash64: similar token sets have small hamming distance") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog")),
+      ("b", Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy", "cat")),
+      ("c", Seq("entirely", "different", "vocabulary", "set", "words", "here"))).toDF("id", "words")
+    val hs = df.select(col("id"), native.simHash64(col("words")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(hs("a"), hs("b")) < hamming(hs("a"), hs("c")))
+  }
+
+  test("extensions register SQL functions") {
+    val one = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head.getDouble(0)
+    assert(one == 1.0)
+    val h = spark.sql("SELECT rolling_hash('x') AS h").head.getLong(0)
+    assert(h == 'x'.toLong)
+    assert(spark.sql("SELECT simhash64(array('a','b')) AS s").head.getLong(0) != 0L)
+  }
+
+  test("codegen path produces same results as interpreted eval") {
+    import spark.implicits._
+    // force both paths: wholestage on (default) vs off
+    val df = Seq((Seq(1.0, 2.0), Seq(2.0, 1.0))).toDF("ea", "eb")
+    val on = df.select(native.cosineSim(col("ea"), col("eb"))).head.getDouble(0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val off = df.select(native.cosineSim(col("ea"), col("eb"))).head.getDouble(0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    assert(on == off)
+  }
+}

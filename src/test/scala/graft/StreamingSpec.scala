@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local(2)
+
+  override def afterAll(): Unit = spark.stop()
+
+  // offset from epoch: a row with event time == initial watermark (0) would
+  // be dropped as late data
+  private def ts(minutes: Long): Timestamp = new Timestamp(86400000L + minutes * 60000L)
+
+  test("streaming hourly agg matches batch result on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 3.0),
+      Event(4, ts(70), 2, "click", 4.0))
+    input.addData(events: _*)
+    val q = EventStreams.hourlyAgg(input.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly")
+        .select($"hour_start", $"event_type", $"n_events", $"total_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val want = Set(
+        (ts(0), "click", 2L, 3.0),
+        (ts(60), "view", 1L, 3.0),
+        (ts(60), "click", 1L, 4.0))
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes sessions across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // batch 1: user 1 has two events 10 min apart (one session)
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: user 1 comes back 90 min later -> closes session 1
+      input.addData(Event(3, ts(100), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 3: push watermark far forward so session 2 times out
+      input.addData(Event(4, ts(500), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(1000), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(6, ts(1500), 2, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .as[EventStreams.Session].collect().filter(_.user_id == 1L)
+        .sortBy(_.start_us)
+      assert(got.length == 2)
+      assert(got(0).start_us == 86400000000L)
+      assert(got(0).n_events == 2 && got(0).duration_us == 10L * 60 * 1000000)
+      assert(got(1).n_events == 1 && got(1).duration_us == 0L)
+    } finally q.stop()
+  }
+}
