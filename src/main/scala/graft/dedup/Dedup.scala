@@ -58,12 +58,15 @@ object Dedup {
         """array_distinct(transform(sequence(0, greatest(size(words)-3, 0)),
           |  i -> concat_ws(' ', words[i], words[i+1], words[i+2])))""".stripMargin))
 
-  /** MinHash signatures (64 permutations approximated by seeded xxhash64)
-    * over word-3gram shingles.
+  /** MinHash signatures (64 Carter–Wegman permutations, native codegen
+    * expression) over word-3gram shingles, plus sorted shingle-hash arrays
+    * for O(n+m) exact-Jaccard verification (hash Jaccard ≡ shingle Jaccard
+    * w.h.p. at 64 bits).
     */
   private def withMinhash(df: DataFrame): DataFrame =
-    withShingles(df).withColumn("sig",
-      expr("transform(sequence(0, 63), j -> array_min(transform(shingles, s -> xxhash64(s, j))))"))
+    withShingles(df)
+      .withColumn("sig", native.minHashSignature(col("shingles")))
+      .withColumn("gh", array_sort(array_distinct(expr("transform(shingles, s -> xxhash64(s))"))))
 
   /** MinHash + banded LSH near-dup detection: 16 bands × 4 rows.
     *
@@ -75,7 +78,7 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = withMinhash(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("shingles"), col("sig"))
+      .select(col("doc_id"), col("gh"), col("sig"))
     val bands = docs.select(col("doc_id"), explode(expr(
       """transform(sequence(0, 15),
         |  b -> named_struct('band', b, 'bh', xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3])))""".stripMargin))
@@ -87,11 +90,12 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val verified = cand
-      .join(docs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"), col("sig").as("sig_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"), col("sig").as("sig_b")), "id_b")
+      .join(docs.select(col("doc_id").as("id_a"), col("gh").as("gh_a"), col("sig").as("sig_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("gh").as("gh_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("inter", native.sortedIntersectCount(col("gh_a"), col("gh_b")))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"),
+        (col("inter").cast("double") /
+          (size(col("gh_a")) + size(col("gh_b")) - col("inter"))).as("jaccard"),
         (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))").cast("double") / 64.0)
           .as("est_similarity"))
     val directed = verified.select(col("id_a").as("doc_id"), col("id_b").as("cand_id"), col("jaccard"), col("est_similarity"))
@@ -141,15 +145,15 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .withColumn("grams", expr(
-        "array_distinct(transform(sequence(1, greatest(length(text)-3, 1)), i -> substring(text, i, 4)))"))
+      .withColumn("grams", native.charNgramHashes(col("text"), 4))
       .withColumn("block", concat_ws("#", col("lang"), (col("n_chars") / 100).cast("int")))
       .select(col("doc_id"), col("block"), col("grams"))
     val pairs = docs.as("a").join(docs.as("b"),
         col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", native.sortedIntersectCount(col("a.grams"), col("b.grams")))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-          size(array_union(col("a.grams"), col("b.grams")))).as("jaccard"))
+        (col("inter").cast("double") /
+          (size(col("a.grams")) + size(col("b.grams")) - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
     val directed = pairs.select(col("id_a").as("doc_id"), col("id_b").as("cand_id"), col("jaccard"))
       .unionAll(pairs.select(col("id_b").as("doc_id"), col("id_a").as("cand_id"), col("jaccard")))

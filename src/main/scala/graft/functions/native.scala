@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnBridge, CosineSimilarity, RollingHash, SimHash64}
+import org.apache.spark.sql.graft.{CharNgramHashes, ColumnBridge, CosineSimilarity, MinHashSignature, RollingHash, SimHash64, SortedIntersectCount}
 
 /** Column-API front for graft's native Catalyst expressions. */
 object native {
@@ -17,4 +17,16 @@ object native {
   /** 64-bit SimHash of an `array<string>` token column (codegen). */
   def simHash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** 64-element MinHash signature of an `array<string>` column (codegen). */
+  def minHashSignature(tokens: Column): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(tokens)))
+
+  /** |A ∩ B| of two ascending-sorted `array<long>` columns (codegen). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Sorted distinct 64-bit char-n-gram hashes of a string column (codegen). */
+  def charNgramHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(CharNgramHashes(ColumnBridge.expression(text), n))
 }

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions (with `doGenCode`) for the hot vector/text
@@ -177,6 +177,203 @@ case class SimHash64(child: Expression)
          |  if ($counts[$b] > 0) $out |= (1L << $b);
          |}
          |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-element MinHash signature of a token array in one pass: each token
+  * gets two independent 64-bit polynomial hashes (h1, h2); permutation j is
+  * approximated as h1 + j*h2 (Carter–Wegman), so the per-token cost is two
+  * byte-loops + 64 adds instead of 64 full string hashes.
+  */
+case class MinHashSignature(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(64)(Long.MaxValue)
+    var w = 0
+    while (w < arr.numElements()) {
+      if (!arr.isNullAt(w)) {
+        val bytes = arr.getUTF8String(w).getBytes
+        var h1 = 0L
+        var h2 = 1469598103934665603L
+        var i = 0
+        while (i < bytes.length) {
+          h1 = h1 * 1000003L + (bytes(i) & 0xffL)
+          h2 = (h2 ^ (bytes(i) & 0xffL)) * 1099511628211L
+          i += 1
+        }
+        var j = 0
+        var hj = h1
+        while (j < 64) {
+          if (hj < sig(j)) sig(j) = hj
+          hj += h2
+          j += 1
+        }
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig")
+      val w = ctx.freshName("w")
+      val bytes = ctx.freshName("bytes")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val hj = ctx.freshName("hj")
+      s"""
+         |long[] $sig = new long[64];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $w = 0; $w < $c.numElements(); $w++) {
+         |  if (!$c.isNullAt($w)) {
+         |    byte[] $bytes = $c.getUTF8String($w).getBytes();
+         |    long $h1 = 0L; long $h2 = 1469598103934665603L;
+         |    for (int $i = 0; $i < $bytes.length; $i++) {
+         |      $h1 = $h1 * 1000003L + ($bytes[$i] & 0xffL);
+         |      $h2 = ($h2 ^ ($bytes[$i] & 0xffL)) * 1099511628211L;
+         |    }
+         |    long $hj = $h1;
+         |    for (int $j = 0; $j < 64; $j++) {
+         |      if ($hj < $sig[$j]) $sig[$j] = $hj;
+         |      $hj += $h2;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** |A ∩ B| for two ASCENDING-sorted long arrays via a merge walk — O(n+m)
+  * with zero allocation; the fast path for set-similarity verification when
+  * elements are pre-hashed and pre-sorted once per row.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val xi = x.getLong(i)
+      val yj = y.getLong(j)
+      if (xi == yj) { n += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val xi = ctx.freshName("xi")
+      val yj = ctx.freshName("yj")
+      s"""
+         |int $i = 0, $j = 0, $n = 0;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $xi = $a.getLong($i);
+         |  long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $n++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sorted distinct 64-bit hashes of all character n-grams of a string —
+  * the shingle-set builder for n-gram Jaccard, fused into one codegen pass
+  * (hash windows over the raw UTF-8 bytes, sort, dedup in place) instead of
+  * an interpreted transform + substring + hash + array_distinct + sort
+  * chain.
+  */
+case class CharNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val count = math.max(bytes.length - n + 1, 0)
+    val hs = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var h = 0L
+      var k = 0
+      while (k < n) { h = h * 1000003L + (bytes(i + k) & 0xffL); k += 1 }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = 0
+    var j = 0
+    while (j < count) {
+      if (j == 0 || hs(j) != hs(j - 1)) { hs(out) = hs(j); out += 1 }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(hs, out))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val count = ctx.freshName("count")
+      val hs = ctx.freshName("hs")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val out = ctx.freshName("out")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |int $count = Math.max($bytes.length - $n + 1, 0);
+         |long[] $hs = new long[$count];
+         |for (int $i = 0; $i < $count; $i++) {
+         |  long $h = 0L;
+         |  for (int $k = 0; $k < $n; $k++) { $h = $h * 1000003L + ($bytes[$i + $k] & 0xffL); }
+         |  $hs[$i] = $h;
+         |}
+         |java.util.Arrays.sort($hs);
+         |int $out = 0;
+         |for (int $j = 0; $j < $count; $j++) {
+         |  if ($j == 0 || $hs[$j] != $hs[$j - 1]) { $hs[$out] = $hs[$j]; $out++; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($hs, $out));
        """.stripMargin
     })
 

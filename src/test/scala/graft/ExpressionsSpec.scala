@@ -63,6 +63,41 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT simhash64(array('a','b')) AS s").head.getLong(0) != 0L)
   }
 
+  test("minHashSignature: identical token sets share signatures; est similarity tracks overlap") {
+    import spark.implicits._
+    val a = Seq("w1 w2", "w2 w3", "w3 w4", "w4 w5", "w5 w6", "w6 w7")
+    val b = a.updated(5, "w6 DIFFERENT")
+    val df = Seq(("a", a), ("a2", a), ("b", b)).toDF("id", "sh")
+    val sigs = df.select(col("id"), native.minHashSignature(col("sh")).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs("a") == sigs("a2"))
+    val matching = sigs("a").zip(sigs("b")).count { case (x, y) => x == y }
+    assert(matching > 32 && matching < 64) // ~5/7 jaccard
+  }
+
+  test("sortedIntersectCount matches array_intersect semantics") {
+    import spark.implicits._
+    val df = Seq((Seq(1L, 3L, 5L, 7L), Seq(2L, 3L, 5L, 9L))).toDF("a", "b")
+    val n = df.select(native.sortedIntersectCount(col("a"), col("b"))).head.getInt(0)
+    assert(n == 2)
+  }
+
+  test("charNgramHashes equals the naive transform formulation") {
+    import spark.implicits._
+    val df = Seq("abcdefg", "aaaa", "xyzxyzxyz").toDF("text")
+    val fast = df.select(native.charNgramHashes(col("text"), 4).as("g"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    val slow = df.select(expr(
+      "array_distinct(transform(sequence(1, greatest(length(text)-3, 1)), i -> substring(text, i, 4)))").as("g"))
+      .collect().map(_.getSeq[String](0).toSet)
+    // same cardinality per row (hash set vs string set)
+    fast.zip(slow).foreach { case (f, sl) => assert(f.size == sl.size) }
+    // strings shorter than n produce no (partial) grams
+    import spark.implicits._
+    assert(Seq("abc").toDF("text")
+      .select(native.charNgramHashes(col("text"), 4)).head.getSeq[Long](0).isEmpty)
+  }
+
   test("codegen path produces same results as interpreted eval") {
     import spark.implicits._
     // force both paths: wholestage on (default) vs off
