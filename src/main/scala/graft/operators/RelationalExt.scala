@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable._
+
+/** Second tier of the relational surface: set operations, CUBE, outer
+  * joins, subquery forms, HAVING, math/null scalar functions — rounding out
+  * DataFusion's SQL coverage (the reference planner handles all of these;
+  * see `benches/query.rs:44` — arbitrary SQL through `ctx.sql`).
+  */
+object RelationalExt {
+
+  /** GROUP BY CUBE — all grouping-set combinations in one pass. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), centsSum(col("o_totalprice")).as("total_spend"))
+
+  val cubeAggSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       | ${centsSumSql("o_totalprice")} AS total_spend
+       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** INTERSECT — nations that have both customers and suppliers. */
+  def intersectKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+
+  val intersectKeysSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin
+
+  /** EXCEPT — nations with customers but no suppliers. */
+  def exceptKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+
+  val exceptKeysSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT
+      |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin
+
+  /** FULL OUTER join — per-customer order counts vs high-balance customers;
+    * rows survive from either side with NULLs on the other.
+    */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val rich = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey"), col("c_acctbal"))
+    counts.join(rich, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        col("n_orders"), col("c_acctbal"))
+  }
+
+  val fullOuterJoinSql: String =
+    """SELECT COALESCE(o_custkey, c_custkey) AS custkey, n_orders, c_acctbal
+      |FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+      |FULL JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000.0) c
+      | ON o_custkey = c_custkey""".stripMargin
+
+  /** IN-list subquery (uncorrelated) — rewritten by Catalyst to a semi join. */
+  def inSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val machinery = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O")
+      .join(machinery, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), centsSum(col("o_totalprice")).as("total_spend"))
+  }
+
+  val inSubquerySql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       | ${centsSumSql("o_totalprice")} AS total_spend
+       |FROM orders
+       |WHERE o_orderstatus = 'O'
+       | AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+       |GROUP BY o_orderpriority""".stripMargin
+
+  /** HAVING — post-aggregation filter. */
+  def havingAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+      .filter(col("n_customers") >= 5)
+
+  val havingAggSql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
+      |GROUP BY c_nationkey HAVING COUNT(*) >= 5""".stripMargin
+
+  /** Scalar subquery — orders above the (exact-cents) global average. */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val avgPrice = o.agg(centsAvg(col("o_totalprice")).as("avg_price"))
+    o.join(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_above_avg"))
+  }
+
+  val scalarSubquerySql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_above_avg
+       |FROM orders
+       |WHERE o_totalprice > (SELECT ${centsAvgSql("o_totalprice")} FROM orders)
+       |GROUP BY o_orderstatus""".stripMargin
+
+  /** CROSS JOIN — small dimensional cross product. */
+  def crossJoinSmall(spark: SparkSession, dir: String): DataFrame =
+    Tables.region(spark, dir).select(col("r_name"))
+      .crossJoin(Tables.orders(spark, dir).select(col("o_orderstatus")).distinct())
+
+  val crossJoinSmallSql: String =
+    """SELECT r_name, o_orderstatus
+      |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s""".stripMargin
+
+  /** Math scalar functions — sqrt (IEEE-exact in both engines), floor/ceil
+    * (aligned to BIGINT), modulo.
+    */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      sqrt(col("o_totalprice")).as("sqrt_price"),
+      floor(col("o_totalprice")).cast("bigint").as("floor_price"),
+      ceil(col("o_totalprice")).cast("bigint").as("ceil_price"),
+      abs(col("o_totalprice") - 300.0).as("abs_diff"),
+      (col("o_orderkey") % 7).as("mod7"))
+
+  val mathFuncsSql: String =
+    """SELECT o_orderkey, SQRT(o_totalprice) AS sqrt_price,
+      | CAST(FLOOR(o_totalprice) AS BIGINT) AS floor_price,
+      | CAST(CEIL(o_totalprice) AS BIGINT) AS ceil_price,
+      | ABS(o_totalprice - 300.0) AS abs_diff,
+      | o_orderkey % 7 AS mod7
+      |FROM orders""".stripMargin
+
+  /** NULL semantics — NULLIF / COALESCE round trip + null-grouping. */
+  def nullHandling(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(coalesce(expr("nullif(o_orderstatus, 'P')"), lit("pending")).as("status2"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  val nullHandlingSql: String =
+    """SELECT COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS status2,
+      | COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube" -> (cubeAgg _),
+    "q_intersect" -> (intersectKeys _),
+    "q_except" -> (exceptKeys _),
+    "q_full_outer_join" -> (fullOuterJoin _),
+    "q_in_subquery" -> (inSubquery _),
+    "q_having" -> (havingAgg _),
+    "q_scalar_subquery" -> (scalarSubquery _),
+    "q_cross_join" -> (crossJoinSmall _),
+    "q_math_funcs" -> (mathFuncs _),
+    "q_null_handling" -> (nullHandling _))
+
+  val oracles: Map[String, String] = Map(
+    "q_cube" -> cubeAggSql,
+    "q_intersect" -> intersectKeysSql,
+    "q_except" -> exceptKeysSql,
+    "q_full_outer_join" -> fullOuterJoinSql,
+    "q_in_subquery" -> inSubquerySql,
+    "q_having" -> havingAggSql,
+    "q_scalar_subquery" -> scalarSubquerySql,
+    "q_cross_join" -> crossJoinSmallSql,
+    "q_math_funcs" -> mathFuncsSql,
+    "q_null_handling" -> nullHandlingSql)
+}

@@ -59,7 +59,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         for c in got.columns:
             a, b = got[c].to_numpy(), want[c].to_numpy()
             if a.dtype.kind == 'f' or b.dtype.kind == 'f':
-                eq = np.array_equal(a.astype(float), b.astype(float))
+                eq = np.array_equal(a.astype(float), b.astype(float), equal_nan=True)
             else:
                 eq = list(map(str, a)) == list(map(str, b))
             if not eq:
