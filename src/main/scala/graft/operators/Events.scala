@@ -159,7 +159,49 @@ object Events {
       |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
       |WHERE rn = 1""".stripMargin
 
+  /** JSON extraction from the props column — `get_json_object` path query
+    * + typed cast, aggregated. (Semi-structured columns are first-class in
+    * a log pipeline; stays codegen'd.)
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k_val")).cast("bigint").as("sum_k"),
+        count(col("k_val")).as("n_with_k"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type,
+      | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      | COUNT(json_extract_string(props, '$.k')) AS n_with_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Approximate aggregates — HLL distinct-count + approx percentile next
+    * to their exact counterparts (sketch values are engine-specific →
+    * rows-only check; the exact columns bound the error).
+    */
+  def approxAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        expr("approx_percentile(value, 0.5)").as("approx_median_value"),
+        count(lit(1)).as("n_events"))
+
+  /** Seeded Bernoulli sample + aggregation — deterministic for a fixed
+    * Spark seed (sampling is engine-specific → rows-only check).
+    */
+  def sampleAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract" -> (jsonExtract _),
+    "q_approx_agg" -> (approxAgg _),
+    "q_sample_agg" -> (sampleAgg _),
     "ref_full_scan" -> (refFullScan _),
     "ref_filter" -> (refFilter _),
     "ref_aggregation" -> (refAggregation _),
@@ -168,6 +210,7 @@ object Events {
     "q_asof_join" -> (asofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_json_extract" -> jsonExtractSql,
     "ref_full_scan" -> refFullScanSql,
     "ref_filter" -> refFilterSql,
     "ref_aggregation" -> refAggregationSql,

@@ -32,6 +32,36 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming dedup — drops replayed events (same event_id) with bounded
+    * state: the watermark ages keys out of the state store, so memory stays
+    * proportional to the lateness bound, not the stream history. The
+    * streaming mirror of `Dedup.exactHash`.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join — purchases attributed to a click by the
+    * same user within 30 minutes. Watermarks on both sides + the time-range
+    * condition bound the join state.
+    */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      expr("""c_user = p_user AND
+              purchase_ts >= click_ts AND
+              purchase_ts <= click_ts + INTERVAL 30 MINUTES"""))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"), col("value"))
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState (streaming mirror of
     * `Events.sessionize`): 30-min inactivity gap, event-time timeout closes
     * sessions once the watermark passes start+gap.

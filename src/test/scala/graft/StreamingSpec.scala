@@ -45,6 +45,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 1.0))
+      q.processAllAvailable()
+      // replay event 1 (same id), plus a new one
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(3, ts(2), 2, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() == 3)
+    } finally q.stop()
+  }
+
+  test("stream-stream join attributes purchases to clicks within 30 min") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.clickAttribution(input.toDF())
+      .writeStream.format("memory").queryName("attributed").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 0.0),
+        Event(2, ts(10), 1, "purchase", 99.0),   // within 30 min of click 1
+        Event(3, ts(50), 1, "purchase", 11.0),   // outside the window
+        Event(4, ts(5), 2, "purchase", 7.0))     // different user, no click
+      q.processAllAvailable()
+      // advance watermark so joinable results flush
+      input.addData(Event(9, ts(300), 3, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("attributed")
+        .select($"click_id", $"purchase_id", $"value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((1L, 2L, 99.0)))
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
