@@ -54,6 +54,21 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() == 0)
   }
 
+  test("custom TopKPerKey operator matches the window formulation") {
+    import spark.implicits._
+    val custom = operators.TopK.topkPerKeyOrders(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    val window = operators.Relational.windowRank(spark, sf)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(custom == window)
+    // the physical plan uses the custom exec, not a window + sort
+    val plan = operators.TopK.topkPerKeyOrders(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"))
+    assert(!plan.contains("Window"))
+  }
+
   test("sessionize: session count matches distinct flag transitions") {
     val s = operators.Events.sessionize(spark, sf)
     val nEvents = s.agg(org.apache.spark.sql.functions.sum("n_events")).head.getLong(0)
