@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable._
+
+/** Analytic extras: grouping sets, percentiles, moment statistics, the
+  * window-function zoo, ordered array aggregation, richer string functions.
+  * All oracle-checked; float outputs are made engine-exact either via
+  * integral inputs (percentile over whole-number quantities) or by
+  * deriving moments from exact integer sums (`q_stats_manual`).
+  */
+object Analytics {
+
+  /** Explicit GROUPING SETS + grouping_id — finer than rollup/cube. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    // DataFrame API exposes rollup/cube only; GROUPING SETS goes through SQL
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         | CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         | COUNT(*) AS n_orders
+         |FROM orders_gs
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      | CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+      | COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+
+  /** Exact interpolated percentiles over integral quantities (whole numbers
+    * → interpolation arithmetic is exact in both engines).
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n"))
+
+  val percentilesSql: String =
+    """SELECT l_returnflag,
+      | quantile_cont(l_quantity, 0.5) AS median_qty,
+      | quantile_cont(l_quantity, 0.9) AS p90_qty,
+      | COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Mean / variance / stddev derived from exact integer moments (sum and
+    * sum-of-squares of cents are order-independent BIGINTs; the float math
+    * on top is a fixed expression mirrored in the oracle) — how to get
+    * deterministic second-order statistics out of a distributed engine.
+    */
+  def statsManual(spark: SparkSession, dir: String): DataFrame = {
+    val c = cents(col("o_totalprice"))
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(c).as("s1"),
+        sum(c * c).as("s2"),
+        count(lit(1)).as("n"))
+      .select(
+        col("o_orderstatus"),
+        (col("s1").cast("double") / col("n") / 100.0).as("mean_price"),
+        (((col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n")) /
+          (col("n") - 1)) / 10000.0).as("var_price"),
+        sqrt(((col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n")) /
+          (col("n") - 1)) / 10000.0).as("stddev_price"),
+        col("n"))
+  }
+
+  val statsManualSql: String = {
+    val s1 = "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)"
+    val s2 = "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)*CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)"
+    s"""SELECT o_orderstatus,
+       | $s1/COUNT(*)/100.0 AS mean_price,
+       | ((($s2 - $s1*$s1/COUNT(*)) / (COUNT(*) - 1)) / 10000.0) AS var_price,
+       | SQRT((($s2 - $s1*$s1/COUNT(*)) / (COUNT(*) - 1)) / 10000.0) AS stddev_price,
+       | COUNT(*) AS n
+       |FROM orders GROUP BY o_orderstatus""".stripMargin
+  }
+
+  /** Window-function zoo: lag/lead + first/last over a running frame. */
+  def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+      lead(col("o_orderkey"), 1).over(w).as("next_order"),
+      first(col("o_orderkey")).over(wf).as("first_order"),
+      rank().over(w).as("order_seq"))
+  }
+
+  val windowFuncsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      | LAG(o_orderkey, 1) OVER w AS prev_order,
+      | LEAD(o_orderkey, 1) OVER w AS next_order,
+      | FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order,
+      | RANK() OVER w AS order_seq
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  /** NTILE — quartile assignment with a unique global ordering. */
+  def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_totalprice"),
+      ntile(4).over(w).cast("bigint").as("quartile"))
+  }
+
+  val ntileQuartilesSql: String =
+    """SELECT o_orderkey, o_totalprice,
+      | CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+      |FROM orders""".stripMargin
+
+  /** Ordered array aggregation, emitted as a joined string (deterministic
+    * multiset encoding portable across engines).
+    */
+  def arrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_nationkey") < 5)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("c_custkey")))).as("custkeys"),
+        count(lit(1)).as("n_customers"))
+
+  val arrayAggSql: String =
+    """SELECT c_nationkey,
+      | array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
+      | COUNT(*) AS n_customers
+      |FROM customer WHERE c_nationkey < 5
+      |GROUP BY c_nationkey""".stripMargin
+
+  /** Richer string functions — trim/lpad/concat/regexp_extract/split. */
+  def stringFuncs2(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      concat(lit("P-"), lpad(col("p_partkey").cast("string"), 6, "0")).as("padded_id"),
+      trim(col("p_name")).as("trimmed"),
+      regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+      size(split(col("p_name"), " ")).cast("bigint").as("n_words"))
+
+  val stringFuncs2Sql: String =
+    """SELECT p_partkey,
+      | CONCAT('P-', LPAD(CAST(p_partkey AS VARCHAR), 6, '0')) AS padded_id,
+      | TRIM(p_name) AS trimmed,
+      | regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      | CAST(LEN(string_split(p_name, ' ')) AS BIGINT) AS n_words
+      |FROM part""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> (groupingSets _),
+    "q_percentiles" -> (percentiles _),
+    "q_stats_manual" -> (statsManual _),
+    "q_window_funcs" -> (windowFuncs _),
+    "q_ntile" -> (ntileQuartiles _),
+    "q_array_agg" -> (arrayAgg _),
+    "q_string_funcs2" -> (stringFuncs2 _))
+
+  val oracles: Map[String, String] = Map(
+    "q_grouping_sets" -> groupingSetsSql,
+    "q_percentiles" -> percentilesSql,
+    "q_stats_manual" -> statsManualSql,
+    "q_window_funcs" -> windowFuncsSql,
+    "q_ntile" -> ntileQuartilesSql,
+    "q_array_agg" -> arrayAggSql,
+    "q_string_funcs2" -> stringFuncs2Sql)
+}
