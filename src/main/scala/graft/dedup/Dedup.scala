@@ -185,7 +185,47 @@ object Dedup {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin
 
+  /** Duplicate clusters: connected components over the near-dup pair graph
+    * (exact-hash pairs ∪ MinHash-verified pairs with Jaccard ≥ 0.8) via
+    * iterative min-label propagation. The loop count is O(log(cluster
+    * diameter)) — a handful of joins — independent of data size; each
+    * iteration is one shuffle on doc_id. Output: every doc with its cluster
+    * representative (min doc_id in the component) and the cluster size.
+    */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exactPairs = docs.select(col("doc_id"), md5(col("text")).as("h")).as("a")
+      .join(docs.select(col("doc_id"), md5(col("text")).as("h")).as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val nearPairs = minhashLsh(spark, dir)
+      .filter(col("jaccard") >= 0.8 && col("doc_id") < col("dup_candidate"))
+      .select(col("doc_id").as("id_a"), col("dup_candidate").as("id_b"))
+    val edges = exactPairs.unionAll(nearPairs).distinct().cache()
+    val bidir = edges.unionAll(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 10) {
+      val neighborMin = bidir.join(labels, col("id_b") === col("doc_id"))
+        .groupBy(col("id_a")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(neighborMin, col("doc_id") === col("id_a"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      val changed = updated.as("u").join(labels.as("l"), Seq("doc_id"))
+        .filter(col("u.label") =!= col("l.label")).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (clusters _),
     "dedup_exact" -> (exact _),
     "dedup_exact_hash" -> (exactHash _),
     "dedup_minhash_lsh" -> (minhashLsh _),

@@ -88,7 +88,34 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** IVF-style ANN: a coarse quantizer (MLlib KMeans, fixed seed) assigns
+    * every vector to one of 16 cells; a query probes only its own cell.
+    * The inverted-file layout is the persistable scale path (partition or
+    * bucket the corpus by cell id); recall is tuned by probing more cells.
+    * Model values are engine/partitioning-specific → rows-only check.
+    */
+  def topkIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("features", array_to_vector(col("emb")))
+      .cache()
+    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(10).fit(e)
+    val cells = model.transform(e).select(col("vec_id"), col("emb"), col("prediction").as("cell"))
+    val q = cells.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("emb").as("ea"), col("cell"))
+    val c = cells.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"), col("cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", native.cosineSim(col("ea"), col("eb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("cell"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk_ivf" -> (topkIvf _),
     "ann_topk" -> (topk _),
     "ann_topk_lsh" -> (topkLsh _))
 
