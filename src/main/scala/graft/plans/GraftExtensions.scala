@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graft.{CosineSimilarity, RollingHash, SimHash64}
+import org.apache.spark.sql.graft.{CosineSimilarity, RollingHash, SimHash64, TopKRewriteRule, TopKStrategy}
 
 /** SparkSessionExtensions wiring: exposes graft's native expressions as SQL
   * functions (`spark.sql.extensions=graft.plans.GraftExtensions` or
@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => TopKRewriteRule)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two double arrays"),

@@ -98,6 +98,24 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(native.charNgramHashes(col("text"), 4)).head.getSeq[Long](0).isEmpty)
   }
 
+  test("optimizer rule rewrites window top-k into TopKPerKey") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = Tables.orders(spark, "/root/testdata/sf0.001")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+    // and the rewritten plan returns the window-formulation rows
+    val viaWindow = graft.operators.Relational.windowRank(spark, "/root/testdata/sf0.001")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == viaWindow)
+  }
+
   test("codegen path produces same results as interpreted eval") {
     import spark.implicits._
     // force both paths: wholestage on (default) vs off
