@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface.
+  *
+  * The reference engine reads parquet through pluggable object stores
+  * (`src/object_store/file.rs` io_uring local reads, `src/object_store/s3/`
+  * byte-range S3 reads). Spark's Hadoop-FS abstraction is the same seam:
+  * every reader here accepts any supported URI scheme (`file://`, `s3a://`,
+  * `hdfs://`, ...) and the vectorized parquet reader does byte-range
+  * column-chunk reads with row-group pruning — so the Spark-native
+  * equivalent of the reference's async store is configuration, not code.
+  *
+  * Readers take an explicit schema where the format can't self-describe
+  * (csv/json): schema inference costs a full extra pass at 100 TB.
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, uri: String): DataFrame =
+    spark.read.parquet(uri)
+
+  def csv(spark: SparkSession, uri: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .csv(uri)
+
+  def jsonLines(spark: SparkSession, uri: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(uri)
+
+  /** Parquet writer with the layout knobs that matter at scale:
+    * `partitionCols` → directory pruning, `zstd` → scan-bound IO savings.
+    */
+  def writeParquet(df: DataFrame, uri: String,
+      partitionCols: Seq[String] = Nil,
+      compression: String = "zstd"): Unit = {
+    val w: DataFrameWriter[Row] = df.write.mode("overwrite")
+      .option("compression", compression)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(uri)
+  }
+
+  /** Bucketed table writer — pre-shuffles once at write time so later
+    * equi-joins/aggs on `bucketCols` are exchange-free (see BucketingSpec).
+    */
+  def writeBucketedTable(df: DataFrame, table: String,
+      bucketCols: Seq[String], nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+}
