@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.native
+
+/** Property-based checks of the native expressions against reference
+  * implementations in plain Scala.
+  */
+class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local(2)
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Deterministic sampling in place of scalatestplus's forAll (the
+    * scalatest-scalacheck bridge isn't on the offline classpath).
+    */
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default.withSize(20)
+    (0 until n).map(i => gen.pureApply(params, Seed(42L + i)))
+  }
+
+  private val tokenGen = Gen.listOfN(12, Gen.oneOf(
+    "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+    "iota", "kappa", "lam", "mu", "nu", "xi"))
+
+  test("minhash signature similarity estimates jaccard within tolerance") {
+    import spark.implicits._
+    for ((a, b) <- samples(tokenGen, 8).zip(samples(tokenGen.map(_.reverse), 8))) {
+      {
+        val sa = a.toSet
+        val sb = b.toSet
+        val trueJ = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        val df = Seq((a.distinct, b.distinct)).toDF("a", "b")
+        val row = df.select(
+          native.minHashSignature(col("a")).as("sa"),
+          native.minHashSignature(col("b")).as("sb")).head
+        val est = row.getSeq[Long](0).zip(row.getSeq[Long](1))
+          .count { case (x, y) => x == y } / 64.0
+        // 64 permutations: std err ~ sqrt(j(1-j)/64) <= 0.0625; 4 sigma
+        assert(math.abs(est - trueJ) <= 0.3)
+      }
+    }
+  }
+
+  test("sortedIntersectCount equals Set.intersect for arbitrary long sets") {
+    import spark.implicits._
+    val setGen = Gen.listOf(Gen.chooseNum(-50L, 50L))
+    for ((a, b) <- samples(setGen, 10).zip(samples(setGen.map(_.map(-_)), 10))) {
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val expected = sa.toSet.intersect(sb.toSet).size
+      val got = Seq((sa, sb)).toDF("a", "b")
+        .select(native.sortedIntersectCount(col("a"), col("b"))).head.getInt(0)
+      assert(got == expected)
+    }
+  }
+
+  test("cosineSim is bounded and symmetric") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0))
+      .suchThat(_.exists(_ != 0.0))
+    for ((a, b) <- samples(vecGen, 10).zip(samples(vecGen.map(_.map(- _)), 10))) {
+      {
+        val row = Seq((a, b), (b, a)).toDF("x", "y")
+          .select(native.cosineSim(col("x"), col("y"))).collect()
+        val c1 = row(0).getDouble(0)
+        val c2 = row(1).getDouble(0)
+        assert(c1 == c2) // symmetric
+        assert(c1 >= -1.0000001 && c1 <= 1.0000001)
+      }
+    }
+  }
+
+  test("rollingHash matches the reference Scala implementation") {
+    import spark.implicits._
+    for (s <- samples(Gen.asciiPrintableStr, 10)) {
+      val expected = s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 1000003L + (b & 0xffL))
+      val got = Seq(s).toDF("t").select(native.rollingHash(col("t"))).head.getLong(0)
+      assert(got == expected)
+    }
+  }
+}
