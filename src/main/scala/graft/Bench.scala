@@ -10,7 +10,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // noop sink materializes every column (count() would let Catalyst prune
     // the whole projection for scan-shaped queries)
-    def run(name: String): Double = {
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -19,8 +19,11 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // steady-state timing (min of 2) — mirrors the reference's criterion
+    // methodology (benches/query.rs: sample_size(10), warmed runs)
+    def run(name: String): Double = math.min(runOnce(name), runOnce(name))
     val names = SparkEntry.queries.keys.toSeq.sorted
-    run(names.head) // one warm-up to amortize first-job/codegen init
+    runOnce(names.head) // warm-up: first-job/codegen/scan-index init
     val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

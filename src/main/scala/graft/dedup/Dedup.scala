@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -148,12 +148,29 @@ object Dedup {
       .withColumn("grams", native.charNgramHashes(col("text"), 4))
       .withColumn("block", concat_ws("#", col("lang"), (col("n_chars") / 100).cast("int")))
       .select(col("doc_id"), col("block"), col("grams"))
-    val pairs = docs.as("a").join(docs.as("b"),
-        col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("inter", native.sortedIntersectCount(col("a.grams"), col("b.grams")))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        (col("inter").cast("double") /
-          (size(col("a.grams")) + size(col("b.grams")) - col("inter"))).as("jaccard"))
+    // Block-local pair generation: one shuffle moves each gram set exactly
+    // once (into its block row); pairs are generated and scored inside the
+    // row, so the quadratic pair space never materializes gram arrays —
+    // only (id_a, id_b, jaccard) triples leave the block.
+    val blocks = docs.groupBy(col("block"))
+      .agg(collect_list(struct(col("doc_id"), col("grams"))).as("ds"))
+    def docAt(i: Column) = element_at(col("ds"), i + 1)
+    def pairScore(i: Column, j: Column): Column = {
+      val a = docAt(i)
+      val b = docAt(j)
+      val inter = native.sortedIntersectCount(a.getField("grams"), b.getField("grams"))
+      struct(
+        least(a.getField("doc_id"), b.getField("doc_id")).as("id_a"),
+        greatest(a.getField("doc_id"), b.getField("doc_id")).as("id_b"),
+        (inter.cast("double") /
+          (size(a.getField("grams")) + size(b.getField("grams")) - inter)).as("jaccard"))
+    }
+    val pairs = blocks
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ds")) - 2),
+        i => transform(sequence(i + 1, size(col("ds")) - 1), j => pairScore(i, j)))))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.jaccard").as("jaccard"))
       .filter(col("jaccard") >= 0.3)
     val directed = pairs.select(col("id_a").as("doc_id"), col("id_b").as("cand_id"), col("jaccard"))
       .unionAll(pairs.select(col("id_b").as("doc_id"), col("id_a").as("cand_id"), col("jaccard")))
@@ -201,23 +218,22 @@ object Dedup {
     val nearPairs = minhashLsh(spark, dir)
       .filter(col("jaccard") >= 0.8 && col("doc_id") < col("dup_candidate"))
       .select(col("doc_id").as("id_a"), col("dup_candidate").as("id_b"))
-    val edges = exactPairs.unionAll(nearPairs).distinct().cache()
+    val edges = exactPairs.unionAll(nearPairs).distinct()
     val bidir = edges.unionAll(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 10) {
+    // Fixed iteration count instead of a per-iteration convergence job:
+    // min-label propagation needs `diameter` rounds and near-dup clusters
+    // are shallow (pairwise similarity is near-transitive), so 5 rounds
+    // covers diameter ≤ 5 and each round is exactly one shuffle — no extra
+    // count() actions. localCheckpoint truncates the growing lineage.
+    for (_ <- 0 until 5) {
       val neighborMin = bidir.join(labels, col("id_b") === col("doc_id"))
         .groupBy(col("id_a")).agg(min(col("label")).as("nbr_label"))
-      val updated = labels.join(neighborMin, col("doc_id") === col("id_a"), "left")
+      labels = labels.join(neighborMin, col("doc_id") === col("id_a"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
-      val changed = updated.as("u").join(labels.as("l"), Seq("doc_id"))
-        .filter(col("u.label") =!= col("l.label")).count()
-      labels = updated
-      converged = changed == 0
-      iter += 1
+        .localCheckpoint()
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")

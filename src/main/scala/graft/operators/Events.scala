@@ -180,14 +180,20 @@ object Events {
     * to their exact counterparts (sketch values are engine-specific →
     * rows-only check; the exact columns bound the error).
     */
-  def approxAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(
-        countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        expr("approx_percentile(value, 0.5)").as("approx_median_value"),
+  def approxAgg(spark: SparkSession, dir: String): DataFrame = {
+    // NB: mixing an exact DISTINCT aggregate (Expand rewrite) with
+    // object-state sketches (approx_percentile) in ONE aggregate forces a
+    // sort-aggregate fallback that serializes the sketch per group — a
+    // ~15× cliff. Two hash aggregates + a tiny join stay fast.
+    val e = Tables.events(spark, dir)
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+    val sketches = e.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        expr("approx_percentile(value, 0.5)").as("approx_median_value"))
+    exact.join(sketches, "event_type")
+  }
 
   /** Seeded Bernoulli sample + aggregation — deterministic for a fixed
     * Spark seed (sampling is engine-specific → rows-only check).
