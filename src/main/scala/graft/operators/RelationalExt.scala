@@ -151,7 +151,52 @@ object RelationalExt {
       | COUNT(*) AS n_orders
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Correlated scalar subquery — exercised through the SQL parser (the
+    * DataFrame API cannot express correlation); Catalyst decorrelates it
+    * into an aggregate + left outer join.
+    */
+  def correlatedScalar(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_cs")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_cs")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        | (SELECT MAX(o_totalprice) FROM orders_cs o
+        |  WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM customer_cs c""".stripMargin)
+  }
+
+  val correlatedScalarSql: String =
+    """SELECT c_custkey, c_name,
+      | (SELECT MAX(o_totalprice) FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey) AS max_order
+      |FROM customer c""".stripMargin
+
+  /** Range (non-equi) join against a tiny in-memory band dimension — the
+    * band table broadcasts, so the non-equi condition never forces a
+    * cartesian shuffle at scale.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("low", 0.0, 200.0), ("mid", 200.0, 400.0), ("high", 400.0, 1e9))
+      .toDF("band", "lo", "hi")
+    Tables.orders(spark, dir)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), centsSum(col("o_totalprice")).as("band_spend"))
+  }
+
+  val rangeJoinSql: String =
+    s"""WITH bands(band, lo, hi) AS (
+       | VALUES ('low', 0.0, 200.0), ('mid', 200.0, 400.0), ('high', 400.0, 1e9))
+       |SELECT band, COUNT(*) AS n_orders, ${centsSumSql("o_totalprice")} AS band_spend
+       |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+       |GROUP BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_correlated_scalar" -> (correlatedScalar _),
+    "q_range_join" -> (rangeJoin _),
     "q_cube" -> (cubeAgg _),
     "q_intersect" -> (intersectKeys _),
     "q_except" -> (exceptKeys _),
@@ -164,6 +209,8 @@ object RelationalExt {
     "q_null_handling" -> (nullHandling _))
 
   val oracles: Map[String, String] = Map(
+    "q_correlated_scalar" -> correlatedScalarSql,
+    "q_range_join" -> rangeJoinSql,
     "q_cube" -> cubeAggSql,
     "q_intersect" -> intersectKeysSql,
     "q_except" -> exceptKeysSql,

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Golden assertions on physical plans — the properties that decide
+  * 100 TB behavior must hold structurally, not incidentally.
+  */
+class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
+    with AdaptiveSparkPlanHelper {
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def planOf(name: String): String = {
+    // lift metadata truncation so PushedFilters print fully, and execute
+    // first so AQE finalizes (WholeStageCodegen only shows in final plans)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // executes THIS QueryExecution so AQE reaches its final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6: all four predicates reach the parquet scan") {
+    val p = planOf("q6_revenue_forecast")
+    assert(p.contains("PushedFilters"))
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity")) {
+      assert(p.contains(f), s"missing pushed filter $f in:\n$p")
+    }
+  }
+
+  test("q6: scan reads only the needed columns") {
+    val p = planOf("q6_revenue_forecast")
+    val readSchema = "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp>"
+    assert(p.contains(readSchema), p)
+    assert(!p.contains("l_orderkey"), "scan must not read unused columns")
+  }
+
+  test("ref_filter: projection pruned to three columns") {
+    val p = planOf("ref_filter")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string>"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]"), p)
+  }
+
+  test("q5: all dimension joins broadcast (no shuffle joins at dim sizes)") {
+    val p = planOf("q5_local_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_topk_orders: TakeOrderedAndProject, no global sort") {
+    val p = planOf("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1: partial (map-side) aggregation present") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q_topk_per_key: custom exec with a single clustered exchange") {
+    val p = planOf("q_topk_per_key")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Sort "), "heap-based top-k must not sort")
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    for (q <- Seq("q1_pricing_summary", "q6_revenue_forecast", "ref_aggregation")) {
+      // "*(n)" prefixes mark WholeStageCodegen spans in compact plan strings
+      assert(planOf(q).contains("*(1)"), s"$q lost codegen")
+    }
+  }
+}
