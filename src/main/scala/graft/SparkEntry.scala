@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.dedup.Dedup
 import graft.multimodal.Blobs
+import graft.pipeline.Curate
 import graft.operators.{Analytics, Events, Relational, RelationalExt, TopK}
 import graft.similarity.Ann
 import graft.textanalysis.Text
@@ -18,7 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ RelationalExt.queries ++ Analytics.queries ++ TopK.queries ++ Events.queries ++ Text.queries ++ Dedup.queries ++
-      Ann.queries ++ Blobs.queries
+      Ann.queries ++ Blobs.queries ++ Curate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.

@@ -61,7 +61,34 @@ object Blobs {
       .select(col("doc_id"), col("n_frames"),
         col("f.frame_idx").as("frame_idx"), col("f.frame_hash").as("frame_hash"))
 
+  /** Blob → embedding feature extraction (stub): a 16-dim byte-histogram
+    * embedding, L2-normalized, produced per partition. The output column is
+    * `array<float>` with the same shape as the `embeddings` table, so the
+    * ANN/dedup operators compose directly on top — the real pipeline would
+    * only swap the histogram for a model forward pass.
+    */
+  def embed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val h = new Array[Float](16)
+        var i = 0
+        while (i < bytes.length) { h((bytes(i) & 0xff) % 16) += 1f; i += 1 }
+        var n = 0.0
+        var j = 0
+        while (j < 16) { n += h(j) * h(j); j += 1 }
+        val inv = if (n == 0) 0f else (1.0 / math.sqrt(n)).toFloat
+        var k = 0
+        while (k < 16) { h(k) *= inv; k += 1 }
+        (id, h)
+      })
+      .toDF("doc_id", "embedding")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_embed" -> (embed _),
     "mm_decode_stats" -> (decodeStats _),
     "mm_frame_sample" -> (frameSample _))
 
