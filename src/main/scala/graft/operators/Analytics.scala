@@ -63,7 +63,10 @@ object Analytics {
       .groupBy(col("o_orderstatus"))
       .agg(
         sum(c).as("s1"),
-        sum(c * c).as("s2"),
+        // c² fits a long per-row, but the SUM can exceed 2^63 at scale —
+        // decimal(38,0) keeps it exact and order-independent (DuckDB's
+        // SUM(BIGINT) auto-promotes to HUGEINT, mirrored by the oracle)
+        sum((c * c).cast("decimal(38,0)")).as("s2"),
         count(lit(1)).as("n"))
       .select(
         col("o_orderstatus"),
