@@ -122,15 +122,21 @@ object Events {
     * Cost is a single shuffle on user_id — survives 100 TB where the naive
     * join blows up on active users.
     */
-  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val markers = Tables.orders(spark, dir).select(
+  def asofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofJoinGeneric(Tables.events(spark, dir), Tables.orders(spark, dir))
+
+  /** Input-generic form of the as-of join (same union-and-sweep plan),
+    * usable on arbitrary event/order frames with the standard schemas.
+    */
+  def asofJoinGeneric(eventsDf: DataFrame, ordersDf: DataFrame): DataFrame = {
+    val markers = ordersDf.select(
       col("o_custkey").as("user_id"),
       unix_micros(col("o_orderdate")).as("t_us"),
       lit(0).as("is_event"),
       lit(null).cast("bigint").as("event_id"),
       col("o_orderkey"),
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
-    val evs = Tables.events(spark, dir).select(
+    val evs = eventsDf.select(
       col("user_id"),
       unix_micros(col("ts")).as("t_us"),
       lit(1).as("is_event"),

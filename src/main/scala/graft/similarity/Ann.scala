@@ -17,10 +17,6 @@ import graft.functions.native
   */
 object Ann {
 
-  private val dot = "aggregate(zip_with(ea, eb, (x, y) -> x*y), cast(0 as double), (a, x) -> a + x)"
-  private val normA = "sqrt(aggregate(ea, cast(0 as double), (a, x) -> a + x*x))"
-  private val normB = "sqrt(aggregate(eb, cast(0 as double), (a, x) -> a + x*x))"
-
   /** Exact top-5 cosine neighbors for each query vector (vec_id < 20),
     * ranked with a unique tie-break. The query side is broadcast; the
     * candidate side streams — one pass over the corpus regardless of scale.
