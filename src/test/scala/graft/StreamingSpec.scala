@@ -84,6 +84,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("windowed agg state survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val input = MemoryStream[Event]
+    def start() = EventStreams.hourlyAgg(input.toDF())
+      .writeStream.format("memory").queryName("restartable")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      input.addData(Event(1, ts(5), 1, "click", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint: the window's running count must resume
+    val q2 = start()
+    try {
+      input.addData(Event(2, ts(10), 2, "click", 1.0))
+      q2.processAllAvailable()
+      val n = spark.table("restartable")
+        .filter($"event_type" === "click" && $"hour_start" === ts(0))
+        .select($"n_events").as[Long].collect()
+      assert(n.toSeq == Seq(2L), s"state lost across restart: $n")
+    } finally q2.stop()
+  }
+
   test("streaming sessionization closes sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
