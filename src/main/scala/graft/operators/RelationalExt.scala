@@ -194,7 +194,64 @@ object RelationalExt {
        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
        |GROUP BY band""".stripMargin
 
+  /** MERGE / SCD1-upsert shape (batch): a deterministic "updates" feed
+    * (every 10th order, price bumped) merged into the base table — matched
+    * rows take the update, unmatched keep the base, insert-only rows
+    * survive. Composed as a full outer join + coalesce, the scalable merge
+    * when the sink has no native MERGE.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    import spark.implicits._
+    val insertOnly = Seq((-1L, 42.0, "U")).toDF("u_key", "u_price", "u_status")
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("u_key"),
+        (col("o_totalprice") + 1.0).as("u_price"), lit("U").as("u_status"))
+      .unionAll(insertOnly)
+    base.join(updates, col("o_orderkey") === col("u_key"), "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("u_key")).as("key"),
+        coalesce(col("u_price"), col("o_totalprice")).as("price"),
+        coalesce(col("u_status"), col("o_orderstatus")).as("status"))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH updates AS (
+      | SELECT o_orderkey AS u_key, o_totalprice + 1.0 AS u_price, 'U' AS u_status
+      | FROM orders WHERE o_orderkey % 10 = 0
+      | UNION ALL SELECT -1, 42.0, 'U')
+      |SELECT COALESCE(o_orderkey, u_key) AS key,
+      | COALESCE(u_price, o_totalprice) AS price,
+      | COALESCE(u_status, o_orderstatus) AS status
+      |FROM orders FULL JOIN updates ON o_orderkey = u_key""".stripMargin
+
+  /** Frequency-sketch family: per-event-type heavy-hitter users via
+    * exact count + rank (the sketch analogue, count-min, is engine-specific
+    * — exact formulation keeps it oracle-checkable).
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("user_id"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("event_type"), col("user_id"), col("n"), col("rnk"))
+  }
+
+  val heavyHittersSql: String =
+    """SELECT event_type, user_id, n, rnk FROM (
+      | SELECT event_type, user_id, COUNT(*) AS n,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY COUNT(*) DESC, user_id) AS rnk
+      | FROM events GROUP BY event_type, user_id) t
+      |WHERE rnk <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert" -> (mergeUpsert _),
+    "q_heavy_hitters" -> (heavyHitters _),
     "q_correlated_scalar" -> (correlatedScalar _),
     "q_range_join" -> (rangeJoin _),
     "q_cube" -> (cubeAgg _),
@@ -209,6 +266,8 @@ object RelationalExt {
     "q_null_handling" -> (nullHandling _))
 
   val oracles: Map[String, String] = Map(
+    "q_merge_upsert" -> mergeUpsertSql,
+    "q_heavy_hitters" -> heavyHittersSql,
     "q_correlated_scalar" -> correlatedScalarSql,
     "q_range_join" -> rangeJoinSql,
     "q_cube" -> cubeAggSql,

@@ -70,6 +70,13 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(!p.contains("Sort "), "heap-based top-k must not sort")
   }
 
+  test("asof join: exactly one hash-partition exchange (union-and-sweep)") {
+    // AQE toString prints Final and Initial plan sections; count only final
+    val p = planOf("q_asof_join").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges in: $p")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     for (q <- Seq("q1_pricing_summary", "q6_revenue_forecast", "ref_aggregation")) {
       // "*(n)" prefixes mark WholeStageCodegen spans in compact plan strings
