@@ -58,11 +58,17 @@ object Curate {
     val near = exact.join(nearDupIds.withColumn("is_near_dup", lit(true)), Seq("doc_id"), "left")
       .withColumn("pass_near", coalesce(col("is_near_dup"), lit(false)) === false)
 
-    // 4. language gate + 5. audit
+    // 4. language gate + 5. audit. `observe` attaches accumulator-backed
+    // metrics to the plan itself — per-batch row/kept counts surface through
+    // QueryExecutionListener (or StreamingQueryProgress) with zero extra
+    // passes over the data.
     near
       .withColumn("pass_lang", col("lang").isin("en", "es", "de", "fr", "zh"))
       .withColumn("kept",
         col("pass_quality") && col("pass_exact") && col("pass_near") && col("pass_lang"))
+      .observe("curate_metrics",
+        count(lit(1)).as("rows_seen"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("rows_kept"))
       .groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -40,6 +40,31 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("PartitionFilters: \\[.*lang#\\d+ = en".r.findFirstIn(scan).isDefined, scan)
   }
 
+  test("curate pipeline exposes observed metrics") {
+    import scala.collection.mutable
+    val seen = mutable.Map.empty[String, Long]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        qe.observedMetrics.get("curate_metrics").foreach { row =>
+          seen("rows_seen") = row.getAs[Long]("rows_seen")
+          seen("rows_kept") = row.getAs[Long]("rows_kept")
+        }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      pipeline.Curate.run(spark, sf).collect()
+      // listener fires asynchronously; poll briefly
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seen.get("rows_seen").contains(Tables.documents(spark, sf).count()))
+      assert(seen("rows_kept") <= seen("rows_seen"))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("dedup clusters group exact duplicates together") {
     import spark.implicits._
     val c = dedup.Dedup.clusters(spark, sf)
