@@ -17,6 +17,8 @@ object TopK {
 
   def perKey(df: DataFrame, keys: Seq[String],
       order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(k > 0, s"top-k requires k > 0, got $k")
+    require(order.nonEmpty, "top-k requires at least one ordering column")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy

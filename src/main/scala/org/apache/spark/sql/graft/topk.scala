@@ -54,6 +54,7 @@ case class TopKPerKeyExec(
     else ClusteredDistribution(groupingKeys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
+    require(k > 0, s"TopKPerKeyExec requires k > 0, got $k")
     val kLocal = k
     val keyExprs = groupingKeys
     val ordSeq = ordering
