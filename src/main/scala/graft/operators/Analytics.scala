@@ -98,7 +98,7 @@ object Analytics {
       lag(col("o_orderkey"), 1).over(w).as("prev_order"),
       lead(col("o_orderkey"), 1).over(w).as("next_order"),
       first(col("o_orderkey")).over(wf).as("first_order"),
-      rank().over(w).as("order_seq"))
+      rank().over(w).cast("bigint").as("order_seq"))
   }
 
   val windowFuncsSql: String =

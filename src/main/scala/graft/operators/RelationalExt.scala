@@ -237,7 +237,7 @@ object RelationalExt {
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("n").desc, col("user_id"))
-    counts.withColumn("rnk", row_number().over(w))
+    counts.withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= 3)
       .select(col("event_type"), col("user_id"), col("n"), col("rnk"))
   }

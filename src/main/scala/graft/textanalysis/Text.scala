@@ -109,7 +109,39 @@ object Text {
       col("doc_id"),
       graft.functions.native.rollingHash(col("text")).as("fp64"))
 
+  /** Top terms per document by tf/df ratio (TF-IDF shape) — scored in
+    * exact integer arithmetic ((tf*1e6) div df) so the ranking is
+    * oracle-checkable; a float idf=ln(N/df) would differ across libm
+    * implementations.
+    */
+  def topTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(expr("(tf * 1000000) div df").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
+  }
+
+  val topTermsSql: String =
+    """WITH tokens AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+      |SELECT doc_id, term, tf, df, rnk FROM (
+      | SELECT t.doc_id, t.term, t.tf, d.df,
+      |  ROW_NUMBER() OVER (PARTITION BY t.doc_id
+      |    ORDER BY (t.tf*1000000)//d.df DESC, t.term) AS rnk
+      | FROM tf t JOIN df d USING (term)) x
+      |WHERE rnk <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_top_terms" -> (topTerms _),
     "text_stats" -> (stats _),
     "text_quality" -> (quality _),
     "text_lang_id" -> (langId _),
@@ -117,6 +149,7 @@ object Text {
     "text_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_top_terms" -> topTermsSql,
     "text_stats" -> statsSql,
     "text_quality" -> qualitySql,
     "text_fingerprint_md5" -> fingerprintMd5Sql)
