@@ -26,5 +26,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ RelationalExt.oracles ++ Analytics.oracles ++ TopK.oracles ++ Events.oracles ++ Text.oracles ++ Dedup.oracles ++
-      Ann.oracles
+      Ann.oracles ++ Blobs.oracles
 }

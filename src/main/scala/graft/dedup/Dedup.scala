@@ -19,16 +19,19 @@ import graft.functions.native
   */
 object Dedup {
 
-  /** Exact dedup via full-content group-by: keeper = min doc_id. */
+  /** Exact dedup via content-hash group-by: keeper = min doc_id. The
+    * group/exchange key is the 128-bit md5, NOT the text itself — at corpus
+    * scale the shuffle ships (hash, doc_id) pairs, never document bodies.
+    */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(col("text"))
+      .select(md5(col("text")).as("content_hash"), col("doc_id"))
+      .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
-      .select(md5(col("text")).as("content_hash"), col("keeper_id"), col("n_copies"))
 
   val exactSql: String =
     """SELECT MD5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
-      |FROM documents GROUP BY text""".stripMargin
+      |FROM documents GROUP BY 1""".stripMargin
 
   /** Exact dedup, window formulation — emits the kept rows themselves
     * (row_number over the content hash), the shape used when the full row

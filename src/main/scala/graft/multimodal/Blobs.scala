@@ -25,12 +25,16 @@ object Blobs {
     * codec (e.g. JNI image lib) in production; signature stays identical.
     */
   private def fakeDecode(id: Long, bytes: Array[Byte]): BlobMeta = {
-    val w = 64 + (((bytes(0) & 0xff) << 8 | (bytes(1) & 0xff)) % 960)
-    val h = 64 + (((bytes(2) & 0xff) << 8 | (bytes(3) & 0xff)) % 960)
+    // payloads shorter than the 4-byte "header" decode to a default frame;
+    // empty payloads get mean 0 (no divide-by-zero)
+    def b(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else 0
+    val w = 64 + ((b(0) << 8 | b(1)) % 960)
+    val h = 64 + ((b(2) << 8 | b(3)) % 960)
     var s = 0L
     var i = 0
     while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
-    BlobMeta(id, bytes.length, w, h, 3, s.toDouble / bytes.length)
+    val mean = if (bytes.length == 0) 0.0 else s.toDouble / bytes.length
+    BlobMeta(id, bytes.length, w, h, 3, mean)
   }
 
   /** Binary decode + feature extraction over partition-local batches.
@@ -87,10 +91,58 @@ object Blobs {
       .toDF("doc_id", "embedding")
   }
 
+  /** Driver-verifiable view of `embed`: one row per (doc, dim) with the raw
+    * histogram count (exact integer) and the L2-normalized weight rounded to
+    * 6 decimals — scalar sortable columns, fully recomputable in ANSI SQL
+    * (the payloads are ASCII, so byte == ord(char)). Division — not
+    * multiply-by-reciprocal — to match the oracle's IEEE op sequence.
+    */
+  def embedExploded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val h = new Array[Long](16)
+        var i = 0
+        while (i < bytes.length) { h((bytes(i) & 0xff) % 16) += 1L; i += 1 }
+        var n = 0.0
+        var j = 0
+        while (j < 16) { n += h(j).toDouble * h(j); j += 1 }
+        val nrm = math.sqrt(n)
+        (0 until 16).map { d =>
+          val w = if (nrm == 0) 0.0 else h(d) / nrm
+          (id, d.toLong, h(d), w)
+        }
+      })
+      .toDF("doc_id", "dim", "cnt", "weight")
+      .withColumn("weight", round(col("weight"), 6))
+  }
+
+  val embedExplodedSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, ord(u.ch) % 16 AS dim
+      |  FROM documents, unnest(string_split(text, '')) AS u(ch)
+      |), h AS (
+      |  SELECT doc_id, dim, count(*) AS cnt FROM c GROUP BY 1, 2
+      |), dims AS (
+      |  SELECT d.doc_id, r.range AS dim
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d CROSS JOIN range(16) r
+      |), f AS (
+      |  SELECT dims.doc_id, CAST(dims.dim AS BIGINT) AS dim,
+      |         CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt
+      |  FROM dims LEFT JOIN h ON dims.doc_id = h.doc_id AND dims.dim = h.dim
+      |)
+      |SELECT doc_id, dim, cnt,
+      |  round(CASE WHEN nrm = 0 THEN 0.0 ELSE cnt / nrm END, 6) AS weight
+      |FROM (SELECT doc_id, dim, cnt,
+      |        sqrt(sum(cnt*cnt) OVER (PARTITION BY doc_id)) AS nrm FROM f) t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_embed" -> (embed _),
+    "mm_embed" -> (embedExploded _),
     "mm_decode_stats" -> (decodeStats _),
     "mm_frame_sample" -> (frameSample _))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "mm_embed" -> embedExplodedSql)
 }

@@ -111,12 +111,48 @@ object Analytics {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
-  /** NTILE — quartile assignment with a unique global ordering. */
+  /** NTILE — quartile assignment with a unique global ordering.
+    *
+    * NOT `ntile(4).over(Window.orderBy(...))`: an unpartitioned window
+    * funnels the whole table through one task. Instead, exact two-pass:
+    * (1) range-partition the (price, key) pairs, count rows per partition
+    * (tiny driver collect), locate the 3 exact NTILE cut ranks, and fetch
+    * just those 3 rows with targeted single-partition jobs; (2) broadcast
+    * the cut pairs and assign buckets with a codegen'd struct comparison —
+    * the main pass is scan + project with NO exchange at all. The unique
+    * (o_totalprice, o_orderkey) ordering makes rank cut-offs exact.
+    */
   def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(spark, dir).select(
+    import spark.implicits._
+    val base = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    // pass 1 over (price, key) pairs only — a few % of the table's bytes
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = base
+      .select(col("o_totalprice"), col("o_orderkey"))
+      .repartitionByRange(parts, col("o_totalprice"), col("o_orderkey"))
+      .sortWithinPartitions(col("o_totalprice"), col("o_orderkey"))
+      .as[(Double, Long)]
+    val rdd = ranged.rdd // shuffle map stage runs once; later jobs reuse it
+    val counts = rdd.mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _) // offsets(pid) = rows before pid
+    val n = offsets.last
+    if (n == 0) return base.withColumn("quartile", lit(1L)).limit(0)
+    val q = n / 4
+    val rem = n % 4
+    // cut rank i = size of first i buckets (first `rem` buckets get q+1 rows)
+    val cutRanks = (1 to 3).map(i => i * q + math.min(i, rem))
+    val sc = spark.sparkContext
+    val cutPairs: Seq[(Double, Long)] = cutRanks.map { rank =>
+      val pid = offsets.indexWhere(_ >= rank) - 1 // offsets(pid) < rank <= offsets(pid+1)
+      val local = (rank - offsets(pid)).toInt
+      sc.runJob(rdd, (it: Iterator[(Double, Long)]) => it.drop(local - 1).next(), Seq(pid)).head
+    }
+    val pair = struct(col("o_totalprice"), col("o_orderkey"))
+    val above = cutPairs.map(c => (pair > struct(lit(c._1), lit(c._2))).cast("long"))
+    base.select(
       col("o_orderkey"), col("o_totalprice"),
-      ntile(4).over(w).cast("bigint").as("quartile"))
+      (lit(1L) + above.reduce(_ + _)).as("quartile"))
   }
 
   val ntileQuartilesSql: String =

@@ -18,6 +18,8 @@ object TopK {
   def perKey(df: DataFrame, keys: Seq[String],
       order: Seq[(String, Boolean)], k: Int): DataFrame = {
     require(k > 0, s"top-k requires k > 0, got $k")
+    require(keys.nonEmpty,
+      "per-key top-k requires grouping keys; for a global top-k use orderBy(...).limit(k)")
     require(order.nonEmpty, "top-k requires at least one ordering column")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {

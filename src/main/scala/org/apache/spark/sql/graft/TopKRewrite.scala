@@ -35,7 +35,11 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
         if w.windowOutputSet.size == 1 =>
       val rnAttr = w.windowOutputSet.head
       limitFromCondition(cond, rnAttr) match {
-        case Some(k) if k > 0 && !AttributeSet(projectList).contains(rnAttr) =>
+        // partitionSpec must be non-empty: a global `row_number() <= k` needs
+        // AllTuples semantics that the heap operator's per-key exchange does
+        // not provide — leave that shape to Spark's sort+limit planning.
+        case Some(k) if k > 0 && partitionSpec.nonEmpty &&
+            !AttributeSet(projectList).contains(rnAttr) =>
           val child = unwrapGroupLimit(wChild)
           Project(projectList, TopKPerKeyNode(partitionSpec, orderSpec, k, child))
         case _ => p

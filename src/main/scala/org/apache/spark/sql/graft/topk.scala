@@ -6,7 +6,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
@@ -49,8 +49,11 @@ case class TopKPerKeyExec(
 
   override def output: Seq[Attribute] = child.output
 
+  // Empty keys = GLOBAL top-k: every row must reach one task or each
+  // partition would emit its own k rows (matching WindowExec's contract).
+  // The per-key path only needs co-location of equal keys.
   override def requiredChildDistribution: Seq[Distribution] =
-    if (groupingKeys.isEmpty) UnspecifiedDistribution :: Nil
+    if (groupingKeys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupingKeys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {

@@ -116,6 +116,35 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().map(_.toSeq).toSet == viaWindow)
   }
 
+  test("global row_number top-k is NOT rewritten and stays globally correct") {
+    import org.apache.spark.sql.expressions.Window
+    // No partitionBy: `row_number() OVER (ORDER BY ...) <= 5` must return
+    // exactly 5 rows total, never 5 per partition. The rewrite rule must
+    // leave this shape alone (TopKPerKey's per-key exchange can't satisfy it).
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = Tables.orders(spark, "/root/testdata/sf0.001")
+      .repartition(8)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("TopKPerKey"), plan)
+    val rows = df.collect()
+    assert(rows.length == 5, s"expected global top-5, got ${rows.length} rows")
+    val expected = Tables.orders(spark, "/root/testdata/sf0.001")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(5).collect().map(_.toSeq).toSet
+    assert(rows.map(_.toSeq).toSet == expected)
+  }
+
+  test("TopK.perKey rejects empty grouping keys") {
+    val df = Tables.orders(spark, "/root/testdata/sf0.001")
+    intercept[IllegalArgumentException] {
+      graft.operators.TopK.perKey(df, Seq.empty, Seq("o_totalprice" -> true), 3)
+    }
+  }
+
   test("codegen path produces same results as interpreted eval") {
     import spark.implicits._
     // force both paths: wholestage on (default) vs off
