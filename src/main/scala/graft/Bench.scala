@@ -1,38 +1,114 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+/** Benchmark main. One JSON line on stdout:
+  * {"metric":"total","value":S,"unit":"sec","queries":{min per query},
+  *  "stddev":{...},"samples":3,"failed":[names],"concurrent":{...},
+  *  "throughput":{...},"sf":dir}
+  *
+  * Honesty rules (round-2 verdict): a query that throws is recorded in
+  * `failed` and excluded from `queries`/total — never timed. Queries are
+  * isolated (cache cleared between runs) so one operator's persisted blocks
+  * can't contaminate another's timing; each query reports min AND stddev
+  * over 3 samples so jitter is visible instead of silently folded in.
+  *
+  * `concurrent` mirrors the reference's headline mode — N simultaneous
+  * streams of the same plan on one session under FAIR scheduling
+  * (/root/reference/benches/query.rs:60-76); `throughput` mirrors its
+  * repeated-scan rows/s harness (/root/reference/src/main.rs:59-123).
+  */
 object Bench {
+  private val Samples = 3
+  private val ConcurrentStreams = 12
+  private val ScanIterations = 5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.tune(
         SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
     // noop sink materializes every column (count() would let Catalyst prune
     // the whole projection for scan-shaped queries)
-    def runOnce(name: String): Double = {
+    def runOnce(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val r = try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
       }
-      (System.nanoTime() - t0) / 1e9
+      // isolation: no persisted blocks or temp views leak into the next query
+      spark.catalog.clearCache()
+      r
     }
-    // steady-state timing (min of 2, third sample for sub-second queries
-    // where scheduler/GC jitter dominates) — mirrors the reference's
-    // criterion methodology (benches/query.rs: sample_size(10), warmed runs)
-    def run(name: String): Double = {
-      val m = math.min(runOnce(name), runOnce(name))
-      if (m < 1.0) math.min(m, runOnce(name)) else m
-    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     runOnce(names.head) // warm-up: first-job/codegen/scan-index init
-    val results = names.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val samples: Seq[(String, Seq[Double], Option[String])] = names.map { n =>
+      val rs = (1 to Samples).map(_ => runOnce(n))
+      (n, rs.collect { case Right(t) => t }, rs.collectFirst { case Left(m) => m })
+    }
+    val failed = samples.collect { case (n, ts, Some(err)) if ts.isEmpty => (n, err) }
+    val ok = samples.filter(_._2.nonEmpty)
+    def stddev(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.size)
+    }
+
+    // concurrent streams of the reference's own three plans
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(ConcurrentStreams))
+    def runConcurrent(name: String): Either[String, Double] = {
+      val t0 = System.nanoTime()
+      val fs = (1 to ConcurrentStreams).map { i =>
+        Future {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"bench-$i")
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      try {
+        Await.result(Future.sequence(fs), Duration.Inf)
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] concurrent $name FAILED: ${e.getMessage}")
+        Left(String.valueOf(e.getMessage).take(160))
+      } finally spark.catalog.clearCache()
+    }
+    val refNames = names.filter(_.startsWith("ref_"))
+    val concurrent = refNames.map(n => n -> runConcurrent(n))
+
+    // repeated-scan throughput: rows/s over back-to-back full scans
+    val scanRows = SparkEntry.queries("ref_full_scan")(spark, sfDir).count()
+    val scanTimes = (1 to ScanIterations).flatMap(_ => runOnce("ref_full_scan").toOption)
+    val rowsPerSec = if (scanTimes.isEmpty) 0.0 else scanRows / scanTimes.min
+
+    def jnum(d: Double): String = if (d.isNaN || d.isInfinite) "0" else d.toString
+    def jmap(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(ok.map { case (n, ts, _) => n -> jnum(ts.min) })
+    val sd = jmap(ok.map { case (n, ts, _) => n -> jnum(stddev(ts)) })
+    val fl = failed.map { case (n, m) => "\"" + n + "\"" }.mkString("[", ",", "]")
+    val flDetail = jmap(failed.map { case (n, m) =>
+      n -> ("\"" + m.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ") + "\"") })
+    val cc = jmap(concurrent.map {
+      case (n, Right(t)) => n -> jnum(t)
+      case (n, Left(_))  => n -> "-1"
+    })
+    val tp = jmap(Seq(
+      "scan_rows" -> scanRows.toString,
+      "iterations" -> ScanIterations.toString,
+      "rows_per_sec" -> jnum(rowsPerSec)))
+    val total = ok.map(_._2.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stddev":$sd,"samples":$Samples,"failed":$fl,"failed_detail":$flDetail,"concurrent_x$ConcurrentStreams":$cc,"throughput":$tp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,17 +20,19 @@ import graft.functions.native
 object Dedup {
 
   /** Exact dedup via content-hash group-by: keeper = min doc_id. The
-    * group/exchange key is the 128-bit md5, NOT the text itself — at corpus
-    * scale the shuffle ships (hash, doc_id) pairs, never document bodies.
+    * group/exchange key is the 256-bit sha2 — collision-resistant, so an
+    * adversarial corpus can't engineer silent merges (md5 is
+    * collision-broken) — NOT the text itself: at corpus scale the shuffle
+    * ships (hash, doc_id) pairs, never document bodies.
     */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(md5(col("text")).as("content_hash"), col("doc_id"))
+      .select(sha2(col("text"), 256).as("content_hash"), col("doc_id"))
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   val exactSql: String =
-    """SELECT MD5(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    """SELECT SHA256(text) AS content_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
   /** Exact dedup, window formulation — emits the kept rows themselves
@@ -40,7 +42,7 @@ object Dedup {
   def exactHash(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
     Tables.documents(spark, dir)
-      .withColumn("content_hash", md5(col("text")))
+      .withColumn("content_hash", sha2(col("text"), 256))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("content_hash"))
@@ -48,8 +50,8 @@ object Dedup {
 
   val exactHashSql: String =
     """SELECT doc_id, content_hash FROM (
-      | SELECT doc_id, MD5(text) AS content_hash,
-      |  ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn
+      | SELECT doc_id, SHA256(text) AS content_hash,
+      |  ROW_NUMBER() OVER (PARTITION BY SHA256(text) ORDER BY doc_id) AS rn
       | FROM documents) t WHERE rn = 1""".stripMargin
 
   /** Word-3gram shingles, distinct, as an array column (no explode: the
@@ -185,16 +187,47 @@ object Dedup {
       .select(col("doc_id"), col("cand_id").as("dup_candidate"), col("jaccard"))
   }
 
-  /** Embedding near-dup pairs: cosine ≥ 0.4, exact brute force over the
-    * id-ordered pair space (oracle-checkable). The LSH-bucketed scale path
-    * is `graft.similarity.Ann.topkLsh`.
+  /** Embedding near-dup pairs: cosine ≥ 0.4, found via random-hyperplane
+    * LSH candidate generation + exact cosine verification — no all-pairs
+    * join anywhere in the plan, so the operator survives corpus scale while
+    * the exact verify keeps it oracle-checkable.
+    *
+    * Parameter choice: τ = 0.4 is a low-selectivity regime (per-hyperplane
+    * collision prob for a pair exactly at τ is 1 − arccos(0.4)/π ≈ 0.63),
+    * so recall comes from many NARROW bands: 2 planes × 24 tables gives a
+    * per-pair miss probability of (1 − 0.63²)²⁴ ≈ 5e-6. Buckets per table =
+    * 2^planes; at larger corpora raise `planesPerTable` (bucket count grows
+    * 2^b) and `nTables` together — the standard recall/cost dial. Fixed
+    * seed keeps the plan deterministic.
     */
   def embedding(spark: SparkSession, dir: String): DataFrame = {
+    val nTables = 24
+    val planesPerTable = 2
+    val rng = new scala.util.Random(7)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(nTables * planesPerTable)(Seq.fill(64)(rng.nextGaussian()))
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    e.select(col("vec_id").as("vec_a"), col("emb").as("ea")).join(
-        e.select(col("vec_id").as("vec_b"), col("emb").as("eb")),
-        col("vec_a") < col("vec_b"))
+    val buckets = e
+      .withColumn("planes", typedlit(planes))
+      .withColumn("tb", explode(expr(
+        s"""transform(sequence(0, ${nTables - 1}), t -> named_struct('table_id', t,
+           | 'bucket', aggregate(sequence(0, ${planesPerTable - 1}), cast(0 as bigint), (acc, j) -> acc +
+           |   if(aggregate(zip_with(emb, planes[t*$planesPerTable + j], (x, y) -> x*y),
+           |      cast(0 as double), (a, x) -> a + x) > 0,
+           |      shiftleft(cast(1 as bigint), j), cast(0 as bigint)))))""".stripMargin)))
+      .select(col("vec_id"), col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+    // bucket-local candidate ids (shuffle key = (table, bucket)), dedup'd
+    // BEFORE the embeddings are re-attached so each unique pair ships its
+    // two vectors exactly once into the exact-cosine verify
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.table_id") === col("b.table_id") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("emb").as("ea")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("emb").as("eb")), "vec_b")
       .withColumn("cos", native.cosineSim(col("ea"), col("eb")))
       .filter(col("cos") >= 0.4)
       .select(col("vec_a"), col("vec_b"))
@@ -205,39 +238,59 @@ object Dedup {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin
 
+  /** Connected components over an undirected edge set via min-label
+    * propagation to a FIXPOINT: each round is one shuffle on the vertex id;
+    * the loop stops when no label shrank (counted on the already-checkpointed
+    * round result, so the convergence check is a cheap local scan, not a
+    * recompute) or at `maxRounds` — a diverging input fails loudly instead of
+    * silently under-merging. localCheckpoint truncates the growing lineage.
+    *
+    * vertices: one column `doc_id`; edges: `id_a`, `id_b` (any direction).
+    */
+  private[graft] def connectedComponents(
+      vertices: DataFrame, edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val bidir = edges.select(col("id_a"), col("id_b"))
+      .unionAll(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val neighborMin = bidir.join(labels, col("id_b") === col("doc_id"))
+        .groupBy(col("id_a")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.withColumnRenamed("label", "prev")
+        .join(neighborMin, col("doc_id") === col("id_a"), "left")
+        .select(col("doc_id"), col("prev"),
+          least(col("prev"), coalesce(col("nbr_label"), col("prev"))).as("label"))
+        .localCheckpoint() // eager: materializes the round once
+      changed = next.filter(col("label") < col("prev")).count()
+      labels = next.select(col("doc_id"), col("label"))
+      round += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxRounds rounds")
+    labels
+  }
+
   /** Duplicate clusters: connected components over the near-dup pair graph
     * (exact-hash pairs ∪ MinHash-verified pairs with Jaccard ≥ 0.8) via
-    * iterative min-label propagation. The loop count is O(log(cluster
-    * diameter)) — a handful of joins — independent of data size; each
-    * iteration is one shuffle on doc_id. Output: every doc with its cluster
-    * representative (min doc_id in the component) and the cluster size.
+    * min-label propagation to fixpoint (see [[connectedComponents]]).
+    * Output: every doc with its cluster representative (min doc_id in the
+    * component) and the cluster size.
     */
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val exactPairs = docs.select(col("doc_id"), md5(col("text")).as("h")).as("a")
-      .join(docs.select(col("doc_id"), md5(col("text")).as("h")).as("b"),
+    val exactPairs = docs.select(col("doc_id"), sha2(col("text"), 256).as("h")).as("a")
+      .join(docs.select(col("doc_id"), sha2(col("text"), 256).as("h")).as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     val nearPairs = minhashLsh(spark, dir)
       .filter(col("jaccard") >= 0.8 && col("doc_id") < col("dup_candidate"))
       .select(col("doc_id").as("id_a"), col("dup_candidate").as("id_b"))
     val edges = exactPairs.unionAll(nearPairs).distinct()
-    val bidir = edges.unionAll(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
-    // Fixed iteration count instead of a per-iteration convergence job:
-    // min-label propagation needs `diameter` rounds and near-dup clusters
-    // are shallow (pairwise similarity is near-transitive), so 5 rounds
-    // covers diameter ≤ 5 and each round is exactly one shuffle — no extra
-    // count() actions. localCheckpoint truncates the growing lineage.
-    for (_ <- 0 until 5) {
-      val neighborMin = bidir.join(labels, col("id_b") === col("doc_id"))
-        .groupBy(col("id_a")).agg(min(col("label")).as("nbr_label"))
-      labels = labels.join(neighborMin, col("doc_id") === col("id_a"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
-    }
+    val labels = connectedComponents(docs.select(col("doc_id")), edges)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))

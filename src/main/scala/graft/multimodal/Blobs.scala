@@ -93,19 +93,26 @@ object Blobs {
 
   /** Driver-verifiable view of `embed`: one row per (doc, dim) with the raw
     * histogram count (exact integer) and the L2-normalized weight rounded to
-    * 6 decimals — scalar sortable columns, fully recomputable in ANSI SQL
-    * (the payloads are ASCII, so byte == ord(char)). Division — not
+    * 6 decimals — scalar sortable columns, fully recomputable in ANSI SQL.
+    * The histogram is over Unicode CODEPOINTS (`String.codePoints`), exactly
+    * what the oracle's per-character ord() computes — so parity holds for
+    * non-ASCII text too, where UTF-8 bytes would diverge (one multi-byte
+    * char = several bytes but one codepoint). Division — not
     * multiply-by-reciprocal — to match the oracle's IEEE op sequence.
     */
-  def embedExploded(spark: SparkSession, dir: String): DataFrame = {
+  def embedExploded(spark: SparkSession, dir: String): DataFrame =
+    embedExplodedOf(spark, Tables.documents(spark, dir))
+
+  private[graft] def embedExplodedOf(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) =>
+    docs
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
         val h = new Array[Long](16)
-        var i = 0
-        while (i < bytes.length) { h((bytes(i) & 0xff) % 16) += 1L; i += 1 }
+        val cps = text.codePoints().iterator()
+        while (cps.hasNext) h(cps.nextInt() % 16) += 1L
         var n = 0.0
         var j = 0
         while (j < 16) { n += h(j).toDouble * h(j); j += 1 }

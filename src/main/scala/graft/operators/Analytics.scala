@@ -121,14 +121,20 @@ object Analytics {
     * the cut pairs and assign buckets with a codegen'd struct comparison —
     * the main pass is scan + project with NO exchange at all. The unique
     * (o_totalprice, o_orderkey) ordering makes rank cut-offs exact.
+    *
+    * NOTE: pass 1 executes eagerly (a collect of per-partition counts plus
+    * three targeted single-partition fetches) at DataFrame-construction
+    * time; the returned frame is the exchange-free pass 2.
     */
   def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
-    // pass 1 over (price, key) pairs only — a few % of the table's bytes
+    // pass 1 over (price, key) pairs only — a few % of the table's bytes.
+    // Explicit casts pin the row shape to the (Double, Long) encoder even if
+    // the source column is ever widened to decimal.
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = base
-      .select(col("o_totalprice"), col("o_orderkey"))
+      .select(col("o_totalprice").cast("double"), col("o_orderkey").cast("long"))
       .repartitionByRange(parts, col("o_totalprice"), col("o_orderkey"))
       .sortWithinPartitions(col("o_totalprice"), col("o_orderkey"))
       .as[(Double, Long)]
@@ -146,7 +152,14 @@ object Analytics {
     val cutPairs: Seq[(Double, Long)] = cutRanks.map { rank =>
       val pid = offsets.indexWhere(_ >= rank) - 1 // offsets(pid) < rank <= offsets(pid+1)
       val local = (rank - offsets(pid)).toInt
-      sc.runJob(rdd, (it: Iterator[(Double, Long)]) => it.drop(local - 1).next(), Seq(pid)).head
+      // hasNext before next(): codegen'd iterators (BufferedRowIterator)
+      // only materialize the next row inside hasNext, so a bare next()
+      // throws NoSuchElementException even mid-partition.
+      sc.runJob(rdd, (it: Iterator[(Double, Long)]) => {
+        val at = it.drop(local - 1)
+        require(at.hasNext, s"cut rank $rank: partition $pid shorter than counted")
+        at.next()
+      }, Seq(pid)).head
     }
     val pair = struct(col("o_totalprice"), col("o_orderkey"))
     val above = cutPairs.map(c => (pair > struct(lit(c._1), lit(c._2))).cast("long"))

@@ -48,9 +48,13 @@ object Curate {
       .select(col("doc_id"), col("sig"), col("gh"))
     val bands = shingled.select(col("doc_id"), col("gh"), explode(expr(
       """transform(sequence(0, 15),
-        |  b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))""".stripMargin)).as("bh"))
+        |  b -> named_struct('band', b, 'bh', xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3])))""".stripMargin)).as("bb"))
+      .select(col("doc_id"), col("gh"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // candidate key = (band index, band hash) — same key as Dedup.minhashLsh;
+    // hash-only would admit spurious cross-band collisions into the verify
     val nearDupIds = bands.as("a").join(bands.as("b"),
-        col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
       .withColumn("inter", native.sortedIntersectCount(col("a.gh"), col("b.gh")))
       .filter(col("inter").cast("double") /
         (size(col("a.gh")) + size(col("b.gh")) - col("inter")) >= 0.8)

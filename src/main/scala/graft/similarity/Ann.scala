@@ -45,17 +45,21 @@ object Ann {
       | WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id) t
       |WHERE rank <= 5""".stripMargin
 
-  /** Random-hyperplane LSH ANN: L=4 hash tables × 6 Gaussian hyperplanes
-    * (seed 42) → 64 buckets per table; a query probes its bucket in every
+  /** Random-hyperplane LSH ANN: L=8 hash tables × 4 Gaussian hyperplanes
+    * (seed 42) → 16 buckets per table; a query probes its bucket in every
     * table and candidates are unioned — the standard recall/cost dial
-    * (more tables = higher recall). The shuffle key is (table, bucket); at
-    * 100 TB the bucketed layout is what you persist so probes become
-    * co-located joins. Approximate by construction — rows-only check.
+    * (more tables = higher recall, more planes = smaller buckets). Sized
+    * for measured recall@3 ≥ 0.7 against the exact baseline (DedupAnnSpec):
+    * this corpus's true neighbors sit near cos 0.5, i.e. per-plane collision
+    * ≈ 0.67, so expected recall = 1−(1−0.67⁴)⁸ ≈ 0.83. The shuffle key is
+    * (table, bucket); at 100 TB the bucketed layout is what you persist so
+    * probes become co-located joins. Approximate by construction —
+    * rows-only driver check, recall-asserted in tests.
     */
   def topkLsh(spark: SparkSession, dir: String): DataFrame = {
     val rng = new scala.util.Random(42)
-    val nTables = 4
-    val planesPerTable = 6
+    val nTables = 8
+    val planesPerTable = 4
     val planes: Seq[Seq[Double]] =
       Seq.fill(nTables * planesPerTable)(Seq.fill(64)(rng.nextGaussian()))
     val e = Tables.embeddings(spark, dir)
@@ -85,29 +89,50 @@ object Ann {
   }
 
   /** IVF-style ANN: a coarse quantizer (MLlib KMeans, fixed seed) assigns
-    * every vector to one of 16 cells; a query probes only its own cell.
-    * The inverted-file layout is the persistable scale path (partition or
-    * bucket the corpus by cell id); recall is tuned by probing more cells.
+    * every vector to one of 16 cells; a query probes its `nProbe` nearest
+    * cells (multi-probe — the standard IVF recall dial; nProbe=6 measures
+    * recall@3 ≥ 0.7 on this corpus in DedupAnnSpec). The inverted-file
+    * layout is the persistable scale path (partition or bucket the corpus
+    * by cell id); the centroid table is tiny and rides along as a literal.
     * Model values are engine/partitioning-specific → rows-only check.
     */
   def topkIvf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val k = 16
+    val nProbe = 6
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("features", array_to_vector(col("emb")))
-      .cache()
-    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(10).fit(e)
+    // cache scoped to the iterative KMeans fit only: unpersist immediately
+    // after so no blocks leak into the shared session (the downstream query
+    // re-reads parquet once — cheaper than leaving dead blocks resident)
+    e.persist()
+    val model = try new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(e)
+      finally e.unpersist(blocking = false)
+    val centroids: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
     val cells = model.transform(e).select(col("vec_id"), col("emb"), col("prediction").as("cell"))
+    // multi-probe: rank the query's distance to every centroid (k rows per
+    // query — driver-free, the centroid list is a broadcast-sized literal)
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
     val q = cells.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("emb").as("ea"), col("cell"))
+      .select(col("vec_id").as("query_id"), col("emb").as("ea"))
+      .withColumn("cents", typedlit(centroids))
+      .withColumn("pc", explode(expr(
+        s"""transform(sequence(0, ${k - 1}), c -> named_struct('cell', c,
+           | 'dist', aggregate(zip_with(ea, cents[c], (x, y) -> (x-y)*(x-y)),
+           |   cast(0 as double), (a, x) -> a + x)))""".stripMargin)))
+      .select(col("query_id"), col("ea"), col("pc.cell").as("cell"), col("pc.dist").as("dist"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("ea"), col("cell"))
     val c = cells.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"), col("cell"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     q.join(c, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", native.cosineSim(col("ea"), col("eb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .select(col("query_id"), col("cell"), col("neighbor_id"), col("rank"), col("cos"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

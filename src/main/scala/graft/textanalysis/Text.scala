@@ -65,34 +65,55 @@ object Text {
        |FROM documents""".stripMargin
   }
 
-  /** Heuristic language ID — stopword hits per language + a CJK-codepoint
-    * signal, argmax via struct-ordered GREATEST. Pure codegen'd builtins;
-    * rows-only check (not expressible as portable SQL).
+  private val stopwords = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "un", "una", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "人", "这"))
+
+  // diacritic character classes that discriminate the Latin-script languages
+  private val diacritics = Map(
+    "es" -> "[ñ¿¡áíóú]", "de" -> "[äöüß]", "fr" -> "[çêâàùèëîïôœ]")
+
+  // zero-signal tie-break = corpus prior (most common language wins a tie);
+  // the struct argmax compares (score, prior) before the lang string
+  private val prior = Map("en" -> 5, "es" -> 4, "fr" -> 3, "de" -> 2, "zh" -> 1)
+
+  /** Adds `pred_lang` to any frame with a `text` column: stopword hits per
+    * language + a diacritic signal for es/de/fr + a CJK-codepoint signal for
+    * zh, argmax via struct-ordered GREATEST. Pure codegen'd builtins.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val stopwords = Map(
-      "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
-      "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "un", "una", "es"),
-      "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit", "den"),
-      "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"),
-      "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "人", "这"))
-    val base = Tables.documents(spark, dir)
-      .withColumn("words", split(col("text"), " "))
-    val scored = stopwords.foldLeft(base) { case (df, (lang, sw)) =>
+  private[graft] def classify(df: DataFrame): DataFrame = {
+    val base = df.withColumn("words", split(col("text"), " "))
+    val scored = stopwords.foldLeft(base) { case (d, (lang, sw)) =>
       val inList = sw.map(w => s"'$w'").mkString(", ")
-      df.withColumn(s"score_$lang",
-        expr(s"size(filter(words, w -> w IN ($inList)))")
-          + (if (lang == "zh")
-               length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", ""))
-             else lit(0)))
+      val hits = expr(s"size(filter(words, w -> w IN ($inList)))")
+      val extra =
+        if (lang == "zh")
+          length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")) * 2
+        else diacritics.get(lang)
+          .map(re => length(col("text")) - length(regexp_replace(col("text"), re, "")))
+          .getOrElse(lit(0))
+      d.withColumn(s"score_$lang", hits + extra)
     }
-    val candidates = stopwords.keys.toSeq.sorted
-      .map(l => struct(col(s"score_$l").as("score"), lit(l).as("lang")))
-    scored.select(
-      col("doc_id"),
-      greatest(candidates: _*).getField("lang").as("pred_lang"),
-      col("lang").as("labeled_lang"))
+    val candidates = stopwords.keys.toSeq.sorted.map(l =>
+      struct(col(s"score_$l").as("score"), lit(prior(l)).as("prior"), lit(l).as("lang")))
+    scored
+      .withColumn("pred_lang", greatest(candidates: _*).getField("lang"))
+      .drop("words" +: stopwords.keys.toSeq.map("score_" + _): _*)
   }
+
+  /** Heuristic language ID over `documents`; rows-only check (not
+    * expressible as portable SQL). NOTE: the synthetic testdata's `lang`
+    * label is statistically independent of its text (one shared 31-word
+    * English vocabulary for every label), so label accuracy is bounded by
+    * the majority-class share; the classifier's real quality is measured on
+    * genuine-language fixtures in DedupAnnSpec.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    classify(Tables.documents(spark, dir)).select(
+      col("doc_id"), col("pred_lang"), col("lang").as("labeled_lang"))
 
   /** Content fingerprint via md5 — portable across engines. */
   def fingerprintMd5(spark: SparkSession, dir: String): DataFrame =

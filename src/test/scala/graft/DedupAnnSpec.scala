@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Measured-quality checks for the dedup / ANN / text families: the
+  * approximate operators are held against their exact counterparts so
+  * "approximate" is a measured recall, not an unfalsifiable claim.
+  */
+class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("connected components converge on a diameter-6 chain") {
+    // 1-2-3-4-5-6-7: min-label propagation needs 6 rounds; a fixed 5-round
+    // loop leaves node 7 labeled 2 (silent under-merge). Fixpoint must not.
+    import spark.implicits._
+    val vertices = (1L to 7L).toDF("doc_id")
+    val edges = (1L to 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = dedup.Dedup.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == (1L to 7L).map(_ -> 1L).toMap, s"under-merged: $labels")
+  }
+
+  test("connected components: two components stay separate") {
+    import spark.implicits._
+    val vertices = (1L to 6L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val labels = dedup.Dedup.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("dedup_embedding (LSH + exact verify) matches brute force; no all-pairs join") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val brute = e.select(col("vec_id").as("vec_a"), col("emb").as("ea"))
+      .join(e.select(col("vec_id").as("vec_b"), col("emb").as("eb")),
+        col("vec_a") < col("vec_b"))
+      .withColumn("cos", functions.native.cosineSim(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"))
+      .as[(Long, Long)].collect().toSet
+    val lsh = dedup.Dedup.embedding(spark, sf).as[(Long, Long)].collect().toSet
+    val missed = brute -- lsh
+    assert(missed.isEmpty, s"LSH recall < 1 at test SF: missed ${missed.size} of ${brute.size}: $missed")
+    assert(lsh == brute, s"spurious pairs: ${lsh -- brute}") // verify step guarantees precision
+    val plan = dedup.Dedup.embedding(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "all-pairs join in the plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "non-equi self-join in the plan")
+  }
+
+  private def recallAt3(approx: org.apache.spark.sql.DataFrame): Double = {
+    import spark.implicits._
+    val exact3 = similarity.Ann.topk(spark, sf).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val got = approx.select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    (exact3 & got).size.toDouble / exact3.size
+  }
+
+  test("ann_topk_lsh recall@3 >= 0.7 vs exact baseline") {
+    val r = recallAt3(similarity.Ann.topkLsh(spark, sf))
+    info(f"ann_topk_lsh recall@3 = $r%.3f")
+    println(f"[recall] ann_topk_lsh recall@3 = $r%.3f")
+    assert(r >= 0.7, f"recall@3 $r%.3f below 0.7")
+  }
+
+  test("ann_topk_ivf recall@3 >= 0.7 vs exact baseline") {
+    val r = recallAt3(similarity.Ann.topkIvf(spark, sf))
+    info(f"ann_topk_ivf recall@3 = $r%.3f")
+    println(f"[recall] ann_topk_ivf recall@3 = $r%.3f")
+    assert(r >= 0.7, f"recall@3 $r%.3f below 0.7")
+  }
+
+  test("text_lang_id: 100% on genuine-language fixtures") {
+    // The synthetic testdata draws every document from ONE shared 31-word
+    // English vocabulary regardless of its lang label (verified: no CJK
+    // chars, identical word histograms per label) — so label accuracy there
+    // is information-theoretically capped at the majority-class share. Real
+    // classifier quality is measured here, on text with actual language
+    // signal.
+    import spark.implicits._
+    val fixtures = Seq(
+      ("en", "the cat sat on the mat and it is a good day for all of us"),
+      ("en", "this is the story of a boy that went to the sea in a boat"),
+      ("es", "el perro y los niños están en la casa que es de una familia"),
+      ("es", "hay un niño en el jardín y la señora dice que sí a todo"),
+      ("de", "der hund ist nicht in das haus und die katze ist mit den kindern"),
+      ("de", "ein schönes mädchen geht zu der schule und die straße ist groß"),
+      ("fr", "le chien est dans la maison et les enfants sont là pour une fête"),
+      ("fr", "c'est une belle journée et les amis vont à la plage près des champs"),
+      ("zh", "我是一个学生这是我的书在学校和朋友一起学习"),
+      ("zh", "他们有很多人不知道这个地方在哪里我们去看看")).toDF("want", "text")
+    val out = textanalysis.Text.classify(fixtures).select(col("want"), col("pred_lang")).collect()
+    val wrong = out.filter(r => r.getString(0) != r.getString(1))
+    assert(wrong.isEmpty, s"misclassified: ${wrong.map(r => s"${r.getString(0)}→${r.getString(1)}").mkString(", ")}")
+  }
+
+  test("text_lang_id on testdata sits at the majority-class bound") {
+    val out = textanalysis.Text.langId(spark, sf)
+    val n = out.count()
+    val hit = out.filter(col("pred_lang") === col("labeled_lang")).count()
+    val acc = hit.toDouble / n
+    val majority = out.groupBy(col("labeled_lang")).count()
+      .agg(max("count")).head.getLong(0).toDouble / n
+    info(f"lang-id label accuracy = $acc%.3f (Bayes bound = majority share $majority%.3f)")
+    println(f"[accuracy] text_lang_id = $acc%.3f vs majority bound $majority%.3f")
+    // labels are independent of text → the classifier should land at the
+    // majority bound (predicting the prior on zero signal), not at chance 0.2
+    assert(acc >= majority - 0.02, f"accuracy $acc%.3f fell below the majority bound $majority%.3f")
+  }
+
+  test("mm_embed histograms codepoints, not UTF-8 bytes (non-ASCII parity)") {
+    import spark.implicits._
+    // "héllo 世界": codepoints 104,233,108,108,111,32,19990,30028 → %16 =
+    // 8,9,12,12,15,0,6,12 (é would be 2 UTF-8 bytes, 世/界 3 each — a
+    // byte-based histogram would differ on every multi-byte char)
+    val df = Seq((1L, "héllo 世界")).toDF("doc_id", "text")
+    val got = multimodal.Blobs.embedExplodedOf(spark, df)
+      .select(col("dim"), col("cnt")).as[(Long, Long)].collect().toMap
+    val want = Map(0L -> 1L, 6L -> 1L, 8L -> 1L, 9L -> 1L, 12L -> 3L, 15L -> 1L)
+    assert((0L until 16L).forall(d => got(d) == want.getOrElse(d, 0L)),
+      s"got $got, want $want")
+  }
+
+  test("q_ntile matches the windowed ntile(4) formulation") {
+    import spark.implicits._
+    val got = operators.Analytics.ntileQuartiles(spark, sf)
+      .select(col("o_orderkey"), col("quartile"))
+      .as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val expect = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), ntile(4).over(w).cast("long").as("quartile"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expect)
+  }
+}

@@ -77,6 +77,25 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges in: $p")
   }
 
+  test("q_ntile: main pass is exchange-free (no single-partition window)") {
+    // the cut ranks are resolved eagerly in pass 1; the RETURNED plan is
+    // pass 2 — scan + projected struct comparisons, no Exchange of any kind
+    val p = planOf("q_ntile")
+    assert(!p.contains("Exchange"), s"ntile main pass must not shuffle: $p")
+    assert(!p.contains("Window"), s"ntile must not fall back to a window: $p")
+  }
+
+  test("dedup_embedding: LSH candidates, no cartesian pair space") {
+    val p = planOf("dedup_embedding")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pipeline_curate: LSH self-join keys on (band, hash)") {
+    val p = planOf("pipeline_curate")
+    assert(p.contains("band"), s"composite band key missing from plan: $p")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     for (q <- Seq("q1_pricing_summary", "q6_revenue_forecast", "ref_aggregation")) {
       // "*(n)" prefixes mark WholeStageCodegen spans in compact plan strings

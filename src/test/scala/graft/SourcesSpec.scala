@@ -54,6 +54,20 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       Tables.documents(spark, sf).filter(col("lang") === "zh").count())
   }
 
+  test("object-store seam: non-file URI schemes resolve through Hadoop-FS config") {
+    // The reference ships pluggable object stores (file.rs / s3/mod.rs); the
+    // Spark-native seam is Hadoop FileSystem scheme resolution — a scheme is
+    // one config key away, with NO reader code change. Prove resolution is
+    // config-driven by binding the s3a scheme and resolving it.
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(org.apache.hadoop.fs.FileSystem.getFileSystemClass("file", hc) != null)
+    hc.set("fs.s3a.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    try {
+      val cls = org.apache.hadoop.fs.FileSystem.getFileSystemClass("s3a", hc)
+      assert(cls.getName == "org.apache.hadoop.fs.RawLocalFileSystem")
+    } finally hc.unset("fs.s3a.impl")
+  }
+
   test("builtin session_window agrees with gaps-and-islands session counts") {
     // session_window merges rows whose gap to the previous row is < 30 min;
     // graft's sessionize splits on gap > 30 min. With continuous random
