@@ -21,6 +21,7 @@ import scala.concurrent.duration.Duration
   */
 object Bench {
   private val Samples = 3
+  private val MaxSamples = 6
   private val ConcurrentStreams = 12
   private val ScanIterations = 5
 
@@ -52,8 +53,18 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     runOnce(names.head) // warm-up: first-job/codegen/scan-index init
+    // adaptive sampling: start with `Samples`, keep sampling (≤ MaxSamples)
+    // until the two fastest agree within 20% — min-of-N is only a stable
+    // statistic once two near-floor observations exist (criterion-style;
+    // this VM shows multi-second scheduler/GC noise windows)
+    def stable(ts: Seq[Double]): Boolean = ts.sorted.take(2) match {
+      case Seq(a, b) => b <= a * 1.2
+      case _ => false
+    }
     val samples: Seq[(String, Seq[Double], Option[String])] = names.map { n =>
-      val rs = (1 to Samples).map(_ => runOnce(n))
+      var rs = (1 to Samples).map(_ => runOnce(n))
+      while (rs.size < MaxSamples && !stable(rs.collect { case Right(t) => t }))
+        rs :+= runOnce(n)
       (n, rs.collect { case Right(t) => t }, rs.collectFirst { case Left(m) => m })
     }
     val failed = samples.collect { case (n, ts, Some(err)) if ts.isEmpty => (n, err) }
@@ -63,9 +74,18 @@ object Bench {
       math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.size)
     }
 
-    // concurrent streams of the reference's own three plans
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(ConcurrentStreams))
+    // repeated-scan throughput: rows/s over back-to-back full scans. Runs
+    // BEFORE the concurrent section — 12-stream bursts leave the JVM with
+    // heap pressure that drags subsequent scans >10× (measured), which
+    // would corrupt this figure.
+    val scanRows = SparkEntry.queries("ref_full_scan")(spark, sfDir).count()
+    val scanTimes = (1 to ScanIterations).flatMap(_ => runOnce("ref_full_scan").toOption)
+    val rowsPerSec = if (scanTimes.isEmpty) 0.0 else scanRows / scanTimes.min
+
+    // concurrent streams of the reference's own three plans (pool must be
+    // shut down afterwards or its non-daemon threads pin the JVM open)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(ConcurrentStreams)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     def runConcurrent(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
       val fs = (1 to ConcurrentStreams).map { i =>
@@ -85,11 +105,7 @@ object Bench {
     }
     val refNames = names.filter(_.startsWith("ref_"))
     val concurrent = refNames.map(n => n -> runConcurrent(n))
-
-    // repeated-scan throughput: rows/s over back-to-back full scans
-    val scanRows = SparkEntry.queries("ref_full_scan")(spark, sfDir).count()
-    val scanTimes = (1 to ScanIterations).flatMap(_ => runOnce("ref_full_scan").toOption)
-    val rowsPerSec = if (scanTimes.isEmpty) 0.0 else scanRows / scanTimes.min
+    pool.shutdown()
 
     def jnum(d: Double): String = if (d.isNaN || d.isInfinite) "0" else d.toString
     def jmap(kvs: Seq[(String, String)]): String =

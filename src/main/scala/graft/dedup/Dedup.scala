@@ -204,19 +204,15 @@ object Dedup {
     val nTables = 24
     val planesPerTable = 2
     val rng = new scala.util.Random(7)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(nTables * planesPerTable)(Seq.fill(64)(rng.nextGaussian()))
+    // flat row-major (table*planesPerTable + plane)*dim — one codegen'd
+    // loop nest computes every table's bucket in a single pass over emb
+    val planes = Array.fill(nTables * planesPerTable * 64)(rng.nextGaussian())
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val buckets = e
-      .withColumn("planes", typedlit(planes))
-      .withColumn("tb", explode(expr(
-        s"""transform(sequence(0, ${nTables - 1}), t -> named_struct('table_id', t,
-           | 'bucket', aggregate(sequence(0, ${planesPerTable - 1}), cast(0 as bigint), (acc, j) -> acc +
-           |   if(aggregate(zip_with(emb, planes[t*$planesPerTable + j], (x, y) -> x*y),
-           |      cast(0 as double), (a, x) -> a + x) > 0,
-           |      shiftleft(cast(1 as bigint), j), cast(0 as bigint)))))""".stripMargin)))
-      .select(col("vec_id"), col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+      .select(col("vec_id"),
+        posexplode(native.hyperplaneBuckets(col("emb"), planes, nTables, planesPerTable)))
+      .toDF("vec_id", "table_id", "bucket")
     // bucket-local candidate ids (shuffle key = (table, bucket)), dedup'd
     // BEFORE the embeddings are re-attached so each unique pair ships its
     // two vectors exactly once into the exact-cosine verify

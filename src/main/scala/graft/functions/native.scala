@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{CharNgramHashes, ColumnBridge, CosineSimilarity, MinHashSignature, RollingHash, SimHash64, SortedIntersectCount}
+import org.apache.spark.sql.graft.{CharNgramHashes, ColumnBridge, CosineSimilarity, HyperplaneBuckets, MinHashSignature, RollingHash, SimHash64, SortedIntersectCount}
 
 /** Column-API front for graft's native Catalyst expressions. */
 object native {
@@ -29,4 +29,13 @@ object native {
   /** Sorted distinct 64-bit char-n-gram hashes of a string column (codegen). */
   def charNgramHashes(text: Column, n: Int): Column =
     ColumnBridge.column(CharNgramHashes(ColumnBridge.expression(text), n))
+
+  /** Per-table random-hyperplane LSH buckets of an `array<double>` column
+    * (codegen): result[t] = bits of sign(dot(emb, plane)) for that table's
+    * planes. `planes` is flat row-major (nTables*planesPerTable*dim).
+    */
+  def hyperplaneBuckets(emb: Column, planes: Array[Double],
+      nTables: Int, planesPerTable: Int): Column =
+    ColumnBridge.column(HyperplaneBuckets(
+      ColumnBridge.expression(emb), planes, nTables, planesPerTable))
 }

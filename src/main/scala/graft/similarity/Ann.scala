@@ -60,19 +60,14 @@ object Ann {
     val rng = new scala.util.Random(42)
     val nTables = 8
     val planesPerTable = 4
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(nTables * planesPerTable)(Seq.fill(64)(rng.nextGaussian()))
+    // flat row-major (table*planesPerTable + plane)*dim for the codegen'd
+    // all-tables-in-one-pass bucket expression
+    val planes = Array.fill(nTables * planesPerTable * 64)(rng.nextGaussian())
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("planes", typedlit(planes))
-      .withColumn("tb", explode(expr(
-        s"""transform(sequence(0, ${nTables - 1}), t -> named_struct('table_id', t,
-           | 'bucket', aggregate(sequence(0, ${planesPerTable - 1}), cast(0 as bigint), (acc, j) -> acc +
-           |   if(aggregate(zip_with(emb, planes[t*$planesPerTable + j], (x, y) -> x*y),
-           |      cast(0 as double), (a, x) -> a + x) > 0,
-           |      shiftleft(cast(1 as bigint), j), cast(0 as bigint)))))""".stripMargin)))
       .select(col("vec_id"), col("emb"),
-        col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+        posexplode(native.hyperplaneBuckets(col("emb"), planes, nTables, planesPerTable)))
+      .toDF("vec_id", "emb", "table_id", "bucket")
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("emb").as("ea"), col("table_id"), col("bucket"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"), col("table_id"), col("bucket"))

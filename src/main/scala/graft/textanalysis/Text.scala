@@ -115,6 +115,31 @@ object Text {
     classify(Tables.documents(spark, dir)).select(
       col("doc_id"), col("pred_lang"), col("lang").as("labeled_lang"))
 
+  /** Token counting two ways: whitespace tokens and a BPE-ish pre-tokenizer
+    * count (the regex families GPT-style tokenizers split on: letter runs /
+    * digit runs / punctuation runs, each with an optional leading space) —
+    * the "how many tokens will this cost" profiling signal of an LLM data
+    * pipeline. The pattern avoids lookahead so Java regex (Spark) and RE2
+    * (DuckDB) agree; one codegen pass, oracle-checked.
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = size(expr(
+      """regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0)"""))
+      .cast("bigint")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nTokens.as("n_ws_tokens"),
+      bpe.as("n_bpe_tokens"),
+      (length(col("text")).cast("double") / greatest(bpe, lit(1L))).as("chars_per_token"))
+  }
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      | LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_ws_tokens,
+      | CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
+      | CAST(LENGTH(text) AS DOUBLE) / GREATEST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')), 1) AS chars_per_token
+      |FROM documents""".stripMargin
+
   /** Content fingerprint via md5 — portable across engines. */
   def fingerprintMd5(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(col("doc_id"), md5(col("text")).as("fp"))
@@ -166,6 +191,7 @@ object Text {
     "text_stats" -> (stats _),
     "text_quality" -> (quality _),
     "text_lang_id" -> (langId _),
+    "text_token_count" -> (tokenCount _),
     "text_fingerprint_md5" -> (fingerprintMd5 _),
     "text_fingerprint" -> (fingerprint _))
 
@@ -173,5 +199,6 @@ object Text {
     "text_top_terms" -> topTermsSql,
     "text_stats" -> statsSql,
     "text_quality" -> qualitySql,
+    "text_token_count" -> tokenCountSql,
     "text_fingerprint_md5" -> fingerprintMd5Sql)
 }

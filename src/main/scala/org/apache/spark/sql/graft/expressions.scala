@@ -312,6 +312,83 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket ids, all tables in one pass: output[t] =
+  * Σ_j (dot(emb, plane[t*planesPerTable+j]) > 0) << j for t < nTables.
+  * `planes` is a flat row-major (table*planesPerTable+j)*dim array baked in
+  * as a codegen reference object — the interpreted HOF formulation
+  * (transform + aggregate + zip_with) evaluates ~nTables×planesPerTable×dim
+  * boxed lambdas per row; this is one tight loop nest inside
+  * WholeStageCodegen.
+  */
+case class HyperplaneBuckets(child: Expression, planes: Array[Double],
+    nTables: Int, planesPerTable: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  private val dim: Int = planes.length / (nTables * planesPerTable)
+  require(planes.length == nTables * planesPerTable * dim,
+    "planes length must be nTables * planesPerTable * dim")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var j = 0
+      while (j < planesPerTable) {
+        val base = (t * planesPerTable + j) * dim
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += x.getDouble(i) * planes(base + i); i += 1 }
+        if (dot > 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val bucket = ctx.freshName("bucket")
+      val j = ctx.freshName("j")
+      val base = ctx.freshName("base")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = Math.min($c.numElements(), $dim);
+         |long[] $out = new long[$nTables];
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $j = 0; $j < $planesPerTable; $j++) {
+         |    int $base = ($t * $planesPerTable + $j) * $dim;
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += $c.getDouble($i) * $planesRef[$base + $i];
+         |    }
+         |    if ($dot > 0) $bucket |= (1L << $j);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Sorted distinct 64-bit hashes of all character n-grams of a string —
   * the shingle-set builder for n-gram Jaccard, fused into one codegen pass
   * (hash windows over the raw UTF-8 bytes, sort, dedup in place) instead of

@@ -34,6 +34,33 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("hyperplaneBuckets matches the HOF formulation exactly") {
+    import spark.implicits._
+    val nTables = 3
+    val planesPerTable = 2
+    val dim = 4
+    val rng = new scala.util.Random(11)
+    val planes = Array.fill(nTables * planesPerTable * dim)(rng.nextGaussian())
+    val df = Seq(
+      Seq(1.0, -2.0, 3.0, 0.5),
+      Seq(-0.1, 0.0, 2.2, -5.0),
+      Seq(0.0, 0.0, 0.0, 0.0)).toDF("emb")
+      .withColumn("planes", typedlit(
+        planes.grouped(dim).map(_.toSeq).toSeq))
+    val rows = df.select(
+      native.hyperplaneBuckets(col("emb"), planes, nTables, planesPerTable).as("fast"),
+      expr(
+        s"""transform(sequence(0, ${nTables - 1}), t ->
+           | aggregate(sequence(0, ${planesPerTable - 1}), cast(0 as bigint), (acc, j) -> acc +
+           |   if(aggregate(zip_with(emb, planes[t*$planesPerTable + j], (x, y) -> x*y),
+           |      cast(0 as double), (a, x) -> a + x) > 0,
+           |      shiftleft(cast(1 as bigint), j), cast(0 as bigint))))""".stripMargin).as("slow"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+  }
+
   test("rollingHash is deterministic and content-sensitive") {
     import spark.implicits._
     val df = Seq("hello world", "hello world", "hello worlD").toDF("text")
