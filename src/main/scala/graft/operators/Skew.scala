@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable._
 
 /** Skew mitigation: salted join. AQE's skew-join handles most cases at
   * runtime; explicit salting remains the tool when one key dominates so
@@ -24,4 +27,28 @@ object Skew {
         joinExpr && saltedBig("__salt") === expandedSmall("__salt"))
       .drop("__salt")
   }
+
+  /** Salted fact⋈dim as a user-facing query: events (big, power-law
+    * user_id) against customer (small), 8-way salt, aggregated per nation.
+    * The oracle is the PLAIN join — salting must be result-invisible.
+    */
+  def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("value"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    saltedJoin(ev, cust, col("user_id") === col("c_custkey"), 8)
+      .groupBy(col("c_nationkey"))
+      .agg(centsSum(col("value")).as("sum_value"), count(lit(1)).as("n_events"))
+  }
+
+  val saltedJoinSql: String =
+    s"""SELECT c_nationkey, ${centsSumSql("value")} AS sum_value, COUNT(*) AS n_events
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY c_nationkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> (saltedJoinQuery _))
+
+  val oracles: Map[String, String] = Map(
+    "q_salted_join" -> saltedJoinSql)
 }

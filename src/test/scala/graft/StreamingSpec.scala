@@ -109,6 +109,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("streaming curation: dedup + quality + lang gates, windowed audit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    val input = MemoryStream[Doc]
+    val q = DocStreams.curate(input.toDF())
+      .writeStream.format("memory").queryName("curated").outputMode("append").start()
+    try {
+      val good = Array.fill(30)("token").mkString(" ") // 30 tokens: q_score 0.65
+      input.addData(
+        Doc(1, ts(5), good, "en"),
+        Doc(2, ts(6), good, "en"),          // exact dup of doc 1 -> dropped
+        Doc(3, ts(7), "too short", "en"),   // 2 tokens: q_score 0.51 -> dropped
+        Doc(4, ts(8), good + " es", "xx"),  // unsupported lang -> dropped
+        Doc(5, ts(9), good + " v2", "fr"))  // distinct, long, supported -> kept
+      q.processAllAvailable()
+      // push the watermark past the window end so the windowed agg emits
+      input.addData(Doc(99, ts(600), good + " late", "en"))
+      q.processAllAvailable()
+      val got = spark.table("curated")
+        .select($"hour_start", $"lang", $"n_kept")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(got == Set((ts(0), "en", 1L), (ts(0), "fr", 1L)), got.toString)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
