@@ -208,7 +208,32 @@ object Analytics {
       | CAST(LEN(string_split(p_name, ' ')) AS BIGINT) AS n_words
       |FROM part""".stripMargin
 
+  /** lead/lag/first_value navigation within each customer's order history —
+    * partitioned by o_custkey, so the window never needs a global sort.
+    */
+  def leadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+      col("o_totalprice"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      first(col("o_totalprice")).over(w).as("first_price"))
+  }
+
+  val leadLagSql: String =
+    """SELECT o_custkey, o_orderkey,
+      | strftime(o_orderdate, '%Y-%m-%d') AS order_day, o_totalprice,
+      | LAG(o_totalprice, 1) OVER w AS prev_price,
+      | LEAD(o_totalprice, 1) OVER w AS next_price,
+      | FIRST_VALUE(o_totalprice) OVER w AS first_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lead_lag" -> (leadLag _),
     "q_grouping_sets" -> (groupingSets _),
     "q_percentiles" -> (percentiles _),
     "q_stats_manual" -> (statsManual _),
@@ -218,6 +243,7 @@ object Analytics {
     "q_string_funcs2" -> (stringFuncs2 _))
 
   val oracles: Map[String, String] = Map(
+    "q_lead_lag" -> leadLagSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_percentiles" -> percentilesSql,
     "q_stats_manual" -> statsManualSql,

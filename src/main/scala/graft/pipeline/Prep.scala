@@ -1,0 +1,194 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data preparation operators — the steps between "curated corpus"
+  * and "tensors on a trainer": sequence packing, deterministic sampling and
+  * sharding, normalization, and eval-set decontamination. Everything is
+  * codegen'd builtins (no UDFs), each with an exact DuckDB oracle.
+  *
+  * Determinism is load-bearing here: a training run must be able to
+  * reproduce its exact data order and membership from the inputs alone, so
+  * sampling/sharding derive from md5(doc_id) — stable across engines,
+  * executors, and retries — never from rand() or partition layout.
+  */
+object Prep {
+
+  private val nTokens =
+    (length(col("text")) - length(expr("replace(text, ' ', '')")) + 1).cast("bigint")
+  private val nTokensSql = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
+
+  /** First hex byte of md5(doc_id) as 0..255 — engine-portable (strpos walk
+    * over the hex alphabet; DuckDB has no hex→int cast that Spark mirrors).
+    */
+  private val md5Byte0 = expr(
+    """(instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1) * 16
+      | + instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 2, 1)) - 1""".stripMargin)
+  private val md5Byte0Sql =
+    """(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      | + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1""".stripMargin
+
+  /** Sequence packing: assign documents to fixed token-budget training
+    * sequences. Documents pack in deterministic (source, doc_id) order; a
+    * doc whose tokens cross the boundary opens the next sequence (seq_id =
+    * tokens-before-me div budget).
+    *
+    * 100 TB shape: the window is partitioned by `source` (a corpus shard key
+    * with bounded per-key volume), so the running sum is a per-shard sort —
+    * NOT a global single-partition window. Packing across a whole corpus
+    * always needs some per-shard key; a global pack order would serialize
+    * the world on one task in any engine.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 256L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), nTokens.as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before div $budget"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id, $nTokensSql AS n_tokens FROM documents
+       |), c AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM t
+       |)
+       |SELECT source, cum_before // 256 AS seq_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY 1, 2""".stripMargin
+
+  /** Deterministic stratified sampling: per-language keep rates applied via
+    * an md5(doc_id) hex-prefix threshold — the same document set survives on
+    * any engine/cluster/retry (unlike rand()-based sampleBy). Rates: en 50%
+    * ('80'/256), zh ~10% ('1a'), other langs ~30% ('4d').
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val thr = when(col("lang") === "en", "80")
+      .when(col("lang") === "zh", "1a").otherwise("4d")
+    Tables.documents(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < thr)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |  CASE lang WHEN 'en' THEN '80' WHEN 'zh' THEN '1a' ELSE '4d' END""".stripMargin
+
+  /** Text normalization: lowercase, strip non-alphanumerics, collapse
+    * whitespace — the canonical form fed to tokenizers and near-dup
+    * hashing. One codegen pass; regexes avoid Java/RE2 divergence.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      norm.as("norm_text"),
+      length(norm).cast("bigint").as("n_chars_norm"))
+  }
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      | trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+      | LENGTH(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS n_chars_norm
+      |FROM documents""".stripMargin
+
+  /** Deterministic shard assignment + per-shard manifest: shard =
+    * md5(doc_id) byte 0 mod 32 (decorrelated from doc_id order, stable
+    * across engines), aggregated to the per-shard doc/token manifest a
+    * trainer's data loader consumes. At scale this is one hash-partition
+    * shuffle — exactly the repartition(shard) write that precedes a
+    * training job.
+    */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nTokens.as("n_tokens"), (md5Byte0 % 32).as("shard"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+
+  val shardAssignSql: String =
+    s"""SELECT ($md5Byte0Sql) % 32 AS shard,
+       | COUNT(*) AS n_docs, CAST(SUM($nTokensSql) AS BIGINT) AS shard_tokens,
+       | MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM documents GROUP BY 1""".stripMargin
+
+  /** Eval-set contamination check: which training documents share a word
+    * 3-gram with a held-out eval split (here doc_id % 97 == 0)? The
+    * decontamination step every serious pretraining pipeline runs before
+    * training.
+    *
+    * Shape: distinct (doc, gram) per side, join on the gram, count per
+    * train doc. The eval side is tiny by construction → Spark broadcasts
+    * it, so the corpus-side scan never shuffles its grams; at 100 TB the
+    * eval set is still MBs and the broadcast still holds.
+    *
+    * Both engines emit i in [1, max(len-2, 1)] and a 3-slice at i — the
+    * greatest(...,1) floor keeps <3-word docs as one short gram on both
+    * sides (Spark's sequence(1,0) would yield a DESCENDING [1,0], not
+    * empty, so the floor is also a correctness guard).
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+          |  i -> array_join(slice(split(text, ' '), i, 3), ' '))""".stripMargin)).as("gram"))
+      .distinct()
+    val eval = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_doc"), col("gram"))
+    val train = grams.filter(col("doc_id") % 97 =!= 0)
+    train.join(broadcast(eval), "gram")
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+  }
+
+  val contaminationSql: String =
+    """WITH grams AS (
+      |  SELECT DISTINCT doc_id, g AS gram FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS g
+      |    FROM documents)
+      |)
+      |SELECT t.doc_id, COUNT(DISTINCT t.gram) AS n_shared_grams,
+      |  COUNT(DISTINCT e.doc_id) AS n_eval_docs
+      |FROM grams t JOIN grams e ON t.gram = e.gram
+      |WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+      |GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_sequences" -> (packSequences _),
+    "sample_stratified" -> (sampleStratified _),
+    "text_normalize" -> (textNormalize _),
+    "doc_shard_assign" -> (shardAssign _),
+    "text_contamination" -> (contamination _))
+
+  val oracles: Map[String, String] = Map(
+    "pack_sequences" -> packSequencesSql,
+    "sample_stratified" -> sampleStratifiedSql,
+    "text_normalize" -> textNormalizeSql,
+    "doc_shard_assign" -> shardAssignSql,
+    "text_contamination" -> contaminationSql)
+}
