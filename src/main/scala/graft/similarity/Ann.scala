@@ -130,11 +130,37 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** Per-label centroid of the embedding space — the class-prototype
+    * aggregation behind clustering seeds, label quality audits, and
+    * nearest-centroid classification. posexplode keeps it one scan + one
+    * shuffle on (label, dim); sums run over round(x·1e6) integers so the
+    * result is order-independent and engine-exact (float addition isn't).
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .toDF("label", "dim", "v")
+      .groupBy(col("label"), col("dim").cast("bigint").as("dim"))
+      .agg(Portable.centsAvg(col("v"), 6).as("centroid"), count(lit(1)).as("n_vecs"))
+  }
+
+  val labelCentroidsSql: String = {
+    import graft.functions.Portable
+    s"""SELECT label, i - 1 AS dim,
+       | ${Portable.centsSumSql("CAST(embedding[i] AS DOUBLE)", 6)}/COUNT(*) AS centroid,
+       | COUNT(*) AS n_vecs
+       |FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_ivf" -> (topkIvf _),
     "ann_topk" -> (topk _),
-    "ann_topk_lsh" -> (topkLsh _))
+    "ann_topk_lsh" -> (topkLsh _),
+    "emb_centroids" -> (labelCentroids _))
 
   val oracles: Map[String, String] = Map(
-    "ann_topk" -> topkSql)
+    "ann_topk" -> topkSql,
+    "emb_centroids" -> labelCentroidsSql)
 }

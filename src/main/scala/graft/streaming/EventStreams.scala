@@ -62,6 +62,19 @@ object EventStreams {
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"), col("value"))
   }
 
+  /** Stream-static enrichment: the event stream joined to a batch dimension
+    * (customer → nation). The static side is planned per micro-batch, so a
+    * dimension refresh is picked up without restarting the query; Spark
+    * broadcasts it at dim sizes — the streaming ETL join that needs no
+    * watermark because the static side never ages.
+    */
+  def enrich(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        customers.select(col("c_custkey"), col("c_nationkey")),
+        events("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
   /** Stateful sessionization via flatMapGroupsWithState (streaming mirror of
     * `Events.sessionize`): 30-min inactivity gap, event-time timeout closes
     * sessions once the watermark passes start+gap.

@@ -96,6 +96,29 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(p.contains("band"), s"composite band key missing from plan: $p")
   }
 
+  test("text_contamination: eval side broadcasts; gram scan pruned to 2 cols") {
+    val p = planOf("text_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("pack_sequences: window partitioned by source, never a global sort") {
+    val p = planOf("pack_sequences").split("== Initial Plan ==")(0)
+    assert(p.contains("windowspecdefinition(source"), p)
+    assert(!p.contains("SinglePartition"), s"global single-partition window: $p")
+    // running sum + final agg share the source hash-partitioning: 1 shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges in: $p")
+  }
+
+  test("sample_stratified / doc_shard_assign: single scan, no shuffle before filter") {
+    val p = planOf("sample_stratified")
+    assert(!p.contains("Exchange"), s"deterministic sample must be map-only: $p")
+    val p2 = planOf("doc_shard_assign").split("== Initial Plan ==")(0)
+    assert(p2.contains("partial_count"), s"shard manifest must map-side combine: $p2")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     for (q <- Seq("q1_pricing_summary", "q6_revenue_forecast", "ref_aggregation")) {
       // "*(n)" prefixes mark WholeStageCodegen spans in compact plan strings

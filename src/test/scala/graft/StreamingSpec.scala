@@ -136,6 +136,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the batch dimension per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val customers = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("c_custkey", "c_nationkey")
+    val q = EventStreams.enrich(input.toDF(), customers)
+      .writeStream.format("memory").queryName("enriched").outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts(1), 1, "click", 1.0),
+        Event(2, ts(2), 2, "click", 2.0),
+        Event(3, ts(3), 3, "view", 4.0),
+        Event(4, ts(4), 99, "view", 8.0)) // no matching customer -> dropped
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((10L, 2L, 3.0), (20L, 1L, 4.0)), got.toString)
+      // second batch re-joins the same static side incrementally
+      input.addData(Event(5, ts(5), 3, "view", 1.0))
+      q.processAllAvailable()
+      val got2 = spark.table("enriched").as[(Long, Long, Double)].collect().toSet
+      assert(got2 == Set((10L, 2L, 3.0), (20L, 2L, 5.0)), got2.toString)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
