@@ -178,17 +178,79 @@ object Prep {
       |WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
       |GROUP BY 1""".stripMargin
 
+  /** Source mixture re-weighting: per-source token share and the up/down-
+    * sampling weight that equalizes the training mix (weight =
+    * equal-share ÷ actual-share). The over-() window runs on the
+    * source-level aggregate — a relation bounded by source cardinality
+    * (tens of rows at any corpus size), so the single-partition total is
+    * deliberate, not a scale hazard.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(nTokens).as("src_tokens"))
+    val w = Window.partitionBy()
+    perSource
+      .withColumn("total_tokens", sum(col("src_tokens")).over(w))
+      .withColumn("n_sources", count(lit(1)).over(w))
+      .select(
+        col("source"), col("n_docs"), col("src_tokens"),
+        (col("src_tokens").cast("double") / col("total_tokens")).as("token_share"),
+        (col("total_tokens").cast("double") / col("n_sources") / col("src_tokens"))
+          .as("balance_weight"))
+  }
+
+  val mixtureWeightsSql: String =
+    s"""WITH s AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM($nTokensSql) AS BIGINT) AS src_tokens
+       |  FROM documents GROUP BY 1
+       |)
+       |SELECT source, n_docs, src_tokens,
+       |  CAST(src_tokens AS DOUBLE) / CAST(SUM(src_tokens) OVER () AS BIGINT) AS token_share,
+       |  CAST(CAST(SUM(src_tokens) OVER () AS BIGINT) AS DOUBLE) / COUNT(*) OVER () / src_tokens AS balance_weight
+       |FROM s""".stripMargin
+
+  /** Robust length-outlier trim: keep documents inside the [p01, p99]
+    * character-length band. The percentiles are exact (integral input, the
+    * q_percentiles trick), computed in one tiny aggregate that broadcasts
+    * back over the corpus scan — two passes over the data, no shuffle of
+    * document rows at all.
+    */
+  def lengthTrim(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bounds = docs.agg(
+      expr("percentile(n_chars, 0.01d)").as("p01"),
+      expr("percentile(n_chars, 0.99d)").as("p99"))
+    docs.crossJoin(broadcast(bounds))
+      .filter(col("n_chars") >= col("p01") && col("n_chars") <= col("p99"))
+      .select(col("doc_id"), col("n_chars"), col("p01"), col("p99"))
+  }
+
+  val lengthTrimSql: String =
+    """WITH b AS (
+      |  SELECT percentile_cont(0.01) WITHIN GROUP (ORDER BY n_chars) AS p01,
+      |         percentile_cont(0.99) WITHIN GROUP (ORDER BY n_chars) AS p99
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_chars, p01, p99 FROM documents, b
+      |WHERE n_chars >= p01 AND n_chars <= p99""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pack_sequences" -> (packSequences _),
     "sample_stratified" -> (sampleStratified _),
     "text_normalize" -> (textNormalize _),
     "doc_shard_assign" -> (shardAssign _),
-    "text_contamination" -> (contamination _))
+    "text_contamination" -> (contamination _),
+    "mixture_weights" -> (mixtureWeights _),
+    "doc_length_trim" -> (lengthTrim _))
 
   val oracles: Map[String, String] = Map(
     "pack_sequences" -> packSequencesSql,
     "sample_stratified" -> sampleStratifiedSql,
     "text_normalize" -> textNormalizeSql,
     "doc_shard_assign" -> shardAssignSql,
-    "text_contamination" -> contaminationSql)
+    "text_contamination" -> contaminationSql,
+    "mixture_weights" -> mixtureWeightsSql,
+    "doc_length_trim" -> lengthTrimSql)
 }
