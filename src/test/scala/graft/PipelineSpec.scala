@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.pipeline.Pipeline._
+
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.local(2)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, Array.fill(30)("alpha").mkString(" "), "en", "s1"),
+      (2L, Array.fill(30)("alpha").mkString(" "), "en", "s1"), // exact dup of 1
+      (3L, "too short", "en", "s1"),                           // fails quality
+      (4L, Array.fill(40)("beta").mkString(" "), "fr", "s2"),
+      (5L, Array.fill(40)("gamma").mkString(" "), "xx", "s2")  // unsupported lang
+    ).toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("chained gates compose and keep the expected survivors") {
+    val out = docs
+      .transform(qualityGate(0.6))
+      .transform(exactDedup())
+      .transform(langGate(Seq("en", "fr")))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+  }
+
+  test("the chain is one lazy Catalyst plan (no eager jobs at build time)") {
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val df = docs.transform(qualityGate()).transform(exactDedup())
+      .transform(normalize()).transform(packSequences(budget = 64))
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "pipeline construction must not run jobs")
+    assert(df.columns.contains("seq_id"))
+  }
+
+  test("packSequences agrees with Prep.packSequences' seq assignment") {
+    import spark.implicits._
+    val packed = docs.transform(packSequences(budget = 64, shardCol = "source"))
+      .select(col("source"), col("doc_id"), col("seq_id"))
+      .as[(String, Long, Long)].collect().toSet
+    // s1: doc1 30 tokens (cum 0 -> seq 0), doc2 30 (cum 30 -> 0), doc3 2 (cum 60 -> 0)
+    // s2: doc4 40 (cum 0 -> 0), doc5 40 (cum 40 -> 0)... budget 64: cum 40 < 64 -> seq 0
+    assert(packed == Set(
+      ("s1", 1L, 0L), ("s1", 2L, 0L), ("s1", 3L, 0L),
+      ("s2", 4L, 0L), ("s2", 5L, 0L)), packed.toString)
+    val packed32 = docs.transform(packSequences(budget = 32, shardCol = "source"))
+      .select(col("doc_id"), col("seq_id")).as[(Long, Long)].collect().toMap
+    // budget 32: s1 doc1 cum 0 -> 0, doc2 cum 30 -> 0, doc3 cum 60 -> 1
+    //            s2 doc4 cum 0 -> 0, doc5 cum 40 -> 1
+    assert(packed32 == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 1L), packed32.toString)
+  }
+
+  test("deterministicSample is stable and respects the hex threshold") {
+    val s1 = docs.transform(deterministicSample(50))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = docs.transform(deterministicSample(50))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same input must sample identically")
+    val all = docs.transform(deterministicSample(100))
+    assert(all.count() == 5, "100% keeps everything")
+    val none = docs.transform(deterministicSample(0))
+    assert(none.count() == 0, "0% keeps nothing")
+  }
+}
