@@ -232,7 +232,34 @@ object Analytics {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
+  /** RANGE-frame moving window: per-customer 30-day running spend. The
+    * frame is value-based (days), not row-based — ties on the same day are
+    * peers and aggregate together in both engines per the SQL standard.
+    * Money sums via scaled integers (order-independent, engine-exact).
+    */
+  def windowRange(spark: SparkSession, dir: String): DataFrame = {
+    val dayNo = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(dayNo)
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      dayNo.cast("bigint").as("day_no"),
+      (sum(cents(col("o_totalprice"))).over(w).cast("double") / 100).as("spend_30d"),
+      count(lit(1)).over(w).as("n_orders_30d"))
+  }
+
+  val windowRangeSql: String =
+    """SELECT o_custkey, o_orderkey,
+      | date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day_no,
+      | CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER w AS DOUBLE)/100 AS spend_30d,
+      | COUNT(*) OVER w AS n_orders_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+      |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_range" -> (windowRange _),
     "q_lead_lag" -> (leadLag _),
     "q_grouping_sets" -> (groupingSets _),
     "q_percentiles" -> (percentiles _),
@@ -243,6 +270,7 @@ object Analytics {
     "q_string_funcs2" -> (stringFuncs2 _))
 
   val oracles: Map[String, String] = Map(
+    "q_window_range" -> windowRangeSql,
     "q_lead_lag" -> leadLagSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_percentiles" -> percentilesSql,
