@@ -69,4 +69,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val none = docs.transform(deterministicSample(0))
     assert(none.count() == 0, "0% keeps nothing")
   }
+
+  test("deterministicSample rates are nested: sample(p) ⊆ sample(q) for p < q") {
+    import spark.implicits._
+    val ids = (1L to 500L).toDF("doc_id")
+    val rates = Seq(10.0, 30.0, 60.0, 90.0)
+    val kept = rates.map(p => ids.transform(deterministicSample(p))
+      .collect().map(_.getLong(0)).toSet)
+    kept.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo.subsetOf(hi), s"smaller rate must be a subset (${lo.size} vs ${hi.size})")
+    }
+    // rate lands near the target (hex-byte quantization ±1/256)
+    val n30 = kept(1).size / 500.0
+    assert(n30 > 0.2 && n30 < 0.4, s"30% sample landed at $n30")
+  }
 }
