@@ -25,6 +25,52 @@ object Bench {
   private val ConcurrentStreams = 12
   private val ScanIterations = 5
 
+  /** Time one query through the noop sink (materializes every column —
+    * count() would let Catalyst prune the whole projection for scan-shaped
+    * queries). Left = the query THREW: it must surface as a failure, never
+    * as a timing (round-2 lesson). Cache cleared after every run so one
+    * operator's persisted blocks can't contaminate the next timing.
+    */
+  def runOnce(spark: SparkSession,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+      sfDir: String)(name: String): Either[String, Double] = {
+    val t0 = System.nanoTime()
+    val r = try {
+      queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      Right((System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
+    }
+    spark.catalog.clearCache()
+    r
+  }
+
+  /** Adaptive sampling: start with `Samples`, keep sampling (≤ maxSamples)
+    * until the two fastest agree within 20% — min-of-N is only a stable
+    * statistic once two near-floor observations exist (criterion-style;
+    * this VM shows multi-second scheduler/GC noise windows). A query that
+    * failed on some attempt carries its error message alongside any
+    * successful timings; one that never succeeded has an empty sample list.
+    */
+  def timeAll(spark: SparkSession,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+      sfDir: String, samples: Int = Samples, maxSamples: Int = MaxSamples)
+      : Seq[(String, Seq[Double], Option[String])] = {
+    val once = runOnce(spark, queries, sfDir) _
+    def stable(ts: Seq[Double]): Boolean = ts.sorted.take(2) match {
+      case Seq(a, b) => b <= a * 1.2
+      case _ => false
+    }
+    queries.keys.toSeq.sorted.map { n =>
+      var rs = (1 to samples).map(_ => once(n))
+      while (rs.size < maxSamples && !stable(rs.collect { case Right(t) => t }))
+        rs :+= once(n)
+      (n, rs.collect { case Right(t) => t }, rs.collectFirst { case Left(m) => m })
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,39 +80,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // noop sink materializes every column (count() would let Catalyst prune
-    // the whole projection for scan-shaped queries)
-    def runOnce(name: String): Either[String, Double] = {
-      val t0 = System.nanoTime()
-      val r = try {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        Right((System.nanoTime() - t0) / 1e9)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-        Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
-      }
-      // isolation: no persisted blocks or temp views leak into the next query
-      spark.catalog.clearCache()
-      r
-    }
+    def runOnceMain(name: String): Either[String, Double] =
+      runOnce(spark, SparkEntry.queries, sfDir)(name)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    runOnce(names.head) // warm-up: first-job/codegen/scan-index init
-    // adaptive sampling: start with `Samples`, keep sampling (≤ MaxSamples)
-    // until the two fastest agree within 20% — min-of-N is only a stable
-    // statistic once two near-floor observations exist (criterion-style;
-    // this VM shows multi-second scheduler/GC noise windows)
-    def stable(ts: Seq[Double]): Boolean = ts.sorted.take(2) match {
-      case Seq(a, b) => b <= a * 1.2
-      case _ => false
-    }
-    val samples: Seq[(String, Seq[Double], Option[String])] = names.map { n =>
-      var rs = (1 to Samples).map(_ => runOnce(n))
-      while (rs.size < MaxSamples && !stable(rs.collect { case Right(t) => t }))
-        rs :+= runOnce(n)
-      (n, rs.collect { case Right(t) => t }, rs.collectFirst { case Left(m) => m })
-    }
+    runOnceMain(names.head) // warm-up: first-job/codegen/scan-index init
+    val samples = timeAll(spark, SparkEntry.queries, sfDir)
     val failed = samples.collect { case (n, ts, Some(err)) if ts.isEmpty => (n, err) }
     val ok = samples.filter(_._2.nonEmpty)
     def stddev(xs: Seq[Double]): Double = {
@@ -79,7 +98,7 @@ object Bench {
     // heap pressure that drags subsequent scans >10× (measured), which
     // would corrupt this figure.
     val scanRows = SparkEntry.queries("ref_full_scan")(spark, sfDir).count()
-    val scanTimes = (1 to ScanIterations).flatMap(_ => runOnce("ref_full_scan").toOption)
+    val scanTimes = (1 to ScanIterations).flatMap(_ => runOnceMain("ref_full_scan").toOption)
     val rowsPerSec = if (scanTimes.isEmpty) 0.0 else scanRows / scanTimes.min
 
     // concurrent streams of the reference's own three plans (pool must be
