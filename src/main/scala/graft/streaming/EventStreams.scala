@@ -62,6 +62,31 @@ object EventStreams {
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"), col("value"))
   }
 
+  /** Stream-stream LEFT OUTER attribution: every click emits — matched
+    * purchases as soon as they arrive, unmatched clicks with NULL purchase
+    * columns once the watermark proves no in-window purchase can still
+    * come. The outer side is what makes funnel analysis honest (drop-offs
+    * are rows, not absences); state stays bounded by watermark + interval
+    * exactly as in the inner join.
+    */
+  def clickAttributionOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      expr("""c_user = p_user AND
+              purchase_ts >= click_ts AND
+              purchase_ts <= click_ts + INTERVAL 30 MINUTES"""),
+      "leftOuter")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("value"))
+  }
+
   /** Stream-static enrichment: the event stream joined to a batch dimension
     * (customer → nation). The static side is planned per micro-batch, so a
     * dimension refresh is picked up without restarting the query; Spark

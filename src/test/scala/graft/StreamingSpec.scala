@@ -136,6 +136,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched clicks after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.clickAttributionOuter(input.toDF())
+      .writeStream.format("memory").queryName("attr_outer").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(5), 1, "click", 0.0),
+        Event(2, ts(10), 1, "purchase", 9.0), // within 30 min of click 1
+        Event(3, ts(6), 2, "click", 0.0))     // never purchases
+      q.processAllAvailable()
+      // the unmatched click null-emits only once the GLOBAL watermark
+      // (min of both sides under the default multipleWatermarkPolicy)
+      // passes click_ts + 30min: each side's watermark advances from rows
+      // flowing through ITS withWatermark node, so BOTH a late click and a
+      // late purchase are needed, and the null row surfaces one micro-batch
+      // after the advancing batch (eviction runs on the next trigger)
+      input.addData(
+        Event(98, ts(600), 8, "click", 0.0),
+        Event(99, ts(600), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(100, ts(601), 8, "click", 0.0),
+        Event(101, ts(601), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_outer")
+        .select($"user_id", $"click_id", $"purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(got == Set((1L, 1L, 2L), (2L, 3L, -1L)), got.toString)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the batch dimension per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
