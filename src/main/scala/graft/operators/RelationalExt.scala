@@ -249,7 +249,74 @@ object RelationalExt {
       | FROM events GROUP BY event_type, user_id) t
       |WHERE rnk <= 3""".stripMargin
 
+  /** Correlated EXISTS via the SQL parser (the DataFrame API can't express
+    * EXISTS correlation) — Catalyst decorrelates it into a left semi join,
+    * the NOT EXISTS branch into an anti join, both shuffling once on the
+    * correlation key.
+    */
+  def existsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_ex")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_ex")
+    spark.sql(
+      """SELECT c_nationkey, COUNT(*) AS n_with_orders
+        |FROM customer_ex c
+        |WHERE EXISTS (SELECT 1 FROM orders_ex o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_ex o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        |                    AND o.o_totalprice > 100000)
+        |GROUP BY c_nationkey""".stripMargin)
+  }
+
+  val existsSubquerySql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_with_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      |                    AND o.o_totalprice > 100000)
+      |GROUP BY c_nationkey""".stripMargin
+
+  /** Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep multiplicity
+    * (a row appearing m times on the left and n on the right survives
+    * max(m-n, 0) / min(m, n) times) — different operators from the
+    * set-semantics q_except/q_intersect, aggregated for a deterministic
+    * output.
+    */
+  def exceptIntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val supp = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    cust.exceptAll(supp).groupBy(col("nationkey")).agg(count(lit(1)).as("n_excess"))
+      .join(
+        cust.intersectAll(supp).groupBy(col("nationkey")).agg(count(lit(1)).as("n_common")),
+        Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_excess"), lit(0L)).as("n_excess"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+  }
+
+  val exceptIntersectAllSql: String =
+    """WITH ea AS (
+      |  SELECT nationkey, COUNT(*) AS n_excess FROM (
+      |    SELECT c_nationkey AS nationkey FROM customer
+      |    EXCEPT ALL
+      |    SELECT s_nationkey FROM supplier)
+      |  GROUP BY 1
+      |), ia AS (
+      |  SELECT nationkey, COUNT(*) AS n_common FROM (
+      |    SELECT c_nationkey AS nationkey FROM customer
+      |    INTERSECT ALL
+      |    SELECT s_nationkey FROM supplier)
+      |  GROUP BY 1
+      |)
+      |SELECT COALESCE(ea.nationkey, ia.nationkey) AS nationkey,
+      |  COALESCE(n_excess, 0) AS n_excess, COALESCE(n_common, 0) AS n_common
+      |FROM ea FULL OUTER JOIN ia ON ea.nationkey = ia.nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exists" -> (existsSubquery _),
+    "q_set_ops_all" -> (exceptIntersectAll _),
     "q_merge_upsert" -> (mergeUpsert _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_correlated_scalar" -> (correlatedScalar _),
@@ -266,6 +333,8 @@ object RelationalExt {
     "q_null_handling" -> (nullHandling _))
 
   val oracles: Map[String, String] = Map(
+    "q_exists" -> existsSubquerySql,
+    "q_set_ops_all" -> exceptIntersectAllSql,
     "q_merge_upsert" -> mergeUpsertSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_correlated_scalar" -> correlatedScalarSql,
