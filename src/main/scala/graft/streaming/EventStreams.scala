@@ -100,6 +100,19 @@ object EventStreams {
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
 
+  /** Idempotent batch sink for foreachBatch: writes each micro-batch to
+    * `basePath/batch=<id>`, skipping batch ids that already exist — the
+    * exactly-once file-sink recipe for when the target system has no
+    * transactional sink. On failure/replay Spark re-offers the same
+    * batchId with the same data; the existence check makes the replay a
+    * no-op, so downstream readers never see duplicates.
+    */
+  def idempotentParquetSink(basePath: String)(batch: DataFrame, batchId: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$basePath/batch=$batchId")
+    val fs = dir.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) batch.write.mode("errorifexists").parquet(dir.toString)
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState (streaming mirror of
     * `Events.sessionize`): 30-min inactivity gap, event-time timeout closes
     * sessions once the watermark passes start+gap.

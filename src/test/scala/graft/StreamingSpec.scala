@@ -195,6 +195,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("foreachBatch idempotent sink skips replayed batch ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("idem_sink").toString
+    val input = MemoryStream[Event]
+    val q = input.toDF().writeStream
+      .foreachBatch(EventStreams.idempotentParquetSink(base) _)
+      .option("checkpointLocation", s"$base/_ckpt")
+      .start()
+    try {
+      input.addData(Event(1, ts(1), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts(2), 2, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$base/batch=0", s"$base/batch=1").count()
+      assert(rows == 2, s"expected both batches written, got $rows")
+      // replaying an already-written batch id must be a no-op, not a dup
+      EventStreams.idempotentParquetSink(base)(
+        Seq(Event(9, ts(9), 9, "dup", 9.0)).toDF(), 0L)
+      val after = spark.read.parquet(s"$base/batch=0").count()
+      assert(after == 1, s"replayed batch must not duplicate rows: $after")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
