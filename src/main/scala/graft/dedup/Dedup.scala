@@ -144,9 +144,10 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("cand_id").as("dup_candidate"), col("hamming"))
   }
 
-  /** Exact character-4gram Jaccard within cheap blocks (lang × length
+  /** Exact byte-4gram Jaccard within cheap blocks (lang × length
     * bucket) — the "verify everything in a small block" pattern for
-    * near-dup detection when LSH recall isn't enough.
+    * near-dup detection when LSH recall isn't enough. Oracle-checked
+    * against `ngramJaccardSql` (the gram hash is injective, see there).
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -170,7 +171,11 @@ object Dedup {
         (inter.cast("double") /
           (size(a.getField("grams")) + size(b.getField("grams")) - inter)).as("jaccard"))
     }
+    // size(ds) >= 2 guard: sequence(0, -1) on a singleton block would run
+    // DESCENDING ([0, -1]), yielding a self-pair and an element_at(ds, 0)
+    // runtime error — only non-singleton blocks may generate pairs.
     val pairs = blocks
+      .filter(size(col("ds")) > 1)
       .select(explode(flatten(transform(
         sequence(lit(0), size(col("ds")) - 2),
         i => transform(sequence(i + 1, size(col("ds")) - 1), j => pairScore(i, j)))))
@@ -186,6 +191,57 @@ object Dedup {
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("cand_id").as("dup_candidate"), col("jaccard"))
   }
+
+  /** DuckDB mirror of `ngramJaccard`. `charNgramHashes` hashes UTF-8 BYTE
+    * 4-grams with h = ((b0·K + b1)·K + b2)·K + b3, K = 1000003 — verified
+    * injective on 4-byte inputs mod 2^64 (no Δ ≠ 0 with |Δbᵢ| ≤ 255 maps to
+    * 0), so distinct-hash counts equal distinct-gram counts EXACTLY and the
+    * oracle holds for any corpus, ASCII or not. DuckDB cannot substring a
+    * BLOB, so byte 4-grams are sliced from `hex(encode(text))` — 8 hex
+    * chars per gram at stride 2.
+    */
+  val ngramJaccardSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         lang || '#' || CAST(CAST(n_chars // 100 AS INT) AS VARCHAR) AS block,
+      |         hex(encode(text)) AS hx,
+      |         octet_length(encode(text)) AS nb
+      |  FROM documents
+      |),
+      |g AS (
+      |  SELECT DISTINCT doc_id, block, substring(hx, i * 2 + 1, 8) AS gram
+      |  FROM (SELECT doc_id, block, hx,
+      |          unnest(generate_series(0, nb - 4)) AS i FROM d) t
+      |),
+      |c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+      |  FROM g a JOIN g b ON a.block = b.block AND a.gram = b.gram
+      |                   AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |pairs AS (
+      |  SELECT i.id_a, i.id_b,
+      |         CAST(i.ninter AS DOUBLE) / (ca.n + cb.n - i.ninter) AS jaccard
+      |  FROM inter i
+      |  JOIN c ca ON ca.doc_id = i.id_a
+      |  JOIN c cb ON cb.doc_id = i.id_b
+      |),
+      |directed AS (
+      |  SELECT id_a AS doc_id, id_b AS cand_id, jaccard FROM pairs WHERE jaccard >= 0.3
+      |  UNION ALL
+      |  SELECT id_b AS doc_id, id_a AS cand_id, jaccard FROM pairs WHERE jaccard >= 0.3
+      |),
+      |best AS (
+      |  SELECT doc_id, cand_id, jaccard
+      |  FROM (SELECT doc_id, cand_id, jaccard,
+      |          row_number() OVER (PARTITION BY doc_id
+      |                             ORDER BY jaccard DESC, cand_id) AS rn
+      |        FROM directed) t
+      |  WHERE rn = 1
+      |)
+      |SELECT d.doc_id, best.cand_id AS dup_candidate, best.jaccard
+      |FROM d LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin
 
   /** Embedding near-dup pairs: cosine ≥ 0.4, found via random-hyperplane
     * LSH candidate generation + exact cosine verification — no all-pairs
@@ -304,5 +360,6 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_exact_hash" -> exactHashSql,
-    "dedup_embedding" -> embeddingSql)
+    "dedup_embedding" -> embeddingSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql)
 }

@@ -50,9 +50,16 @@ object Blobs {
       .toDF()
   }
 
-  /** Frame sampling shape: stride-16 slices of the payload, at most 8
+  /** Frame sampling shape: stride-16 BYTE slices of the payload, at most 8
     * frames per blob, each fingerprinted — all inside codegen'd builtins
-    * (binary substring + xxhash64), no decode needed for sampling.
+    * (binary substring + hex + md5), no decode needed for sampling.
+    *
+    * The fingerprint is md5 over the frame's hex encoding rather than a
+    * native 64-bit hash so the whole operator is oracle-checkable: DuckDB
+    * cannot substring a BLOB, but `substring(hex(encode(text)), i*32+1, 32)`
+    * slices the SAME bytes as Spark's binary `substring(payload, i*16+1,
+    * 16)` (both engines emit uppercase hex), byte-faithful for non-ASCII
+    * text where char-based slicing would diverge.
     */
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -60,10 +67,28 @@ object Blobs {
       .withColumn("n_frames", greatest((length(col("payload")) / 16).cast("int"), lit(1)))
       .select(col("doc_id"), col("n_frames"), explode(expr(
         """transform(sequence(0, least(n_frames - 1, 7)),
-          |  i -> named_struct('frame_idx', i, 'frame_hash', xxhash64(substring(payload, i*16+1, 16))))""".stripMargin))
+          |  i -> named_struct('frame_idx', i, 'frame_hash', md5(hex(substring(payload, i*16+1, 16)))))""".stripMargin))
         .as("f"))
       .select(col("doc_id"), col("n_frames"),
         col("f.frame_idx").as("frame_idx"), col("f.frame_hash").as("frame_hash"))
+
+  /** DuckDB mirror of `frameSample` — byte slicing via hex-string windows
+    * (2 hex chars per byte, so frame i = 32 chars at offset i*32).
+    * `//` floors like Spark's cast-to-int on a positive double; plain
+    * DuckDB CAST would round-to-nearest and disagree on 24-byte docs.
+    */
+  val frameSampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |         greatest(CAST(octet_length(encode(text)) // 16 AS INT), 1) AS n_frames
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_frames,
+      |       CAST(frame_idx AS INT) AS frame_idx,
+      |       md5(substring(hx, frame_idx * 32 + 1, 32)) AS frame_hash
+      |FROM (SELECT doc_id, hx, n_frames,
+      |        unnest(generate_series(0, least(n_frames - 1, 7))) AS frame_idx
+      |      FROM d) t""".stripMargin
 
   /** Blob → embedding feature extraction (stub): a 16-dim byte-histogram
     * embedding, L2-normalized, produced per partition. The output column is
@@ -151,5 +176,6 @@ object Blobs {
     "mm_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
-    "mm_embed" -> embedExplodedSql)
+    "mm_embed" -> embedExplodedSql,
+    "mm_frame_sample" -> frameSampleSql)
 }

@@ -104,8 +104,9 @@ object Text {
       .drop("words" +: stopwords.keys.toSeq.map("score_" + _): _*)
   }
 
-  /** Heuristic language ID over `documents`; rows-only check (not
-    * expressible as portable SQL). NOTE: the synthetic testdata's `lang`
+  /** Heuristic language ID over `documents`; oracle-checked against
+    * `langIdSql` (generated from the SAME stopword/diacritic/prior maps so
+    * the two sides cannot drift). NOTE: the synthetic testdata's `lang`
     * label is statistically independent of its text (one shared 31-word
     * English vocabulary for every label), so label accuracy is bounded by
     * the majority-class share; the classifier's real quality is measured on
@@ -114,6 +115,36 @@ object Text {
   def langId(spark: SparkSession, dir: String): DataFrame =
     classify(Tables.documents(spark, dir)).select(
       col("doc_id"), col("pred_lang"), col("lang").as("labeled_lang"))
+
+  /** DuckDB mirror of `classify`+`langId`: one UNION ALL branch per
+    * language computes the identical integer score (stopword hits via a
+    * list_filter lambda + diacritic / CJK counts; RE2 needs the explicit
+    * 'g' flag and \x{...} escapes where Java uses \u...), then the
+    * struct-GREATEST argmax becomes row_number() ORDER BY score DESC,
+    * prior DESC — priors are distinct so the winner is unique.
+    */
+  val langIdSql: String = {
+    val branches = stopwords.keys.toSeq.sorted.map { l =>
+      val inList = stopwords(l).map(w => s"'$w'").mkString(", ")
+      val hits = s"len(list_filter(string_split(text, ' '), w -> w IN ($inList)))"
+      val extra = l match {
+        case "zh" => " + 2 * length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))"
+        case _ => diacritics.get(l)
+          .map(re => s" + (length(text) - length(regexp_replace(text, '$re', '', 'g')))")
+          .getOrElse("")
+      }
+      s"  SELECT doc_id, lang, '$l' AS cand, ${prior(l)} AS prior, $hits$extra AS score FROM documents"
+    }
+    s"""WITH s AS (
+       |${branches.mkString("\n  UNION ALL\n")}
+       |)
+       |SELECT doc_id, cand AS pred_lang, lang AS labeled_lang
+       |FROM (SELECT doc_id, lang, cand,
+       |        row_number() OVER (PARTITION BY doc_id
+       |                           ORDER BY score DESC, prior DESC) AS rn
+       |      FROM s) t
+       |WHERE rn = 1""".stripMargin
+  }
 
   /** Token counting two ways: whitespace tokens and a BPE-ish pre-tokenizer
     * count (the regex families GPT-style tokenizers split on: letter runs /
@@ -200,5 +231,6 @@ object Text {
     "text_stats" -> statsSql,
     "text_quality" -> qualitySql,
     "text_token_count" -> tokenCountSql,
-    "text_fingerprint_md5" -> fingerprintMd5Sql)
+    "text_fingerprint_md5" -> fingerprintMd5Sql,
+    "text_lang_id" -> langIdSql)
 }
