@@ -285,6 +285,17 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"))
   }
 
+  /** ORACLE CAVEAT (round-3 advice, pinned here): this oracle is EXACT
+    * all-pairs cosine while the Spark side is LSH candidate generation +
+    * exact verify. The hash comparison therefore measures LSH recall
+    * directly — by design. With 24 tables × 2 planes the per-pair miss
+    * probability at τ=0.4 is (1−0.63²)²⁴ ≈ 5e-6 (deterministic per
+    * corpus/seed; green on sf0.001/0.01/0.1). If this row EVER goes red on
+    * a new corpus with exactly ONE missing pair whose cosine sits near τ,
+    * that is the designed probabilistic-recall tail, not a plan regression
+    * — raise nTables/planesPerTable rather than reverting to all-pairs.
+    * DedupRecallSpec asserts measured recall = 1.0 at test SF.
+    */
   val embeddingSql: String =
     """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

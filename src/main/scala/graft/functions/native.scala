@@ -37,5 +37,5 @@ object native {
   def hyperplaneBuckets(emb: Column, planes: Array[Double],
       nTables: Int, planesPerTable: Int): Column =
     ColumnBridge.column(HyperplaneBuckets(
-      ColumnBridge.expression(emb), planes, nTables, planesPerTable))
+      ColumnBridge.expression(emb), planes.toSeq, nTables, planesPerTable))
 }

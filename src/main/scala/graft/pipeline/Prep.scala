@@ -138,10 +138,15 @@ object Prep {
     * decontamination step every serious pretraining pipeline runs before
     * training.
     *
-    * Shape: distinct (doc, gram) per side, join on the gram, count per
-    * train doc. The eval side is tiny by construction → Spark broadcasts
-    * it, so the corpus-side scan never shuffles its grams; at 100 TB the
-    * eval set is still MBs and the broadcast still holds.
+    * Shape: the doc_id split filters push to the parquet scan BEFORE any
+    * explode, the tiny eval side is made distinct and broadcast, and the
+    * train side is joined raw — no full-corpus gram shuffle anywhere. The
+    * final countDistinct dedups per train doc, so only rows that actually
+    * matched an eval gram (a sliver of the corpus) ever reach a shuffle;
+    * at 100 TB the eval set is still MBs and the broadcast still holds.
+    * (An earlier shape ran distinct() over ALL corpus grams before the
+    * split — a full-corpus shuffle that cost 6s at sf0.1 and would be the
+    * job-killer at scale.)
     *
     * Both engines emit i in [1, max(len-2, 1)] and a 3-slice at i — the
     * greatest(...,1) floor keeps <3-word docs as one short gram on both
@@ -149,14 +154,14 @@ object Prep {
     * empty, so the floor is also a correctness guard).
     */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+    def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
           |  i -> array_join(slice(split(text, ' '), i, 3), ' '))""".stripMargin)).as("gram"))
-      .distinct()
-    val eval = grams.filter(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("eval_doc"), col("gram"))
-    val train = grams.filter(col("doc_id") % 97 =!= 0)
+    val docs = Tables.documents(spark, dir)
+    val eval = grams(docs.filter(col("doc_id") % 97 === 0))
+      .select(col("doc_id").as("eval_doc"), col("gram")).distinct()
+    val train = grams(docs.filter(col("doc_id") % 97 =!= 0))
     train.join(broadcast(eval), "gram")
       .groupBy(col("doc_id"))
       .agg(

@@ -319,14 +319,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * (transform + aggregate + zip_with) evaluates ~nTables×planesPerTable×dim
   * boxed lambdas per row; this is one tight loop nest inside
   * WholeStageCodegen.
+  *
+  * `planes` is a Seq (not Array) so case-class equality is structural —
+  * Array's identity equals/hashCode would defeat canonicalization /
+  * semanticEquals / common-subexpression elimination (round-3 advice).
   */
-case class HyperplaneBuckets(child: Expression, planes: Array[Double],
+case class HyperplaneBuckets(child: Expression, planes: Seq[Double],
     nTables: Int, planesPerTable: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
   private val dim: Int = planes.length / (nTables * planesPerTable)
   require(planes.length == nTables * planesPerTable * dim,
     "planes length must be nTables * planesPerTable * dim")
+  // hot-path/codegen view of the planes; the Seq stays the equality carrier
+  @transient private lazy val planesArr: Array[Double] = planes.toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -344,7 +350,7 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Double],
         val base = (t * planesPerTable + j) * dim
         var dot = 0.0
         var i = 0
-        while (i < n) { dot += x.getDouble(i) * planes(base + i); i += 1 }
+        while (i < n) { dot += x.getDouble(i) * planesArr(base + i); i += 1 }
         if (dot > 0) bucket |= (1L << j)
         j += 1
       }
@@ -355,7 +361,7 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Double],
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    val planesRef = ctx.addReferenceObj("planes", planesArr, "double[]")
     nullSafeCodeGen(ctx, ev, c => {
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")

@@ -61,6 +61,18 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("HyperplaneBuckets equality is structural, not identity (CSE-safe)") {
+    import org.apache.spark.sql.graft.{ColumnBridge, HyperplaneBuckets}
+    val planesA = Seq(1.0, -2.0, 0.5, 3.0)
+    val planesB = Seq(1.0, -2.0, 0.5, 3.0) // distinct instance, same values
+    val child = ColumnBridge.expression(col("emb"))
+    val ea = HyperplaneBuckets(child, planesA, 2, 2)
+    val eb = HyperplaneBuckets(child, planesB, 2, 2)
+    assert(ea == eb, "semantically identical instances must compare equal")
+    assert(ea.hashCode == eb.hashCode, "hashCode must agree for CSE buckets")
+    assert(ea.semanticEquals(eb))
+  }
+
   test("rollingHash is deterministic and content-sensitive") {
     import spark.implicits._
     val df = Seq("hello world", "hello world", "hello worlD").toDF("text")

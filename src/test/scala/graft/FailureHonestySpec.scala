@@ -37,11 +37,30 @@ class FailureHonestySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("Bench.timeAll records the broken query as failed, never as a timing") {
     val results = Bench.timeAll(spark, poisoned, sf, samples = 1, maxSamples = 2)
-    val byName = results.map(r => r._1 -> r).toMap
-    val (_, brokenTimes, brokenErr) = byName("broken_query")
-    assert(brokenTimes.isEmpty, s"broken query must have no timings: $brokenTimes")
-    assert(brokenErr.isDefined, "broken query must carry its error")
-    val (_, goodTimes, goodErr) = byName("good_query")
-    assert(goodTimes.nonEmpty && goodErr.isEmpty, s"good query must time cleanly: $goodTimes $goodErr")
+    val byName = results.map(r => r.name -> r).toMap
+    val broken = byName("broken_query")
+    assert(broken.failed && broken.timings.isEmpty,
+      s"broken query must have no timings: $broken")
+    assert(broken.error.isDefined, "broken query must carry its error")
+    assert(broken.attempts >= 1, "attempt count must reflect real attempts")
+    val good = byName("good_query")
+    assert(good.timings.nonEmpty && good.error.isEmpty && !good.flaky,
+      s"good query must time cleanly: $good")
+    assert(good.attempts == good.timings.size, "clean query: attempts == timings")
+  }
+
+  test("Bench.jcompact emits short valid JSON numbers at every magnitude") {
+    val cases = Seq(
+      0.0 -> "0", 0.0004 -> "0", 0.013 -> "0.013", 0.1 -> "0.1",
+      0.104 -> "0.104", 1.0 -> "1", 6.164 -> "6.16", 16.009 -> "16",
+      123.4 -> "123", Double.NaN -> "0")
+    cases.foreach { case (in, want) =>
+      assert(Bench.jcompact(in) == want, s"jcompact($in)")
+    }
+    // every output must be ≤6 chars for sub-100s values — the stdout line
+    // budget (driver tail window = 2000 chars) depends on it
+    Seq(0.001, 0.0999, 0.9994, 9.99, 99.9).foreach { d =>
+      assert(Bench.jcompact(d).length <= 6, s"jcompact($d) too long")
+    }
   }
 }
