@@ -314,7 +314,32 @@ object RelationalExt {
       |  COALESCE(n_excess, 0) AS n_excess, COALESCE(n_common, 0) AS n_common
       |FROM ea FULL OUTER JOIN ia ON ea.nationkey = ia.nationkey""".stripMargin
 
+  /** LATERAL correlated subquery — top-2 customers by balance per nation,
+    * exercised through the SQL parser (the DataFrame API cannot express a
+    * correlated derived table). Catalyst decorrelates the LIMIT'd lateral
+    * into a window-rank join, so at scale it runs as one shuffle on the
+    * correlation key, not a per-nation re-scan.
+    */
+  def lateralTop(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_lt")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_lt")
+    spark.sql(
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation_lt n JOIN LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer_lt c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin)
+  }
+
+  val lateralTopSql: String =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lateral" -> (lateralTop _),
     "q_exists" -> (existsSubquery _),
     "q_set_ops_all" -> (exceptIntersectAll _),
     "q_merge_upsert" -> (mergeUpsert _),
@@ -333,6 +358,7 @@ object RelationalExt {
     "q_null_handling" -> (nullHandling _))
 
   val oracles: Map[String, String] = Map(
+    "q_lateral" -> lateralTopSql,
     "q_exists" -> existsSubquerySql,
     "q_set_ops_all" -> exceptIntersectAllSql,
     "q_merge_upsert" -> mergeUpsertSql,

@@ -133,6 +133,33 @@ object Prep {
        | MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
        |FROM documents GROUP BY 1""".stripMargin
 
+  /** Deterministic train/val/test split + per-(split, lang) audit. The
+    * split derives from md5(doc_id) — reproducible across engines, retries,
+    * and re-partitioning, and uncorrelated with ingestion order (a doc_id
+    * range split would inherit temporal drift). Byte thresholds 245/250 of
+    * 256 ≈ 95.7% / 2% / 2.3%. One map stage + one bounded-cardinality agg.
+    */
+  def docSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), nTokens.as("n_tokens"),
+        when(md5Byte0 < 245, "train").when(md5Byte0 < 250, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("split"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("split_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+
+  val docSplitSql: String =
+    s"""SELECT CASE WHEN b < 245 THEN 'train' WHEN b < 250 THEN 'val'
+       |  ELSE 'test' END AS split, lang,
+       | COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS split_tokens,
+       | MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM (SELECT doc_id, lang, ($md5Byte0Sql) AS b, $nTokensSql AS nt
+       |      FROM documents)
+       |GROUP BY 1, 2""".stripMargin
+
   /** Eval-set contamination check: which training documents share a word
     * 3-gram with a held-out eval split (here doc_id % 97 == 0)? The
     * decontamination step every serious pretraining pipeline runs before
@@ -246,6 +273,7 @@ object Prep {
     "sample_stratified" -> (sampleStratified _),
     "text_normalize" -> (textNormalize _),
     "doc_shard_assign" -> (shardAssign _),
+    "doc_split" -> (docSplit _),
     "text_contamination" -> (contamination _),
     "mixture_weights" -> (mixtureWeights _),
     "doc_length_trim" -> (lengthTrim _))
@@ -255,6 +283,7 @@ object Prep {
     "sample_stratified" -> sampleStratifiedSql,
     "text_normalize" -> textNormalizeSql,
     "doc_shard_assign" -> shardAssignSql,
+    "doc_split" -> docSplitSql,
     "text_contamination" -> contaminationSql,
     "mixture_weights" -> mixtureWeightsSql,
     "doc_length_trim" -> lengthTrimSql)

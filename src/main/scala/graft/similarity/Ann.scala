@@ -154,13 +154,73 @@ object Ann {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Range similarity search: ALL neighbors with cosine ≥ τ for each query
+    * vector (vec_id % 100 == 0) — the "fixed radius" dual of top-k, used
+    * for near-duplicate expansion and label propagation seeds. The query
+    * side stays a broadcast at any corpus size (queries are a fixed panel);
+    * the corpus streams through one scan, exactly like `topk`, and the
+    * τ-filter keeps the output proportional to true neighbor density.
+    */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("ea"))
+    broadcast(q).join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", native.cosineSim(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.3)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  val rangeSearchSql: String =
+    """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |FROM embeddings q JOIN embeddings c
+      |  ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+      |WHERE list_cosine_similarity(q.embedding, c.embedding) >= 0.3""".stripMargin
+
+  /** Symmetric int8 quantization of the embedding column — the compression
+    * step before shipping vectors to an ANN index or a trainer. Per vector:
+    * scale (ppm of max |x|), and the exact integer sums / saturation count
+    * of the quantized codes q = floor(x·127/max|x| + 0.5). Pure map stage
+    * (no shuffle); the oracle mirrors the IEEE expression shape exactly —
+    * both engines widen the float, multiply, divide, and floor in the same
+    * order, so the integer outputs match bit-for-bit.
+    */
+  def quantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("maxabs", expr("greatest(array_max(transform(emb, x -> abs(x))), 1e-12d)"))
+      .select(
+        col("vec_id"),
+        expr("cast(floor(maxabs * 1000000.0 + 0.5) as bigint)").as("scale_ppm"),
+        expr("aggregate(emb, cast(0 as bigint), (acc, x) -> acc + cast(floor(x * 127.0 / maxabs + 0.5) as bigint))").as("q_sum"),
+        expr("aggregate(emb, cast(0 as bigint), (acc, x) -> acc + abs(cast(floor(x * 127.0 / maxabs + 0.5) as bigint)))").as("q_abs_sum"),
+        expr("aggregate(emb, cast(0 as bigint), (acc, x) -> acc + if(abs(cast(floor(x * 127.0 / maxabs + 0.5) as bigint)) = 127, cast(1 as bigint), cast(0 as bigint)))").as("n_sat"))
+
+  val quantizeSql: String =
+    """WITH b AS (
+      | SELECT vec_id, embedding AS emb,
+      |  greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS maxabs
+      | FROM embeddings)
+      |SELECT vec_id,
+      | CAST(floor(maxabs * 1000000.0 + 0.5) AS BIGINT) AS scale_ppm,
+      | CAST(list_sum(list_transform(emb, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS BIGINT))) AS BIGINT) AS q_sum,
+      | CAST(list_sum(list_transform(emb, x -> abs(CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS BIGINT)))) AS BIGINT) AS q_abs_sum,
+      | CAST(list_sum(list_transform(emb, x -> CASE WHEN abs(CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS BIGINT)) = 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_sat
+      |FROM b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_ivf" -> (topkIvf _),
     "ann_topk" -> (topk _),
     "ann_topk_lsh" -> (topkLsh _),
+    "ann_range" -> (rangeSearch _),
+    "emb_quant" -> (quantize _),
     "emb_centroids" -> (labelCentroids _))
 
   val oracles: Map[String, String] = Map(
     "ann_topk" -> topkSql,
+    "ann_range" -> rangeSearchSql,
+    "emb_quant" -> quantizeSql,
     "emb_centroids" -> labelCentroidsSql)
 }

@@ -217,7 +217,44 @@ object Text {
       | FROM tf t JOIN df d USING (term)) x
       |WHERE rnk <= 3""".stripMargin
 
+  /** Intra-document repetition profile (Gopher-style repetition filters):
+    * duplicate-word fraction and duplicate-2-gram fraction per document.
+    * Everything is computed INSIDE the row with array functions — no
+    * explode, no shuffle, one codegen pass; at 100 TB this is a pure map
+    * stage. (The cross-document analogue is the dedup family.)
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("g2", expr(
+        "transform(sequence(1, greatest(size(w) - 1, 1)), i -> array_join(slice(w, i, 2), ' '))"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("bigint").as("n_words"),
+        size(array_distinct(col("w"))).cast("bigint").as("n_distinct_words"),
+        expr("cast(size(w) - size(array_distinct(w)) as double) / size(w)")
+          .as("dup_word_frac"),
+        expr("cast(size(g2) - size(array_distinct(g2)) as double) / size(g2)")
+          .as("dup_2gram_frac"))
+
+  /** DuckDB mirror of `repetition`: list_distinct/list slicing instead of
+    * array_distinct/slice; the greatest(...,1) floor keeps 1-word docs as a
+    * single short gram on both sides.
+    */
+  val repetitionSql: String =
+    """WITH b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, w,
+      |  list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+      |    i -> array_to_string(w[i:i+1], ' ')) AS g2 FROM b)
+      |SELECT doc_id,
+      | CAST(len(w) AS BIGINT) AS n_words,
+      | CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+      | CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_frac,
+      | CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup_2gram_frac
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rep" -> (repetition _),
     "text_top_terms" -> (topTerms _),
     "text_stats" -> (stats _),
     "text_quality" -> (quality _),
@@ -227,6 +264,7 @@ object Text {
     "text_fingerprint" -> (fingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "text_rep" -> repetitionSql,
     "text_top_terms" -> topTermsSql,
     "text_stats" -> statsSql,
     "text_quality" -> qualitySql,

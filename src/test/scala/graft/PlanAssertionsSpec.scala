@@ -119,6 +119,31 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(p2.contains("partial_count"), s"shard manifest must map-side combine: $p2")
   }
 
+  test("text_rep / emb_quant: pure map stages, zero exchanges") {
+    for (q <- Seq("text_rep", "emb_quant")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle: $p")
+    }
+  }
+
+  test("ann_range: query panel broadcasts, corpus side never shuffles") {
+    val p = planOf("ann_range")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), s"corpus shuffled: $p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("doc_split: map-side combine before the bounded-cardinality agg") {
+    val p = planOf("doc_split").split("== Initial Plan ==")(0)
+    assert(p.contains("partial_count"), s"split audit must map-side combine: $p")
+  }
+
+  test("q_lateral: correlated LIMIT decorrelates — no per-row re-scan join") {
+    val p = planOf("q_lateral")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop lateral: $p")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     for (q <- Seq("q1_pricing_summary", "q6_revenue_forecast", "ref_aggregation")) {
       // "*(n)" prefixes mark WholeStageCodegen spans in compact plan strings
