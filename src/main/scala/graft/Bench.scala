@@ -228,6 +228,10 @@ object Bench {
       "throughput" -> tp,
       "detail" -> jstr("bench_detail.json"),
       "sf" -> jstr(sfDir))))
+    Console.out.flush()
+    // shutdown logs route through sbt's logger and could land AFTER the
+    // JSON line in a tail-capture — silence them so the line stays last
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
   }
 }

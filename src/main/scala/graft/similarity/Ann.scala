@@ -210,7 +210,56 @@ object Ann {
       | CAST(list_sum(list_transform(emb, x -> CASE WHEN abs(CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS BIGINT)) = 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_sat
       |FROM b""".stripMargin
 
+  /** Nearest-centroid label assignment — the label-quality audit: assign
+    * every vector to the closest per-label centroid and report the distance,
+    * so disagreements (pred_label ≠ label) surface mislabeled or boundary
+    * vectors. All arithmetic is exact integers: coordinates quantize to
+    * round(x·1e6) (the proven emb_centroids scheme), the centroid rounds via
+    * floor(sum/n + 0.5) — identical IEEE shape in both engines — and the
+    * distance is an order-independent BIGINT sum of squared diffs, so the
+    * argmin is hash-exact. Scale shape: the centroid table is labels×dims
+    * (tiny, broadcast); the corpus explodes once, joins broadcast, and
+    * aggregates map-side — no all-pairs anything.
+    */
+  def assignCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "label", "dim", "v")
+      .withColumn("xi", round(col("v") * 1000000.0).cast("long"))
+    val cent = x.groupBy(col("label").as("c_label"), col("dim"))
+      .agg(sum(col("xi")).as("csum"), count(lit(1)).as("n"))
+      .select(col("c_label"), col("dim"),
+        expr("cast(floor(cast(csum as double) / n + 0.5) as bigint)").as("cq"))
+    val dists = x.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("label"), col("c_label"))
+      .agg(sum(expr("(xi - cq) * (xi - cq)")).as("dist_sq"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist_sq"), col("c_label"))
+    dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("pred_label"), col("label"),
+        col("dist_sq"), (col("c_label") === col("label")).as("agrees"))
+  }
+
+  val assignCentroidsSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, label, i - 1 AS dim,
+      |         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+      |c AS (
+      |  SELECT label AS c_label, dim,
+      |         CAST(floor(CAST(SUM(xi) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
+      |  FROM x GROUP BY 1, 2),
+      |d AS (
+      |  SELECT x.vec_id, x.label, c.c_label,
+      |         CAST(SUM((xi - cq) * (xi - cq)) AS BIGINT) AS dist_sq
+      |  FROM x JOIN c ON x.dim = c.dim GROUP BY 1, 2, 3)
+      |SELECT vec_id, c_label AS pred_label, label, dist_sq,
+      |       c_label = label AS agrees
+      |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY dist_sq, c_label) AS rn FROM d) t
+      |WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_assign" -> (assignCentroids _),
     "ann_topk_ivf" -> (topkIvf _),
     "ann_topk" -> (topk _),
     "ann_topk_lsh" -> (topkLsh _),
@@ -219,6 +268,7 @@ object Ann {
     "emb_centroids" -> (labelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "emb_assign" -> assignCentroidsSql,
     "ann_topk" -> topkSql,
     "ann_range" -> rangeSearchSql,
     "emb_quant" -> quantizeSql,

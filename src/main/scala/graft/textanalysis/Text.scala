@@ -253,8 +253,43 @@ object Text {
       | CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup_2gram_frac
       |FROM g""".stripMargin
 
+  /** Corpus-frequency rarity scoring — the cheap stand-in for LM perplexity
+    * in quality filtering: a document full of rare words scores high, boiler-
+    * plate scores low. Pass 1 aggregates the corpus unigram table (vocab-
+    * bounded → broadcast); pass 2 scores each token as TOTAL div cnt(word)
+    * in exact integer arithmetic (a float -log p would differ across libm
+    * builds; integer ratios hash-match any engine). At 100 TB the unigram
+    * table is capped to a top-K vocab + OOV bucket before broadcast — the
+    * standard dial; this corpus's vocab is tiny so no cap is needed.
+    */
+  def rarity(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val cnt = tok.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val tot = cnt.agg(sum(col("cnt")).as("total"))
+    tok.join(broadcast(cnt), "word")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(expr("total div cnt")).as("rarity_sum"))
+      .withColumn("avg_rarity", expr("rarity_sum div n_words"))
+  }
+
+  val raritySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |cnt AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnt)
+      |SELECT doc_id, COUNT(*) AS n_words,
+      | CAST(SUM(total // cnt) AS BIGINT) AS rarity_sum,
+      | CAST(SUM(total // cnt) AS BIGINT) // COUNT(*) AS avg_rarity
+      |FROM tok JOIN cnt USING (word), tot
+      |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_rep" -> (repetition _),
+    "text_rarity" -> (rarity _),
     "text_top_terms" -> (topTerms _),
     "text_stats" -> (stats _),
     "text_quality" -> (quality _),
@@ -265,6 +300,7 @@ object Text {
 
   val oracles: Map[String, String] = Map(
     "text_rep" -> repetitionSql,
+    "text_rarity" -> raritySql,
     "text_top_terms" -> topTermsSql,
     "text_stats" -> statsSql,
     "text_quality" -> qualitySql,

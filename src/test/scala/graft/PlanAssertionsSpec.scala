@@ -144,6 +144,18 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop lateral: $p")
   }
 
+  test("text_rarity: unigram table broadcasts back onto the token stream") {
+    val p = planOf("text_rarity")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"vocab join must broadcast: $p")
+  }
+
+  test("emb_assign: centroid table broadcasts; distance agg map-side combines") {
+    val p = planOf("emb_assign").split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), s"distance sum must map-side combine: $p")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     for (q <- Seq("q1_pricing_summary", "q6_revenue_forecast", "ref_aggregation")) {
       // "*(n)" prefixes mark WholeStageCodegen spans in compact plan strings
