@@ -258,7 +258,61 @@ object Analytics {
       |  ORDER BY date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
       |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** UNPIVOT — wide measure columns to (measure, val) rows, via the native
+    * Dataset.unpivot operator (Spark's melt). The input is a 3-row exact-
+    * cents aggregate, so the unpivot itself is plan-trivial; what's checked
+    * is the measure-name/value pairing against DuckDB's UNPIVOT.
+    */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        centsSum(col("l_extendedprice")).as("sum_price"),
+        centsSum(col("l_discount")).as("sum_discount"),
+        centsSum(col("l_quantity")).as("sum_qty"))
+    wide.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("sum_price"), col("sum_discount"), col("sum_qty")),
+      "measure", "val")
+  }
+
+  val unpivotMeasuresSql: String =
+    s"""WITH a AS (
+       | SELECT l_returnflag,
+       |  ${centsSumSql("l_extendedprice")} AS sum_price,
+       |  ${centsSumSql("l_discount")} AS sum_discount,
+       |  ${centsSumSql("l_quantity")} AS sum_qty
+       | FROM lineitem GROUP BY 1)
+       |UNPIVOT a ON sum_price, sum_discount, sum_qty
+       |INTO NAME measure VALUE val""".stripMargin
+
+  /** Distribution windows — percent_rank / cume_dist / ntile(10) per order
+    * status. The ratios are exact rationals of small integers, so the
+    * doubles match across engines bit-for-bit; ties broken by orderkey so
+    * rank functions are deterministic.
+    */
+  def windowDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      ntile(10).over(w).cast("bigint").as("decile"))
+  }
+
+  val windowDistSql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      | percent_rank() OVER w AS pct_rank,
+      | cume_dist() OVER w AS cume,
+      | CAST(ntile(10) OVER w AS BIGINT) AS decile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |             ORDER BY o_totalprice, o_orderkey)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> (unpivotMeasures _),
+    "q_window_dist" -> (windowDist _),
     "q_window_range" -> (windowRange _),
     "q_lead_lag" -> (leadLag _),
     "q_grouping_sets" -> (groupingSets _),
@@ -270,6 +324,8 @@ object Analytics {
     "q_string_funcs2" -> (stringFuncs2 _))
 
   val oracles: Map[String, String] = Map(
+    "q_unpivot" -> unpivotMeasuresSql,
+    "q_window_dist" -> windowDistSql,
     "q_window_range" -> windowRangeSql,
     "q_lead_lag" -> leadLagSql,
     "q_grouping_sets" -> groupingSetsSql,

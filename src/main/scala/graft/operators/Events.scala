@@ -210,7 +210,73 @@ object Events {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_sampled"))
 
+  /** Conversion funnel with a 1-day window per stage: first view → first
+    * click within 24h → first purchase within 24h of that click, counted
+    * per user then collapsed to stage totals. Every stage is a per-user
+    * aggregate or a co-partitioned join on user_id, so the whole funnel
+    * runs in user-hash space — no window over the global event stream, no
+    * cross-user data movement beyond the initial hash. The classic product-
+    * analytics query, and at 100 TB exactly the shape you want: AQE sees
+    * the same key on every shuffle and keeps the joins co-located.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000L // 24h in micros
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val v = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts_us"))).as("v"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts_us") > col("v") && col("ts_us") <= col("v") + day)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("c"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts_us") > col("c") && col("ts_us") <= col("c") + day)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("p"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("v")).as("n_view"),
+        count(col("c")).as("n_click_24h"),
+        count(col("p")).as("n_purchase_24h"))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |v AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS v
+      |      FROM e GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(ts_us) AS c FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ts_us > v
+      |        AND ts_us <= v + 86400000000 GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(ts_us) AS p FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ts_us > c.c
+      |        AND ts_us <= c.c + 86400000000 GROUP BY 1)
+      |SELECT COUNT(*) AS n_users, COUNT(v.v) AS n_view,
+      |       COUNT(c.c) AS n_click_24h, COUNT(p.p) AS n_purchase_24h
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin
+
+  /** Cohort retention: users bucketed by first-activity day, then distinct
+    * active users per (cohort_day, activity_day) — the retention triangle.
+    * Days derive from integer division of epoch micros (exact, engine-
+    * portable). Shape: one agg + one co-partitioned join on user_id, then
+    * a bounded (days × days) aggregate.
+    */
+  def cohort(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(first, "user_id")
+      .groupBy(col("cohort_day"), col("day"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  val cohortSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
+      |SELECT cohort_day, day, COUNT(DISTINCT e.user_id) AS n_active
+      |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (funnel _),
+    "q_cohort" -> (cohort _),
     "q_json_extract" -> (jsonExtract _),
     "q_approx_agg" -> (approxAgg _),
     "q_sample_agg" -> (sampleAgg _),
@@ -222,6 +288,8 @@ object Events {
     "q_asof_join" -> (asofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_funnel" -> funnelSql,
+    "q_cohort" -> cohortSql,
     "q_json_extract" -> jsonExtractSql,
     "ref_full_scan" -> refFullScanSql,
     "ref_filter" -> refFilterSql,
