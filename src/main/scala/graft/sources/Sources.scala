@@ -32,6 +32,16 @@ object Sources {
   def jsonLines(spark: SparkSession, uri: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(uri)
 
+  /** ORC — the other self-describing columnar format Spark reads
+    * vectorized; same predicate-pushdown/column-pruning seam as parquet.
+    */
+  def orc(spark: SparkSession, uri: String): DataFrame =
+    spark.read.orc(uri)
+
+  def writeOrc(df: DataFrame, uri: String,
+      compression: String = "zstd"): Unit =
+    df.write.mode("overwrite").option("compression", compression).orc(uri)
+
   /** Parquet writer with the layout knobs that matter at scale:
     * `partitionCols` → directory pruning, `zstd` → scan-bound IO savings.
     */

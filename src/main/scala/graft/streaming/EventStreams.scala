@@ -113,6 +113,66 @@ object EventStreams {
     if (!fs.exists(dir)) batch.write.mode("errorifexists").parquet(dir.toString)
   }
 
+  case class FunnelState(viewUs: Long, clickUs: Long)
+
+  case class StageAdvance(user_id: Long, stage: String, at_us: Long)
+
+  /** Stateful streaming funnel via flatMapGroupsWithState — the incremental
+    * mirror of batch `Events.funnel`: per user, the first view opens the
+    * funnel, the first click within 24h of that view advances it, the first
+    * purchase within 24h of that click completes it. A StageAdvance row is
+    * emitted the moment each stage is reached, so downstream conversion
+    * dashboards update per micro-batch instead of per nightly batch job.
+    *
+    * State is ONE tiny record per in-flight user, keyed by user_id (the
+    * same one-shuffle layout as sessionize); a completed funnel removes its
+    * state, and an event-time timeout at the current stage's 24h deadline
+    * removes dead funnels, so the state store stays bounded by the number
+    * of users active inside a 24h horizon — never stream history. Within a
+    * micro-batch, rows sort by event time, so intra-batch disorder cannot
+    * mis-order stages; cross-batch lateness is bounded by the watermark.
+    */
+  def funnelStream(events: Dataset[Event], windowUs: Long = 86400000000L): Dataset[StageAdvance] = {
+    import events.sparkSession.implicits._
+
+    def advance(userId: Long, rows: Iterator[Event],
+        state: GroupState[FunnelState]): Iterator[StageAdvance] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val out = scala.collection.mutable.ListBuffer[StageAdvance]()
+      var s = state.getOption.getOrElse(FunnelState(-1L, -1L))
+      var done = false
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val tUs = e.ts.getTime * 1000L
+        if (!done) e.event_type match {
+          case "view" if s.viewUs < 0 =>
+            s = s.copy(viewUs = tUs)
+            out += StageAdvance(userId, "view", tUs)
+          case "click" if s.viewUs >= 0 && s.clickUs < 0 &&
+              tUs > s.viewUs && tUs <= s.viewUs + windowUs =>
+            s = s.copy(clickUs = tUs)
+            out += StageAdvance(userId, "click", tUs)
+          case "purchase" if s.clickUs >= 0 &&
+              tUs > s.clickUs && tUs <= s.clickUs + windowUs =>
+            out += StageAdvance(userId, "purchase", tUs)
+            done = true
+          case _ => ()
+        }
+      }
+      if (done || (s.viewUs < 0)) state.remove()
+      else {
+        state.update(s)
+        val deadlineUs = (if (s.clickUs >= 0) s.clickUs else s.viewUs) + windowUs
+        state.setTimeoutTimestamp(deadlineUs / 1000L)
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(advance)
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState (streaming mirror of
     * `Events.sessionize`): 30-min inactivity gap, event-time timeout closes
     * sessions once the watermark passes start+gap.

@@ -54,6 +54,19 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       Tables.documents(spark, sf).filter(col("lang") === "zh").count())
   }
 
+  test("orc round trip preserves rows; filter pushes to the ORC scan") {
+    val tmp = Files.createTempDirectory("graft_orc").toString + "/orders"
+    val orders = Tables.orders(spark, sf)
+    Sources.writeOrc(orders, tmp)
+    val back = Sources.orc(spark, tmp)
+    assert(back.count() == orders.count())
+    val q = back.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    assert(q.count() == orders.filter(col("o_orderstatus") === "F").count())
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"ORC scan must receive the pushed filter: $scan")
+  }
+
   test("object-store seam: non-file URI schemes resolve through Hadoop-FS config") {
     // The reference ships pluggable object stores (file.rs / s3/mod.rs); the
     // Spark-native seam is Hadoop FileSystem scheme resolution — a scheme is

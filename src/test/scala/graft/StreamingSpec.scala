@@ -248,4 +248,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(1).n_events == 1 && got(1).duration_us == 0L)
     } finally q.stop()
   }
+
+  test("streaming funnel advances stages in order and enforces the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // 60-min stage window so the test data stays readable
+    val q = EventStreams.funnelStream(input.toDS(), windowUs = 3600000000L)
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      // batch 1, deliberately out of arrival order: click@20 arrives before
+      // view@10 — event-time sorting inside the batch must fix the order.
+      // user 3 clicks with no prior view: no advance.
+      input.addData(
+        Event(1, ts(20), 1, "click", 1.0),
+        Event(2, ts(10), 1, "view", 1.0),
+        Event(3, ts(15), 2, "view", 1.0),
+        Event(4, ts(30), 3, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases 30 min after the click (inside window);
+      // user 2 clicks 85 min after the view (outside window -> no advance)
+      input.addData(
+        Event(5, ts(50), 1, "purchase", 5.0),
+        Event(6, ts(100), 2, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("funnel").as[EventStreams.StageAdvance]
+        .collect().map(a => (a.user_id, a.stage, a.at_us)).toSet
+      def us(m: Long): Long = (86400000L + m * 60000L) * 1000L
+      val want = Set(
+        (1L, "view", us(10)), (1L, "click", us(20)), (1L, "purchase", us(50)),
+        (2L, "view", us(15)))
+      assert(got == want, s"got $got")
+    } finally q.stop()
+  }
 }
