@@ -359,7 +359,55 @@ object Dedup {
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
   }
 
+  /** Connected components over the EXACT cosine near-dup graph (the
+    * `embedding` pairs, whose LSH+verify plan is itself oracle-proven equal
+    * to all-pairs) — aggregated to (cluster, size, min/max member). Unlike
+    * `clusters` (whose MinHash edge set is engine-specific → rows-only),
+    * this edge set is engine-portable, so the component structure itself is
+    * hash-checked against a recursive-CTE min-label-propagation oracle: the
+    * first correctness-gated connected components in the suite. Same
+    * fixpoint machinery, same one-shuffle-per-round scale shape.
+    */
+  def embeddingClusters(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the LSH+verify pair plan ONCE: it feeds the vertex union
+    // and the bidirectional edge union, which would otherwise re-run the
+    // whole candidate-generation pipeline 4x (measured 3.7s -> 95s in a
+    // cold 4-thread session before this checkpoint)
+    val pairs = embedding(spark, dir)
+      .select(col("vec_a").as("id_a"), col("vec_b").as("id_b"))
+      .localCheckpoint()
+    val verts = pairs.select(col("id_a").as("doc_id"))
+      .unionAll(pairs.select(col("id_b").as("doc_id"))).distinct()
+    connectedComponents(verts, pairs)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("min_member"),
+        max(col("doc_id")).as("max_member"))
+  }
+
+  /** DuckDB mirror: min-label propagation as a recursive CTE. The UNION
+    * (set) semantics dedup (v, l) pairs, labels only ever shrink, so the
+    * recursion reaches the same fixpoint the Spark loop does.
+    */
+  val embeddingClustersSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+      |edges AS (
+      |  SELECT va AS v, vb AS w FROM pairs UNION ALL SELECT vb, va FROM pairs),
+      |lbl(v, l) AS (
+      |  SELECT DISTINCT v, v FROM edges
+      |  UNION
+      |  SELECT e.v, lbl.l FROM edges e JOIN lbl ON lbl.v = e.w WHERE lbl.l < e.v
+      |)
+      |SELECT l AS cluster_id, COUNT(*) AS n_members,
+      |       MIN(v) AS min_member, MAX(v) AS max_member
+      |FROM (SELECT v, MIN(l) AS l FROM lbl GROUP BY v) t
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cc" -> (embeddingClusters _),
     "dedup_clusters" -> (clusters _),
     "dedup_exact" -> (exact _),
     "dedup_exact_hash" -> (exactHash _),
@@ -369,6 +417,7 @@ object Dedup {
     "dedup_embedding" -> (embedding _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_cc" -> embeddingClustersSql,
     "dedup_exact" -> exactSql,
     "dedup_exact_hash" -> exactHashSql,
     "dedup_embedding" -> embeddingSql,
