@@ -274,7 +274,36 @@ object Events {
       |SELECT cohort_day, day, COUNT(DISTINCT e.user_id) AS n_active
       |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
 
+  /** Time-series gap filling: hourly error counts on a dense hour spine —
+    * missing hours become explicit zeros (dashboards and anomaly detectors
+    * need the gaps as rows, not absences). The spine generates from the
+    * 1-row bounds aggregate via sequence+explode, so its size is bounded by
+    * the TIME RANGE, never the event volume; the hourly agg is the only
+    * data-proportional stage and it map-side combines.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.events(spark, dir).filter(col("event_type") === "error")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      .agg(count(lit(1)).as("n"))
+    val spine = h.agg(min(col("hour_epoch")).as("lo"), max(col("hour_epoch")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_epoch"))
+    spine.join(h, Seq("hour_epoch"), "left")
+      .select(col("hour_epoch"), coalesce(col("n"), lit(0L)).as("n_errors"))
+  }
+
+  val gapFillSql: String =
+    """WITH h AS (
+      |  SELECT CAST(epoch(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,
+      |         COUNT(*) AS n
+      |  FROM events WHERE event_type = 'error' GROUP BY 1),
+      |bounds AS (SELECT MIN(hour_epoch) AS lo, MAX(hour_epoch) AS hi FROM h),
+      |spine AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_epoch
+      |          FROM bounds)
+      |SELECT s.hour_epoch, COALESCE(h.n, 0) AS n_errors
+      |FROM spine s LEFT JOIN h USING (hour_epoch)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gapfill" -> (gapFill _),
     "q_funnel" -> (funnel _),
     "q_cohort" -> (cohort _),
     "q_json_extract" -> (jsonExtract _),
@@ -288,6 +317,7 @@ object Events {
     "q_asof_join" -> (asofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_gapfill" -> gapFillSql,
     "q_funnel" -> funnelSql,
     "q_cohort" -> cohortSql,
     "q_json_extract" -> jsonExtractSql,

@@ -338,7 +338,34 @@ object RelationalExt {
       |  WHERE c.c_nationkey = n.n_nationkey
       |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin
 
+  /** SCD2 (slowly-changing-dimension type 2) history build: a change feed
+    * (orders per customer, ordered by date) becomes versioned rows with
+    * [valid_from, valid_to) ranges and an is_current flag — the standard
+    * warehouse pattern for tracking attribute history. One window over the
+    * natural key; epoch-day integers keep the ranges engine-exact.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("bigint")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"), day.as("valid_from_day"),
+      lead(day, 1).over(w).as("valid_to_day"),
+      lead(col("o_orderkey"), 1).over(w).isNull.as("is_current"))
+  }
+
+  val scd2Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      | date_diff('day', DATE '1970-01-01', o_orderdate) AS valid_from_day,
+      | lead(date_diff('day', DATE '1970-01-01', o_orderdate))
+      |   OVER w AS valid_to_day,
+      | lead(o_orderkey) OVER w IS NULL AS is_current
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> (scd2 _),
     "q_lateral" -> (lateralTop _),
     "q_exists" -> (existsSubquery _),
     "q_set_ops_all" -> (exceptIntersectAll _),
@@ -358,6 +385,7 @@ object RelationalExt {
     "q_null_handling" -> (nullHandling _))
 
   val oracles: Map[String, String] = Map(
+    "q_scd2" -> scd2Sql,
     "q_lateral" -> lateralTopSql,
     "q_exists" -> existsSubquerySql,
     "q_set_ops_all" -> exceptIntersectAllSql,
