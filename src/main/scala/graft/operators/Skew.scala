@@ -46,9 +46,29 @@ object Skew {
        |FROM events JOIN customer ON user_id = c_custkey
        |GROUP BY c_nationkey""".stripMargin
 
+  /** Skew-proof distinct counting: `COUNT(DISTINCT user_id)` over a
+    * low-cardinality group key would hash every row of a hot group to ONE
+    * reducer; the two-stage form first distincts on (group, user) — the
+    * shuffle spreads over the full composite key space — then counts the
+    * deduped pairs per group. Same result (the oracle is the plain
+    * COUNT(DISTINCT)), but no task ever holds a whole group. The canonical
+    * rewrite for distinct aggregation under power-law keys at 100 TB.
+    */
+  def distinctSkew(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+
+  val distinctSkewSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_salted_join" -> (saltedJoinQuery _))
+    "q_salted_join" -> (saltedJoinQuery _),
+    "q_distinct_skew" -> (distinctSkew _))
 
   val oracles: Map[String, String] = Map(
-    "q_salted_join" -> saltedJoinSql)
+    "q_salted_join" -> saltedJoinSql,
+    "q_distinct_skew" -> distinctSkewSql)
 }
