@@ -99,12 +99,16 @@ object Ann {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("features", array_to_vector(col("emb")))
-    // cache scoped to the iterative KMeans fit only: unpersist immediately
-    // after so no blocks leak into the shared session (the downstream query
-    // re-reads parquet once — cheaper than leaving dead blocks resident)
-    e.persist()
-    val model = try new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(e)
-      finally e.unpersist(blocking = false)
+    // The quantizer fits on a 50% SAMPLE: KMeans is iterative (many passes
+    // over its input), and at 100 TB you never run those passes over the
+    // full corpus — a sample bounds the fit cost while centroids converge
+    // to the same cells (recall@3 vs exact is re-asserted in DedupAnnSpec).
+    // Cache scoped to the fit only: unpersist immediately after so no
+    // blocks leak into the shared session.
+    val fitInput = e.sample(withReplacement = false, fraction = 0.5, seed = 42L)
+    fitInput.persist()
+    val model = try new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(fitInput)
+      finally fitInput.unpersist(blocking = false)
     val centroids: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
     val cells = model.transform(e).select(col("vec_id"), col("emb"), col("prediction").as("cell"))
     // multi-probe: rank the query's distance to every centroid (k rows per
