@@ -40,6 +40,62 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("PartitionFilters: \\[.*lang#\\d+ = en".r.findFirstIn(scan).isDefined, scan)
   }
 
+  test("dynamic partition pruning: fact partitions pruned by the dim filter") {
+    // DPP is THE mechanism that saves a partitioned 100 TB fact scan when
+    // the partition key is only constrained through a joined dimension —
+    // the filter value is not known until runtime, so static pruning can't
+    // fire. Write events partitioned by event_type, join a filtered tiny
+    // dim on the partition column, and require the dynamic pruning
+    // expression in the fact scan.
+    val tmp = Files.createTempDirectory("graft_dpp").toString
+    Tables.events(spark, sf).write.mode("overwrite")
+      .partitionBy("event_type").parquet(s"$tmp/fact")
+    val dimDf = {
+      import spark.implicits._
+      Seq(("purchase", 1), ("error", 2)).toDF("et", "grp")
+    }
+    dimDf.write.mode("overwrite").parquet(s"$tmp/dim")
+    val fact = spark.read.parquet(s"$tmp/fact")
+    val dim = spark.read.parquet(s"$tmp/dim").filter(col("grp") === 1)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    val q = fact.join(dim, fact("event_type") === dim("et"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"fact scan must carry a DPP filter: $plan")
+    assert(q.count() ==
+      Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
+  }
+
+  test("runtime bloom filter: selective dim side injects a semi-join filter") {
+    // The shuffle-join analogue of DPP: when the fact is NOT partitioned on
+    // the join key, the runtime bloom filter built from the selective dim
+    // side prunes fact rows before the shuffle — at 100 TB that is the
+    // difference between shuffling the full fact and shuffling the matching
+    // sliver. Thresholds are tuned down so the rule fires at test size.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(spark, sf)
+      val dim = Tables.part(spark, sf).filter(col("p_size") === 1)
+      val q = fact.join(dim, col("l_partkey") === col("p_partkey"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"fact side must carry the runtime bloom filter: $plan")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      val expected = fact.join(dim, col("l_partkey") === col("p_partkey")).count()
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      assert(q.count() == expected, "bloom filter must not change results")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("curate pipeline exposes observed metrics") {
     import scala.collection.mutable
     val seen = mutable.Map.empty[String, Long]
