@@ -86,4 +86,47 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == expected)
     }
   }
+
+  test("text_rep fractions match a plain-Scala reference on random docs") {
+    import spark.implicits._
+    for (words <- samples(tokenGen, 10) if words.nonEmpty) {
+      val text = words.mkString(" ")
+      val n = words.size
+      val nd = words.distinct.size
+      val grams = (1 to math.max(n - 1, 1)).map(i => words.slice(i - 1, i + 1).mkString(" "))
+      // run the same expressions repetition() uses, on this single doc
+      val got = Seq(Tuple1(text)).toDF("text")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("g2", expr(
+          "transform(sequence(1, greatest(size(w) - 1, 1)), i -> array_join(slice(w, i, 2), ' '))"))
+        .select(
+          expr("cast(size(w) - size(array_distinct(w)) as double) / size(w)"),
+          expr("cast(size(g2) - size(array_distinct(g2)) as double) / size(g2)"))
+        .head
+      assert(got.getDouble(0) == (n - nd).toDouble / n)
+      assert(got.getDouble(1) == (grams.size - grams.distinct.size).toDouble / grams.size)
+    }
+  }
+
+  test("emb_quant codes are int8-bounded and reconstruct within half a step") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-5.0, 5.0))
+    for (v <- samples(vecGen, 10)) {
+      val maxabs = math.max(v.map(math.abs).max, 1e-12)
+      val codes = v.map(x => math.floor(x * 127.0 / maxabs + 0.5).toLong)
+      assert(codes.forall(q => q >= -127 && q <= 127), s"code out of int8 range: $codes")
+      // reconstruction error bounded by half a quantization step
+      val step = maxabs / 127.0
+      v.zip(codes).foreach { case (x, q) =>
+        assert(math.abs(q * step - x) <= step / 2 + 1e-9)
+      }
+      // the Spark expression produces exactly these integer sums
+      val got = Seq(Tuple1(v)).toDF("emb")
+        .withColumn("maxabs", expr("greatest(array_max(transform(emb, x -> abs(x))), 1e-12d)"))
+        .select(expr(
+          "aggregate(emb, cast(0 as bigint), (acc, x) -> acc + cast(floor(x * 127.0 / maxabs + 0.5) as bigint))"))
+        .head.getLong(0)
+      assert(got == codes.sum)
+    }
+  }
 }
