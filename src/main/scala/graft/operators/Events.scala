@@ -165,6 +165,54 @@ object Events {
       |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
       |WHERE rn = 1""".stripMargin
 
+  /** FORWARD as-of join — for each order, the EARLIEST event at-or-after
+    * its date (the other direction of as-of semantics: "what happened
+    * next", used for outcome attribution windows). Same union-and-sweep
+    * plan as the backward join with the window frame flipped to look
+    * forward: still one shuffle on user_id, no join blowup. At equal
+    * timestamps the probe sorts BEFORE the marker so the match is
+    * inclusive; among same-ts events the min event_id wins.
+    */
+  def asofJoinForward(spark: SparkSession, dir: String): DataFrame =
+    asofJoinForwardGeneric(Tables.events(spark, dir), Tables.orders(spark, dir))
+
+  /** Input-generic form of the forward as-of join (same flipped sweep). */
+  def asofJoinForwardGeneric(eventsDf: DataFrame, ordersDf: DataFrame): DataFrame = {
+    val probes = ordersDf.select(
+      col("o_custkey").as("user_id"),
+      unix_micros(col("o_orderdate")).as("t_us"),
+      lit(0).as("kind"), // probes sort first at equal t_us -> inclusive
+      col("o_orderkey"),
+      lit(null).cast("bigint").as("event_id"),
+      lit(null).cast("bigint").as("ev_ts_us"))
+    val markers = eventsDf.select(
+      col("user_id"),
+      unix_micros(col("ts")).as("t_us"),
+      lit(1).as("kind"),
+      lit(null).cast("bigint").as("o_orderkey"),
+      col("event_id"),
+      unix_micros(col("ts")).as("ev_ts_us"))
+    val sweep = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("kind"), col("event_id").asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    probes.unionAll(markers)
+      .withColumn("next_event_id", first(col("event_id"), ignoreNulls = true).over(sweep))
+      .withColumn("next_event_ts_us", first(col("ev_ts_us"), ignoreNulls = true).over(sweep))
+      .filter(col("kind") === 0 && col("next_event_id").isNotNull)
+      .select(col("o_orderkey"), col("user_id"),
+        col("next_event_id").as("event_id"),
+        col("next_event_ts_us").as("event_ts_us"))
+  }
+
+  val asofJoinForwardSql: String =
+    """SELECT o_orderkey, user_id, event_id, event_ts_us FROM (
+      | SELECT o.o_orderkey, e.user_id, e.event_id, epoch_us(e.ts) AS event_ts_us,
+      |  ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+      |    ORDER BY e.ts ASC, e.event_id ASC) AS rn
+      | FROM orders o JOIN events e
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate) t
+      |WHERE rn = 1""".stripMargin
+
   /** JSON extraction from the props column — `get_json_object` path query
     * + typed cast, aggregated. (Semi-structured columns are first-class in
     * a log pipeline; stays codegen'd.)
@@ -314,7 +362,8 @@ object Events {
     "ref_aggregation" -> (refAggregation _),
     "q_events_hourly" -> (hourlyAgg _),
     "q_events_sessionize" -> (sessionize _),
-    "q_asof_join" -> (asofJoin _))
+    "q_asof_join" -> (asofJoin _),
+    "q_asof_fwd" -> (asofJoinForward _))
 
   val oracles: Map[String, String] = Map(
     "q_gapfill" -> gapFillSql,
@@ -326,5 +375,6 @@ object Events {
     "ref_aggregation" -> refAggregationSql,
     "q_events_hourly" -> hourlyAggSql,
     "q_events_sessionize" -> sessionizeSql,
-    "q_asof_join" -> asofJoinSql)
+    "q_asof_join" -> asofJoinSql,
+    "q_asof_fwd" -> asofJoinForwardSql)
 }

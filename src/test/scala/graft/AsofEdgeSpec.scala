@@ -43,4 +43,29 @@ class AsofEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
       2L -> 11L,  // inclusive boundary
       4L -> 21L)) // same-date tie -> max orderkey
   }
+
+  test("forward asof join: boundaries, ties, and missing matches") {
+    import spark.implicits._
+    // probes are ORDERS; for each, the earliest event at-or-after its date
+    val events = Seq(
+      (1L, ts("2020-01-05 00:00:00"), 1L),
+      (2L, ts("2020-01-10 00:00:00"), 1L),
+      (3L, ts("2020-01-04 00:00:00"), 2L),  // same ts as event 4
+      (4L, ts("2020-01-04 00:00:00"), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val orders = Seq(
+      (10L, 1L, ts("2020-01-03 00:00:00")), // next event = 1 (01-05)
+      (11L, 1L, ts("2020-01-05 00:00:00")), // exactly AT event 1's ts: inclusive
+      (12L, 1L, ts("2020-01-12 00:00:00")), // after every event -> dropped
+      (20L, 2L, ts("2020-01-01 00:00:00")), // same-ts events -> min event_id
+      (30L, 9L, ts("2020-01-01 00:00:00"))) // user with no events -> dropped
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val got = Events.asofJoinForwardGeneric(events, orders)
+      .select($"o_orderkey", $"event_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      10L -> 1L,  // earliest event at-or-after
+      11L -> 1L,  // inclusive boundary
+      20L -> 3L)) // same-ts tie -> min event_id
+  }
 }
