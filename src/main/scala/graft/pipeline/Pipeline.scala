@@ -53,6 +53,21 @@ object Pipeline {
   def langGate(langs: Seq[String]): DataFrame => DataFrame =
     _.filter(col("lang").isin(langs: _*))
 
+  /** Drop highly repetitive documents (Gopher-style repetition filter):
+    * keep docs whose duplicate-word fraction stays below `maxDupWordFrac`
+    * AND duplicate-2-gram fraction below `maxDup2gramFrac` (Text.repetition's
+    * expressions). In-row array ops — map-only, no shuffle.
+    */
+  def repetitionGate(maxDupWordFrac: Double = 0.9,
+      maxDup2gramFrac: Double = 0.9): DataFrame => DataFrame = { df =>
+    val w = split(col("text"), " ")
+    val g2 = expr(
+      "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), i -> array_join(slice(split(text, ' '), i, 2), ' '))")
+    val dupW = (size(w) - size(array_distinct(w))).cast("double") / size(w)
+    val dupG = (size(g2) - size(array_distinct(g2))).cast("double") / size(g2)
+    df.filter(dupW < maxDupWordFrac && dupG < maxDup2gramFrac)
+  }
+
   /** Canonicalize text in place (lowercase, strip non-alphanumerics,
     * collapse whitespace). Map-only.
     */

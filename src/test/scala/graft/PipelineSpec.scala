@@ -32,6 +32,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
   }
 
+  test("repetitionGate drops degenerate docs and keeps varied text") {
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, Array.fill(30)("alpha").mkString(" "), "en", "s1"), // 97% dup words
+      (2L, (1 to 30).map(i => s"w$i").mkString(" "), "en", "s1")) // all distinct
+      .toDF("doc_id", "text", "lang", "source")
+    val out = mixed.transform(repetitionGate(0.9, 0.9))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("the chain is one lazy Catalyst plan (no eager jobs at build time)") {
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val df = docs.transform(qualityGate()).transform(exactDedup())
