@@ -121,6 +121,29 @@ object Bench {
     }
   }
 
+  /** The single driver-facing stdout line. MUST stay well under ~1900
+    * chars — the driver parses it from a 2000-char tail capture of sbt
+    * output (rounds 1–3 shipped a ~4 KB line and got NO parseable bench
+    * numbers; BenchLineSpec pins the budget against the live query set).
+    */
+  def stdoutLine(ok: Seq[QueryResult], failed: Seq[String], flaky: Seq[String],
+      cc: String, tp: String, sfDir: String): String = {
+    val headlineQs = jmap(
+      Headline.flatMap(n => ok.find(_.name == n)).map(r => r.name -> jcompact(r.timings.min)))
+    jmap(Seq(
+      "metric" -> jstr("total"),
+      "value" -> jcompact(ok.map(_.timings.min).sum),
+      "unit" -> jstr("sec"),
+      "queries" -> headlineQs,
+      "n_queries" -> ok.size.toString,
+      "failed" -> jarr(failed),
+      "flaky" -> jarr(flaky),
+      s"concurrent_x$ConcurrentStreams" -> cc,
+      "throughput" -> tp,
+      "detail" -> jstr("bench_detail.json"),
+      "sf" -> jstr(sfDir)))
+  }
+
   private def jnum(d: Double): String = if (d.isNaN || d.isInfinite) "0" else d.toString
   private def jmap(kvs: Seq[(String, String)]): String =
     kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -214,20 +237,7 @@ object Bench {
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")),
       detail + "\n")
 
-    val headlineQs = jmap(
-      Headline.flatMap(n => ok.find(_.name == n)).map(r => r.name -> jcompact(r.timings.min)))
-    println(jmap(Seq(
-      "metric" -> jstr("total"),
-      "value" -> jcompact(total),
-      "unit" -> jstr("sec"),
-      "queries" -> headlineQs,
-      "n_queries" -> ok.size.toString,
-      "failed" -> jarr(failed.map(_.name)),
-      "flaky" -> jarr(flaky.map(_.name)),
-      s"concurrent_x$ConcurrentStreams" -> cc,
-      "throughput" -> tp,
-      "detail" -> jstr("bench_detail.json"),
-      "sf" -> jstr(sfDir))))
+    println(stdoutLine(ok, failed.map(_.name), flaky.map(_.name), cc, tp, sfDir))
     Console.out.flush()
     // shutdown logs route through sbt's logger and could land AFTER the
     // JSON line in a tail-capture — silence them so the line stays last

@@ -63,4 +63,20 @@ class FailureHonestySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Bench.jcompact(d).length <= 6, s"jcompact($d) too long")
     }
   }
+
+  test("Bench stdout line fits the driver's 2000-char tail capture") {
+    // Rounds 1-3 shipped a ~4 KB line whose head was truncated by the
+    // driver's tail window, leaving NO parseable bench numbers. Pin the
+    // budget against the LIVE query set at pessimistic timings so adding
+    // operators can never silently regrow the line past the window.
+    val worst = SparkEntry.queries.keys.toSeq.sorted.map(n =>
+      Bench.QueryResult(n, Seq(99.949), 6, None))
+    val cc = """{"ref_aggregation":99.9,"ref_filter":99.9,"ref_full_scan":99.9}"""
+    val tp = """{"rows_per_sec":99999999,"scan_rows":999999999,"iterations":5}"""
+    val line = Bench.stdoutLine(worst, Nil, Nil, cc, tp, "/root/testdata/sf0.1")
+    assert(line.length <= 1500,
+      s"stdout line ${line.length} chars — too close to the 2000-char capture window")
+    // and it must be valid single-line JSON
+    assert(!line.contains("\n") && line.startsWith("{\"metric\"") && line.endsWith("}"))
+  }
 }
