@@ -124,7 +124,7 @@ object Bench {
   /** The single driver-facing stdout line. MUST stay well under ~1900
     * chars — the driver parses it from a 2000-char tail capture of sbt
     * output (rounds 1–3 shipped a ~4 KB line and got NO parseable bench
-    * numbers; BenchLineSpec pins the budget against the live query set).
+    * numbers; FailureHonestySpec pins the budget against the live query set).
     */
   def stdoutLine(ok: Seq[QueryResult], failed: Seq[String], flaky: Seq[String],
       cc: String, tp: String, sfDir: String): String = {
