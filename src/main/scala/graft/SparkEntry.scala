@@ -26,5 +26,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ RelationalExt.oracles ++ Analytics.oracles ++ TopK.oracles ++ Events.oracles ++ Text.oracles ++ Dedup.oracles ++
-      Ann.oracles ++ Blobs.oracles ++ Skew.oracles ++ Prep.oracles
+      Ann.oracles ++ Blobs.oracles ++ Curate.oracles ++ Skew.oracles ++ Prep.oracles
 }

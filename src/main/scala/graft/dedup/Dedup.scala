@@ -73,45 +73,118 @@ object Dedup {
       .withColumn("sig", native.minHashSignature(col("shingles")))
       .withColumn("gh", array_sort(array_distinct(expr("transform(shingles, s -> xxhash64(s))"))))
 
-  /** MinHash + banded LSH near-dup detection: 16 bands × 4 rows.
+  /** Hot-bucket cap for LSH band joins (round-4 verdict): a degenerate band
+    * value (constant MinHash band on boilerplate, simhash band 0 on
+    * near-empty docs) makes one bucket's self-join quadratic — and a bucket
+    * that large is non-discriminative by definition, so dropping it loses
+    * no real signal. The oversized-key list is tiny (hot keys are rare), so
+    * the filter is a broadcast anti-join; `observe` attaches the dropped
+    * count to the plan itself (zero extra passes — read it from
+    * QueryExecutionListener / the CollectMetrics node).
+    */
+  private[graft] def capBuckets(bands: DataFrame, keyCols: Seq[String],
+      maxBucket: Int, metricName: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val hot = bands.groupBy(keys: _*).agg(count(lit(1)).as("bsz"))
+      .observe(metricName,
+        sum(when(col("bsz") > maxBucket, col("bsz")).otherwise(0L)).as("dropped_rows"),
+        sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"))
+      .filter(col("bsz") > maxBucket)
+      .select(keys: _*)
+    bands.join(broadcast(hot), keyCols, "left_anti")
+  }
+
+  /** MinHash + banded LSH near-dup detection: 16 bands × 4 rows, exact
+    * Jaccard verification, reported at the dedup threshold j ≥ 0.8.
     *
     * Pipeline: signature → band hashes → explode bands (16 rows/doc) →
-    * self-join on (band, band_hash) → distinct candidate pairs → verify
-    * with exact Jaccard on the shingle sets. Output is one row per doc with
-    * its best candidate (nullable), so the result is informative even on
-    * dup-free slices. Est. similarity = matching minhash fraction.
+    * hot-bucket cap → self-join on (band, band_hash) → distinct candidate
+    * pairs → verify with exact Jaccard on the shingle-hash sets → best
+    * verified candidate per doc (nullable left join back to all docs).
+    *
+    * ORACLE CAVEAT (same family as [[embeddingSql]]): the oracle is exact
+    * all-pairs shingle Jaccard, the Spark side is banded-LSH candidates +
+    * exact verify — the hash check measures LSH recall directly. With 16
+    * bands × 4 rows the per-pair miss probability is (1−j⁴)¹⁶ ≈ 2·10⁻⁴ at
+    * j = 0.8 and ≈ 4·10⁻⁸ at j = 0.9 (this corpus's ≥0.8 pairs all sit at
+    * ≥0.9). A future red row with exactly one missing near-threshold pair
+    * is the designed recall tail — raise the band count, don't revert to
+    * all-pairs. Hash-Jaccard over xxhash64(shingle) equals shingle Jaccard
+    * absent in-corpus 64-bit collisions.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String, maxBucket: Int = 10000): DataFrame = {
     val docs = withMinhash(Tables.documents(spark, dir))
       .select(col("doc_id"), col("gh"), col("sig"))
-    val bands = docs.select(col("doc_id"), explode(expr(
-      """transform(sequence(0, 15),
-        |  b -> named_struct('band', b, 'bh', xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3])))""".stripMargin))
-      .as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val bands = capBuckets(
+      docs.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 15),
+          |  b -> named_struct('band', b, 'bh', xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3])))""".stripMargin))
+        .as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh")),
+      Seq("band", "bh"), maxBucket, "minhash_bucket_cap")
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val verified = cand
-      .join(docs.select(col("doc_id").as("id_a"), col("gh").as("gh_a"), col("sig").as("sig_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("gh").as("gh_b"), col("sig").as("sig_b")), "id_b")
+      .join(docs.select(col("doc_id").as("id_a"), col("gh").as("gh_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("gh").as("gh_b")), "id_b")
       .withColumn("inter", native.sortedIntersectCount(col("gh_a"), col("gh_b")))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
-          (size(col("gh_a")) + size(col("gh_b")) - col("inter"))).as("jaccard"),
-        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))").cast("double") / 64.0)
-          .as("est_similarity"))
-    val directed = verified.select(col("id_a").as("doc_id"), col("id_b").as("cand_id"), col("jaccard"), col("est_similarity"))
-      .unionAll(verified.select(col("id_b").as("doc_id"), col("id_a").as("cand_id"), col("jaccard"), col("est_similarity")))
+          (size(col("gh_a")) + size(col("gh_b")) - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+    val directed = verified.select(col("id_a").as("doc_id"), col("id_b").as("cand_id"), col("jaccard"))
+      .unionAll(verified.select(col("id_b").as("doc_id"), col("id_a").as("cand_id"), col("jaccard")))
     val best = directed.withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("jaccard").desc, col("cand_id"))))
       .filter(col("rn") === 1).drop("rn")
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("cand_id").as("dup_candidate"), col("jaccard"), col("est_similarity"))
+      .select(col("doc_id"), col("cand_id").as("dup_candidate"), col("jaccard"))
   }
+
+  /** DuckDB mirror of `minhashLsh`: exact all-pairs word-3gram-shingle
+    * Jaccard at the same ≥ 0.8 threshold (see the recall caveat on
+    * [[minhashLsh]]). Shingle construction mirrors `withShingles` exactly:
+    * out-of-range list indexes are NULL and concat_ws skips NULLs in both
+    * engines, so sub-3-word docs yield the same degenerate shingles.
+    */
+  val minhashLshSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(0, greatest(len(words)-3, 0)),
+      |    i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS shingles
+      |  FROM w),
+      |g AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+      |  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT i.id_a, i.id_b,
+      |         CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard
+      |  FROM inter i
+      |  JOIN c ca ON ca.doc_id = i.id_a
+      |  JOIN c cb ON cb.doc_id = i.id_b),
+      |directed AS (
+      |  SELECT id_a AS doc_id, id_b AS cand_id, jaccard FROM pairs WHERE jaccard >= 0.8
+      |  UNION ALL
+      |  SELECT id_b AS doc_id, id_a AS cand_id, jaccard FROM pairs WHERE jaccard >= 0.8),
+      |best AS (
+      |  SELECT doc_id, cand_id, jaccard
+      |  FROM (SELECT doc_id, cand_id, jaccard,
+      |          row_number() OVER (PARTITION BY doc_id
+      |                             ORDER BY jaccard DESC, cand_id) AS rn
+      |        FROM directed) t
+      |  WHERE rn = 1)
+      |SELECT d.doc_id, best.cand_id AS dup_candidate, best.jaccard
+      |FROM (SELECT doc_id FROM documents) d
+      |LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin
 
   /** 64-bit SimHash near-dup detection with 4×16-bit band blocking.
     *
@@ -119,14 +192,16 @@ object Dedup {
     * share at least one 16-bit band (Hamming ≤ 3 guarantees a shared band by
     * pigeonhole over 4 bands); verified by exact Hamming distance ≤ 8.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhash(spark: SparkSession, dir: String, maxBucket: Int = 10000): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .withColumn("words", split(col("text"), " "))
       .withColumn("simhash", native.simHash64(col("words")))
       .select(col("doc_id"), col("simhash"))
-    val bands = docs.select(col("doc_id"), col("simhash"), explode(expr(
-      "transform(sequence(0, 3), b -> named_struct('band', b, 'bv', shiftright(simhash, 16*b) & 65535))")).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val bands = capBuckets(
+      docs.select(col("doc_id"), col("simhash"), explode(expr(
+        "transform(sequence(0, 3), b -> named_struct('band', b, 'bv', shiftright(simhash, 16*b) & 65535))")).as("bb"))
+        .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv")),
+      Seq("band", "bv"), maxBucket, "simhash_bucket_cap")
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
           && col("a.doc_id") < col("b.doc_id"))
@@ -149,16 +224,39 @@ object Dedup {
     * near-dup detection when LSH recall isn't enough. Oracle-checked
     * against `ngramJaccardSql` (the gram hash is injective, see there).
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(Tables.documents(spark, dir))
+
+  /** Core of [[ngramJaccard]], block size bounded (round-4 verdict).
+    *
+    * Block population is data-dependent and unbounded, so blocks are routed
+    * by size (the block-size table has bounded cardinality — langs × length
+    * buckets — and broadcasts):
+    *  - blocks ≤ `maxBlock` docs take the collect_list path: one shuffle
+    *    moves each gram set exactly once into its block row; pairs are
+    *    generated and scored inside the row, so only (id_a, id_b, jaccard)
+    *    triples leave the block — and the aggregate row is now bounded by
+    *    `maxBlock` gram sets instead of the whole block.
+    *  - larger blocks take a distributed pair JOIN on the block key: each
+    *    output row carries exactly two gram sets, the block never
+    *    materializes in one row, and AQE skew-split spreads the bucket-local
+    *    quadratic across executors. Same pairs, same doubles — the oracle
+    *    does not change.
+    */
+  private[graft] def ngramJaccardOf(documents: DataFrame, maxBlock: Int = 1000): DataFrame = {
+    val docs = documents
       .withColumn("grams", native.charNgramHashes(col("text"), 4))
       .withColumn("block", concat_ws("#", col("lang"), (col("n_chars") / 100).cast("int")))
       .select(col("doc_id"), col("block"), col("grams"))
-    // Block-local pair generation: one shuffle moves each gram set exactly
-    // once (into its block row); pairs are generated and scored inside the
-    // row, so the quadratic pair space never materializes gram arrays —
-    // only (id_a, id_b, jaccard) triples leave the block.
-    val blocks = docs.groupBy(col("block"))
+    val sizes = docs.groupBy(col("block")).agg(count(lit(1)).as("bsz"))
+    val sized = docs.join(broadcast(sizes), "block")
+    val smallDocs = sized.filter(col("bsz") <= maxBlock).drop("bsz")
+    val largeDocs = sized.filter(col("bsz") > maxBlock).drop("bsz")
+
+    def jac(inter: Column, na: Column, nb: Column): Column =
+      inter.cast("double") / (na + nb - inter)
+
+    val blocks = smallDocs.groupBy(col("block"))
       .agg(collect_list(struct(col("doc_id"), col("grams"))).as("ds"))
     def docAt(i: Column) = element_at(col("ds"), i + 1)
     def pairScore(i: Column, j: Column): Column = {
@@ -168,20 +266,24 @@ object Dedup {
       struct(
         least(a.getField("doc_id"), b.getField("doc_id")).as("id_a"),
         greatest(a.getField("doc_id"), b.getField("doc_id")).as("id_b"),
-        (inter.cast("double") /
-          (size(a.getField("grams")) + size(b.getField("grams")) - inter)).as("jaccard"))
+        jac(inter, size(a.getField("grams")), size(b.getField("grams"))).as("jaccard"))
     }
     // size(ds) >= 2 guard: sequence(0, -1) on a singleton block would run
     // DESCENDING ([0, -1]), yielding a self-pair and an element_at(ds, 0)
     // runtime error — only non-singleton blocks may generate pairs.
-    val pairs = blocks
+    val smallPairs = blocks
       .filter(size(col("ds")) > 1)
       .select(explode(flatten(transform(
         sequence(lit(0), size(col("ds")) - 2),
         i => transform(sequence(i + 1, size(col("ds")) - 1), j => pairScore(i, j)))))
         .as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.jaccard").as("jaccard"))
-      .filter(col("jaccard") >= 0.3)
+    val largePairs = largeDocs.as("a").join(largeDocs.as("b"),
+        col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        jac(native.sortedIntersectCount(col("a.grams"), col("b.grams")),
+          size(col("a.grams")), size(col("b.grams"))).as("jaccard"))
+    val pairs = smallPairs.unionAll(largePairs).filter(col("jaccard") >= 0.3)
     val directed = pairs.select(col("id_a").as("doc_id"), col("id_b").as("cand_id"), col("jaccard"))
       .unionAll(pairs.select(col("id_b").as("doc_id"), col("id_a").as("cand_id"), col("jaccard")))
     val best = directed.withColumn("rn", row_number().over(
@@ -302,16 +404,34 @@ object Dedup {
       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin
 
   /** Connected components over an undirected edge set via min-label
-    * propagation to a FIXPOINT: each round is one shuffle on the vertex id;
-    * the loop stops when no label shrank (counted on the already-checkpointed
-    * round result, so the convergence check is a cheap local scan, not a
-    * recompute) or at `maxRounds` — a diverging input fails loudly instead of
-    * silently under-merging. localCheckpoint truncates the growing lineage.
+    * propagation WITH pointer jumping, run to a FIXPOINT.
+    *
+    * Each round: (1) every vertex takes the min of its own and its
+    * neighbors' labels (one shuffle on the vertex id — the classic
+    * propagation step), then (2) the label is shortcut through the label
+    * table itself (label ← label(label), one more join on the same key).
+    * Labels are always vertex ids in the same component, so the shortcut is
+    * sound, and it makes the label-distance roughly DOUBLE per round:
+    * rounds ≈ log₂(diameter) instead of diameter (round-4 verdict item 6 —
+    * the diameter-6 chain converges in 3 rounds + 1 confirm, measured in
+    * DedupAnnSpec, vs 6 + 1 for plain propagation). Rounds are the unit of
+    * cost at any scale: each is a fixed number of shuffles and a Spark
+    * job-scheduling floor.
+    *
+    * The loop stops when no label shrank (counted on the already-
+    * checkpointed round result, so the convergence check is a cheap local
+    * scan, not a recompute) or at `maxRounds` — a diverging input fails
+    * loudly instead of silently under-merging. localCheckpoint truncates
+    * the growing lineage.
     *
     * vertices: one column `doc_id`; edges: `id_a`, `id_b` (any direction).
     */
   private[graft] def connectedComponents(
-      vertices: DataFrame, edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+      vertices: DataFrame, edges: DataFrame, maxRounds: Int = 20): DataFrame =
+    connectedComponentsWithRounds(vertices, edges, maxRounds)._1
+
+  private[graft] def connectedComponentsWithRounds(
+      vertices: DataFrame, edges: DataFrame, maxRounds: Int = 20): (DataFrame, Int) = {
     val bidir = edges.select(col("id_a"), col("id_b"))
       .unionAll(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .distinct()
@@ -323,10 +443,17 @@ object Dedup {
     while (changed > 0 && round < maxRounds) {
       val neighborMin = bidir.join(labels, col("id_b") === col("doc_id"))
         .groupBy(col("id_a")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.withColumnRenamed("label", "prev")
+      val stepped = labels.withColumnRenamed("label", "prev")
         .join(neighborMin, col("doc_id") === col("id_a"), "left")
         .select(col("doc_id"), col("prev"),
-          least(col("prev"), coalesce(col("nbr_label"), col("prev"))).as("label"))
+          least(col("prev"), coalesce(col("nbr_label"), col("prev"))).as("mid"))
+      // pointer jump: mid is a vertex id, so look up ITS current label and
+      // take the smaller — one extra equi-join per round buys log-rounds
+      val next = stepped
+        .join(labels.select(col("doc_id").as("mid_id"), col("label").as("mid_label")),
+          col("mid") === col("mid_id"), "left")
+        .select(col("doc_id"), col("prev"),
+          least(col("mid"), coalesce(col("mid_label"), col("mid"))).as("label"))
         .localCheckpoint() // eager: materializes the round once
       changed = next.filter(col("label") < col("prev")).count()
       labels = next.select(col("doc_id"), col("label"))
@@ -334,7 +461,7 @@ object Dedup {
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxRounds rounds")
-    labels
+    (labels, round)
   }
 
   /** Duplicate clusters: connected components over the near-dup pair graph
@@ -411,8 +538,8 @@ object Dedup {
     "dedup_clusters" -> (clusters _),
     "dedup_exact" -> (exact _),
     "dedup_exact_hash" -> (exactHash _),
-    "dedup_minhash_lsh" -> (minhashLsh _),
-    "dedup_simhash" -> (simhash _),
+    "dedup_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => simhash(s, d)),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_embedding" -> (embedding _))
 
@@ -421,5 +548,6 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_exact_hash" -> exactHashSql,
     "dedup_embedding" -> embeddingSql,
+    "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql)
 }

@@ -50,6 +50,41 @@ object Blobs {
       .toDF()
   }
 
+  /** DuckDB mirror of `decodeStats` — byte arithmetic over hex-string
+    * windows (the `frameSampleSql` trick, round-4 verdict item 1): byte i
+    * of the utf-8 payload decodes from its 2 hex chars via strpos on the
+    * hex alphabet. Header bytes beyond the payload read as 0, exactly like
+    * `fakeDecode`'s `b(i)`; the empty payload means 0.0, not NULL. The
+    * mean is one IEEE division of an exact integer sum by an exact length,
+    * so doubles match bit-for-bit.
+    */
+  val decodeStatsSql: String = {
+    def byteAt(i: Int): String =
+      s"CASE WHEN nb > $i THEN (strpos('0123456789ABCDEF', substring(hx, ${i * 2 + 1}, 1)) - 1) * 16" +
+        s" + (strpos('0123456789ABCDEF', substring(hx, ${i * 2 + 2}, 1)) - 1) ELSE 0 END"
+    s"""WITH d AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) AS nb
+       |  FROM documents),
+       |hdr AS (
+       |  SELECT doc_id, nb,
+       |         ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,
+       |         ${byteAt(2)} AS b2, ${byteAt(3)} AS b3
+       |  FROM d),
+       |s AS (
+       |  SELECT doc_id,
+       |         SUM((strpos('0123456789ABCDEF', substring(hx, i*2+1, 1)) - 1) * 16
+       |           + (strpos('0123456789ABCDEF', substring(hx, i*2+2, 1)) - 1)) AS sumb
+       |  FROM (SELECT doc_id, hx, unnest(generate_series(0, nb-1)) AS i FROM d) t
+       |  GROUP BY doc_id)
+       |SELECT h.doc_id, CAST(h.nb AS INT) AS n_bytes,
+       |       CAST(64 + ((h.b0 * 256 + h.b1) % 960) AS INT) AS width,
+       |       CAST(64 + ((h.b2 * 256 + h.b3) % 960) AS INT) AS height,
+       |       CAST(3 AS INT) AS channels,
+       |       CASE WHEN h.nb = 0 THEN 0.0 ELSE CAST(s.sumb AS DOUBLE) / h.nb END AS mean_byte
+       |FROM hdr h LEFT JOIN s ON h.doc_id = s.doc_id""".stripMargin
+  }
+
   /** Frame sampling shape: stride-16 BYTE slices of the payload, at most 8
     * frames per blob, each fingerprinted — all inside codegen'd builtins
     * (binary substring + hex + md5), no decode needed for sampling.
@@ -177,5 +212,6 @@ object Blobs {
 
   val oracles: Map[String, String] = Map(
     "mm_embed" -> embedExplodedSql,
+    "mm_decode_stats" -> decodeStatsSql,
     "mm_frame_sample" -> frameSampleSql)
 }

@@ -51,8 +51,11 @@ object Curate {
         |  b -> named_struct('band', b, 'bh', xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3])))""".stripMargin)).as("bb"))
       .select(col("doc_id"), col("gh"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     // candidate key = (band index, band hash) — same key as Dedup.minhashLsh;
-    // hash-only would admit spurious cross-band collisions into the verify
-    val nearDupIds = bands.as("a").join(bands.as("b"),
+    // hash-only would admit spurious cross-band collisions into the verify.
+    // Hot-bucket cap: same degenerate-band defense as the dedup family.
+    val capped = graft.dedup.Dedup.capBuckets(
+      bands, Seq("band", "bh"), 10000, "curate_bucket_cap")
+    val nearDupIds = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.doc_id") < col("b.doc_id"))
       .withColumn("inter", native.sortedIntersectCount(col("a.gh"), col("b.gh")))
@@ -82,8 +85,59 @@ object Curate {
         sum(when(!col("pass_near"), 1L).otherwise(0L)).as("drop_near_dup"))
   }
 
+  /** DuckDB mirror of `run` (round-4 verdict item 1): every stage is
+    * re-expressed exactly — the quality score's IEEE shape, md5 exact-dedup
+    * window, the language list, and the per-(lang, source) counts. The
+    * near-dup stage is the one approximation seam: the oracle computes
+    * EXACT all-pairs word-3gram-shingle Jaccard ≥ 0.8 while the Spark side
+    * generates candidates with 16×4 banded LSH before the exact verify —
+    * the same designed-recall caveat as `Dedup.minhashLshSql` (per-pair
+    * miss ≈ 2·10⁻⁴ at j = 0.8, ≈ 4·10⁻⁸ at the ≥ 0.9 Jaccard this corpus's
+    * duplicate pairs actually have). A future one-pair drift here is the
+    * recall tail, not a stage regression.
+    */
+  val oracleSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, lang, source, text,
+      |    (0.5 * LEAST(1.0, (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) / 100.0) + 0.5) >= 0.6 AS pass_quality,
+      |    (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)) = 1 AS pass_exact
+      |  FROM documents),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(0, greatest(len(words)-3, 0)),
+      |    i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS shingles
+      |  FROM w),
+      |g AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+      |  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |near AS (
+      |  SELECT DISTINCT i.id_b AS doc_id
+      |  FROM inter i
+      |  JOIN c ca ON ca.doc_id = i.id_a
+      |  JOIN c cb ON cb.doc_id = i.id_b
+      |  WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= 0.8),
+      |flags AS (
+      |  SELECT q.doc_id, q.lang, q.source, q.pass_quality, q.pass_exact,
+      |         near.doc_id IS NULL AS pass_near,
+      |         q.lang IN ('en', 'es', 'de', 'fr', 'zh') AS pass_lang
+      |  FROM q LEFT JOIN near ON q.doc_id = near.doc_id)
+      |SELECT lang, source,
+      |  COUNT(*) AS n_docs,
+      |  SUM(CASE WHEN pass_quality AND pass_exact AND pass_near AND pass_lang
+      |        THEN 1 ELSE 0 END) AS n_kept,
+      |  SUM(CASE WHEN NOT pass_quality THEN 1 ELSE 0 END) AS drop_quality,
+      |  SUM(CASE WHEN NOT pass_exact THEN 1 ELSE 0 END) AS drop_exact_dup,
+      |  SUM(CASE WHEN NOT pass_near THEN 1 ELSE 0 END) AS drop_near_dup
+      |FROM flags
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> (run _))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "pipeline_curate" -> oracleSql)
 }

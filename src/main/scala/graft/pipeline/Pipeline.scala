@@ -68,6 +68,19 @@ object Pipeline {
     df.filter(dupW < maxDupWordFrac && dupG < maxDup2gramFrac)
   }
 
+  /** Redact PII in place: emails → `<EMAIL>`, URLs → `<URL>`, phone-shaped
+    * tokens → `<PHONE>` (Text.scrubPii's patterns and fixed order — emails
+    * before URLs because the patterns can overlap). Map-only, no shuffle.
+    */
+  def scrubPii(textCol: String = "text"): DataFrame => DataFrame = { df =>
+    import graft.textanalysis.Text
+    df.withColumn(textCol, regexp_replace(
+      regexp_replace(
+        regexp_replace(col(textCol), Text.EmailRe, "<EMAIL>"),
+        Text.UrlRe, "<URL>"),
+      Text.PhoneRe, "<PHONE>"))
+  }
+
   /** Canonicalize text in place (lowercase, strip non-alphanumerics,
     * collapse whitespace). Map-only.
     */

@@ -27,6 +27,63 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels == (1L to 7L).map(_ -> 1L).toMap, s"under-merged: $labels")
   }
 
+  test("connected components: pointer jumping needs ~log rounds on the chain") {
+    // plain min-label propagation needs 6 rounds + 1 confirm on the
+    // diameter-6 chain; the pointer-jump shortcut (label <- label(label))
+    // roughly doubles the covered distance per round -> 3 + 1 confirm.
+    // Rounds are the unit of cost at any scale (fixed shuffles + a Spark
+    // job floor each), so the bound is pinned here (round-4 verdict item 6).
+    import spark.implicits._
+    val vertices = (1L to 7L).toDF("doc_id")
+    val edges = (1L to 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = dedup.Dedup.connectedComponentsWithRounds(vertices, edges)
+    assert(labels.as[(Long, Long)].collect().toMap == (1L to 7L).map(_ -> 1L).toMap)
+    assert(rounds <= 4, s"pointer jumping should need <=4 rounds on a diameter-6 chain, took $rounds")
+  }
+
+  test("ngram jaccard: oversized blocks route through the join path, same answer") {
+    // One degenerate block (same lang, same length bucket) far above the
+    // cap: the collect_list path would put every gram set into ONE
+    // aggregate row (the round-4 scale-killer); the size-routed join path
+    // must produce the identical answer with no giant row.
+    import spark.implicits._
+    val docs = (0 until 120).map { i =>
+      // 40 groups of 3 near-identical docs -> plenty of >=0.3 pairs
+      val base = s"alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima unique${i / 3}"
+      val text = if (i % 3 == 2) base + " tail" else base + s" v${i % 3}"
+      (i.toLong, text, "en", 100L)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    def rows(maxBlock: Int) =
+      dedup.Dedup.ngramJaccardOf(docs, maxBlock)
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val viaJoin = rows(maxBlock = 10)    // 120-doc block > 10 -> join path
+    val viaBlock = rows(maxBlock = 1000) // same block under the cap -> collect_list path
+    assert(viaJoin == viaBlock, "join path and block path must agree pair-for-pair")
+    assert(viaJoin.exists(_._2.isDefined), "fixture must actually produce candidates")
+  }
+
+  test("LSH hot-bucket cap drops only oversized buckets") {
+    import spark.implicits._
+    // bucket (0, 7): 50 members (hot); bucket (0, 8): 3 members (cold)
+    val bands = ((1L to 50L).map(i => (i, 0, 7L)) ++ Seq((101L, 0, 8L), (102L, 0, 8L), (103L, 0, 8L)))
+      .toDF("doc_id", "band", "bh")
+    val kept = dedup.Dedup.capBuckets(bands, Seq("band", "bh"), maxBucket = 10, "test_cap")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(101L, 102L, 103L), s"hot bucket must be dropped, cold kept: $kept")
+    // generous cap -> nothing dropped
+    val all = dedup.Dedup.capBuckets(bands, Seq("band", "bh"), maxBucket = 100, "test_cap2")
+      .count()
+    assert(all == 53)
+  }
+
+  test("IVF fit sample is capped by absolute rows, not a fraction") {
+    // The pin: a regression back to fraction-based sampling makes the
+    // KMeans fit cost scale with the corpus (10 iterations over 50 TB at
+    // target scale — round-4 verdict item 3). 100k rows ≈ 6k per cell at
+    // k=16, far beyond what centroid placement needs.
+    assert(similarity.Ann.FitSampleRows == 100000L)
+  }
+
   test("connected components: two components stay separate") {
     import spark.implicits._
     val vertices = (1L to 6L).toDF("doc_id")

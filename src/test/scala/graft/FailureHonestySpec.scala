@@ -64,6 +64,26 @@ class FailureHonestySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Bench noise self-check: parses committed mins, flags a collective light-query inflation") {
+    val detail = """{"metric":"total","value":51.3,"unit":"sec","queries":{"q_a":0.05,"q_b":0.08,"q_c":0.1,"q_d":0.04,"q_e":0.06,"q_f":0.09,"q_g":0.12,"q_h":0.07,"q_i":0.05,"q_j":0.1,"q_heavy":8.5},"stddev":{"q_a":0.01}}"""
+    val committed = Bench.committedMins(detail)
+    assert(committed("q_a") == 0.05 && committed("q_heavy") == 8.5 && committed.size == 11)
+    // all 10 light queries uniformly 10x slower, heavy unchanged → the
+    // documented VM noise window → flag
+    val noisy = committed.map { case (n, t) => n -> (if (t < Bench.LightSec) t * 10 else t) }
+    assert(Bench.suspectNoise(noisy, committed), "uniform light-query inflation must flag")
+    // one real regression (a single light query 10x) → NOT noise
+    val oneSlow = committed.updated("q_a", 0.5)
+    assert(!Bench.suspectNoise(oneSlow, committed), "a single slow query must not flag")
+    // clean run → no flag; corrupt/absent committed file → no flag, no throw
+    assert(!Bench.suspectNoise(committed, committed))
+    assert(Bench.committedMins("not json at all").isEmpty)
+    assert(!Bench.suspectNoise(committed, Map.empty))
+    // fewer than 10 comparable light queries → never flag
+    val few = Map("a" -> 0.01, "b" -> 0.02)
+    assert(!Bench.suspectNoise(few.map { case (k, v) => k -> v * 100 }, few))
+  }
+
   test("Bench stdout line fits the driver's 2000-char tail capture") {
     // Rounds 1-3 shipped a ~4 KB line whose head was truncated by the
     // driver's tail window, leaving NO parseable bench numbers. Pin the

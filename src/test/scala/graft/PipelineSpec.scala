@@ -24,6 +24,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     ).toDF("doc_id", "text", "lang", "source")
   }
 
+  test("scrubPii redacts emails, urls, and phone-shaped tokens in order") {
+    import spark.implicits._
+    val pii = Seq(
+      (1L, "contact jane.doe+spam@example.co.uk or visit https://example.com/a?b=c&d=e now"),
+      (2L, "call 555-867-5309 or 555.867.5309 but not 55-555 or 5558675309"),
+      (3L, "mail me at http://host/path?email=bob@mail.org today"), // email inside URL query
+      (4L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = pii.transform(scrubPii()).as[(Long, String)].collect().toMap
+    assert(out(1L) == "contact <EMAIL> or visit <URL> now", out(1L))
+    assert(out(2L) == "call <PHONE> or <PHONE> but not 55-555 or 5558675309", out(2L))
+    // fixed order: the email is redacted FIRST (even inside the URL), then
+    // the remaining URL prefix collapses to <URL>
+    assert(!out(3L).contains("bob@mail.org"), s"email must never survive: ${out(3L)}")
+    assert(out(3L).contains("<URL>") && out(3L).contains("<EMAIL>"), out(3L))
+    assert(out(4L) == "no pii here at all")
+    // the query-facing profile agrees with the stage on counts
+    val c = textanalysis.Text.scrubPiiOf(pii)
+      .select(col("doc_id"), col("n_emails"), col("n_urls"), col("n_phones"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(c(1L) == ((1L, 1L, 0L)), c(1L).toString)
+    assert(c(2L) == ((0L, 0L, 2L)), c(2L).toString)
+    assert(c(4L) == ((0L, 0L, 0L)), c(4L).toString)
+  }
+
   test("chained gates compose and keep the expected survivors") {
     val out = docs
       .transform(qualityGate(0.6))
