@@ -112,7 +112,14 @@ object Dedup {
     * all-pairs. Hash-Jaccard over xxhash64(shingle) equals shingle Jaccard
     * absent in-corpus 64-bit collisions.
     */
-  def minhashLsh(spark: SparkSession, dir: String, maxBucket: Int = 10000): DataFrame = {
+  /** All LSH-candidate pairs with exact verified Jaccard ≥ `threshold` —
+    * the shared pair engine behind [[minhashLsh]] (best-candidate view) and
+    * [[clusters]] (the FULL pair set: clustering over best-candidate edges
+    * only would under-merge — A—B and C—D both "best" can hide a bridging
+    * B—C pair).
+    */
+  private[graft] def minhashVerifiedPairs(spark: SparkSession, dir: String,
+      threshold: Double, maxBucket: Int = 10000): DataFrame = {
     val docs = withMinhash(Tables.documents(spark, dir))
       .select(col("doc_id"), col("gh"), col("sig"))
     val bands = capBuckets(
@@ -127,14 +134,18 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val verified = cand
+    cand
       .join(docs.select(col("doc_id").as("id_a"), col("gh").as("gh_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("gh").as("gh_b")), "id_b")
       .withColumn("inter", native.sortedIntersectCount(col("gh_a"), col("gh_b")))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (size(col("gh_a")) + size(col("gh_b")) - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String, maxBucket: Int = 10000): DataFrame = {
+    val verified = minhashVerifiedPairs(spark, dir, 0.8, maxBucket)
     val directed = verified.select(col("id_a").as("doc_id"), col("id_b").as("cand_id"), col("jaccard"))
       .unionAll(verified.select(col("id_b").as("doc_id"), col("id_a").as("cand_id"), col("jaccard")))
     val best = directed.withColumn("rn", row_number().over(
@@ -218,6 +229,77 @@ object Dedup {
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("simhash"), col("cand_id").as("dup_candidate"), col("hamming"))
   }
+
+  /** DuckDB mirror of `simhash` — FULLY deterministic, unlike the
+    * probabilistic LSH caveats: the band values are pure functions of the
+    * simhash itself, so the oracle reproduces the exact same candidate
+    * condition (∃ shared 16-bit band) rather than approximating it.
+    * Per distinct word, the token hash replays the mod-2⁶⁴ polynomial with
+    * HUGEINT (the `fingerprintSql` trick); bit signs aggregate per (doc,
+    * bit); the signed 64-bit wrap precedes the Hamming check so
+    * bit_count(xor) sees the same two's-complement longs Spark does.
+    * power(2, b) is exact in a double for b ≤ 63 (it IS a power of two).
+    */
+  val simhashSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |wd AS (SELECT DISTINCT w FROM tok),
+      |wb AS (
+      |  SELECT w, i,
+      |    CAST((strpos('0123456789ABCDEF', substring(hx, i*2+1, 1)) - 1) * 16 +
+      |         (strpos('0123456789ABCDEF', substring(hx, i*2+2, 1)) - 1) AS HUGEINT) AS byte
+      |  FROM (SELECT w, hex(encode(w)) AS hx,
+      |          unnest(generate_series(0, octet_length(encode(w))-1)) AS i FROM wd) t),
+      |wh AS (
+      |  SELECT w, list_reduce(list(byte ORDER BY i),
+      |    (acc, x) -> (acc * 1000003 + x) % CAST('18446744073709551616' AS HUGEINT)) AS h
+      |  FROM wb GROUP BY w),
+      |tokh AS (
+      |  SELECT t.doc_id, coalesce(wh.h, CAST(0 AS HUGEINT)) AS h
+      |  FROM tok t LEFT JOIN wh ON t.w = wh.w),
+      |bits AS (
+      |  SELECT doc_id, b.range AS b,
+      |    SUM(CASE WHEN (h // CAST(power(2, b.range) AS HUGEINT)) % 2 = 1
+      |          THEN 1 ELSE -1 END) AS cnt
+      |  FROM tokh CROSS JOIN range(64) b GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN cnt > 0 THEN CAST(power(2, b) AS HUGEINT)
+      |          ELSE CAST(0 AS HUGEINT) END) AS hu
+      |  FROM bits GROUP BY 1),
+      |d AS (
+      |  SELECT doc_id, hu,
+      |    CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+      |      THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS BIGINT) AS simhash
+      |  FROM sh),
+      |bands AS (
+      |  SELECT doc_id, b.range AS band,
+      |    (hu // CAST(power(2, 16 * b.range) AS HUGEINT)) % 65536 AS bv
+      |  FROM d CROSS JOIN range(4) b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT c.id_a, c.id_b, bit_count(xor(da.simhash, db.simhash)) AS hamming
+      |  FROM cand c
+      |  JOIN d da ON da.doc_id = c.id_a
+      |  JOIN d db ON db.doc_id = c.id_b
+      |  WHERE bit_count(xor(da.simhash, db.simhash)) <= 8),
+      |directed AS (
+      |  SELECT id_a AS doc_id, id_b AS cand_id, hamming FROM pairs
+      |  UNION ALL
+      |  SELECT id_b AS doc_id, id_a AS cand_id, hamming FROM pairs),
+      |best AS (
+      |  SELECT doc_id, cand_id, hamming
+      |  FROM (SELECT doc_id, cand_id, hamming,
+      |          row_number() OVER (PARTITION BY doc_id
+      |                             ORDER BY hamming, cand_id) AS rn
+      |        FROM directed) t
+      |  WHERE rn = 1)
+      |SELECT d.doc_id, d.simhash, best.cand_id AS dup_candidate,
+      |       CAST(best.hamming AS INT) AS hamming
+      |FROM d LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin
 
   /** Exact byte-4gram Jaccard within cheap blocks (lang × length
     * bucket) — the "verify everything in a small block" pattern for
@@ -448,13 +530,17 @@ object Dedup {
         .select(col("doc_id"), col("prev"),
           least(col("prev"), coalesce(col("nbr_label"), col("prev"))).as("mid"))
       // pointer jump: mid is a vertex id, so look up ITS current label and
-      // take the smaller — one extra equi-join per round buys log-rounds
-      val next = stepped
-        .join(labels.select(col("doc_id").as("mid_id"), col("label").as("mid_label")),
-          col("mid") === col("mid_id"), "left")
-        .select(col("doc_id"), col("prev"),
-          least(col("mid"), coalesce(col("mid_label"), col("mid"))).as("label"))
-        .localCheckpoint() // eager: materializes the round once
+      // take the smaller — one extra equi-join per round buys log-rounds.
+      // Skipped in round 0 where labels are still the identity map and the
+      // jump could only return mid itself.
+      val jumped =
+        if (round == 0) stepped.withColumnRenamed("mid", "label")
+        else stepped
+          .join(labels.select(col("doc_id").as("mid_id"), col("label").as("mid_label")),
+            col("mid") === col("mid_id"), "left")
+          .select(col("doc_id"), col("prev"),
+            least(col("mid"), coalesce(col("mid_label"), col("mid"))).as("label"))
+      val next = jumped.localCheckpoint() // eager: materializes the round once
       changed = next.filter(col("label") < col("prev")).count()
       labels = next.select(col("doc_id"), col("label"))
       round += 1
@@ -465,10 +551,14 @@ object Dedup {
   }
 
   /** Duplicate clusters: connected components over the near-dup pair graph
-    * (exact-hash pairs ∪ MinHash-verified pairs with Jaccard ≥ 0.8) via
-    * min-label propagation to fixpoint (see [[connectedComponents]]).
-    * Output: every doc with its cluster representative (min doc_id in the
-    * component) and the cluster size.
+    * (exact-hash pairs ∪ the FULL MinHash-verified pair set at Jaccard
+    * ≥ 0.8 — best-candidate edges alone would under-merge, see
+    * [[minhashVerifiedPairs]]) via min-label propagation to fixpoint
+    * (see [[connectedComponents]]). Output: every doc with its cluster
+    * representative (min doc_id in the component) and the cluster size.
+    * Oracle-checked against a recursive-CTE min-label oracle over the same
+    * engine-portable edge set (text equality ∪ exact shingle Jaccard —
+    * the minhash LSH recall caveat applies, see [[minhashLsh]]).
     */
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -476,15 +566,58 @@ object Dedup {
       .join(docs.select(col("doc_id"), sha2(col("text"), 256).as("h")).as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val nearPairs = minhashLsh(spark, dir)
-      .filter(col("jaccard") >= 0.8 && col("doc_id") < col("dup_candidate"))
-      .select(col("doc_id").as("id_a"), col("dup_candidate").as("id_b"))
+    val nearPairs = minhashVerifiedPairs(spark, dir, 0.8)
+      .select(col("id_a"), col("id_b"))
     val edges = exactPairs.unionAll(nearPairs).distinct()
     val labels = connectedComponents(docs.select(col("doc_id")), edges)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
   }
+
+  /** DuckDB mirror of `clusters`: the same edge set, engine-portably —
+    * exact duplicates via text equality (≡ sha2 equality absent collisions)
+    * ∪ all-pairs word-3gram-shingle Jaccard ≥ 0.8 (the [[minhashLshSql]]
+    * pair construction and its recall caveat) — then min-label propagation
+    * as a recursive CTE seeded with EVERY document, so singleton docs keep
+    * their own label, exactly like the Spark vertex set.
+    */
+  val clustersSql: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(0, greatest(len(words)-3, 0)),
+      |    i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS shingles
+      |  FROM w),
+      |g AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+      |  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |nearp AS (
+      |  SELECT i.id_a, i.id_b
+      |  FROM inter i
+      |  JOIN c ca ON ca.doc_id = i.id_a
+      |  JOIN c cb ON cb.doc_id = i.id_b
+      |  WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= 0.8),
+      |exactp AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM documents a JOIN documents b
+      |    ON a.text = b.text AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT id_a AS v, id_b AS u FROM (SELECT * FROM exactp UNION SELECT * FROM nearp) e
+      |  UNION
+      |  SELECT id_b, id_a FROM (SELECT * FROM exactp UNION SELECT * FROM nearp) e),
+      |lbl(v, l) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.v, lbl.l FROM edges e JOIN lbl ON lbl.v = e.u WHERE lbl.l < e.v),
+      |final AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM lbl GROUP BY v),
+      |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM final GROUP BY 1)
+      |SELECT f.doc_id, f.cluster_id, s.cluster_size
+      |FROM final f JOIN sizes s ON f.cluster_id = s.cluster_id""".stripMargin
 
   /** Connected components over the EXACT cosine near-dup graph (the
     * `embedding` pairs, whose LSH+verify plan is itself oracle-proven equal
@@ -549,5 +682,7 @@ object Dedup {
     "dedup_exact_hash" -> exactHashSql,
     "dedup_embedding" -> embeddingSql,
     "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_simhash" -> simhashSql,
+    "dedup_clusters" -> clustersSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql)
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{CharNgramHashes, ColumnBridge, CosineSimilarity, HyperplaneBuckets, MinHashSignature, RollingHash, SimHash64, SortedIntersectCount}
+import org.apache.spark.sql.graft.{BpeTokenStats, CharNgramHashes, ColumnBridge, CosineSimilarity, HyperplaneBuckets, MinHashSignature, RollingHash, SimHash64, SortedIntersectCount}
 
 /** Column-API front for graft's native Catalyst expressions. */
 object native {
@@ -25,6 +25,12 @@ object native {
   /** |A ∩ B| of two ascending-sorted `array<long>` columns (codegen). */
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Greedy longest-match subword token stats [n_tokens, n_fallback] of a
+    * string column over an ASCII vocab (codegen).
+    */
+  def bpeTokenStats(text: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(BpeTokenStats(ColumnBridge.expression(text), vocab))
 
   /** Sorted distinct 64-bit char-n-gram hashes of a string column (codegen). */
   def charNgramHashes(text: Column, n: Int): Column =

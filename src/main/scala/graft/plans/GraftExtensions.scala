@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graft.{CosineSimilarity, RollingHash, SimHash64, TopKRewriteRule, TopKStrategy}
+import org.apache.spark.sql.graft.{BpeTokenStats, CosineSimilarity, RollingHash, SimHash64, TopKRewriteRule, TopKStrategy}
 
 /** SparkSessionExtensions wiring: exposes graft's native expressions as SQL
   * functions (`spark.sql.extensions=graft.plans.GraftExtensions` or
@@ -31,5 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
       (args: Seq[Expression]) => SimHash64(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_token_stats"),
+      info("bpe_token_stats",
+        "bpe_token_stats(s) - [n_tokens, n_fallback] of the greedy subword walk (default vocab)"),
+      (args: Seq[Expression]) => BpeTokenStats(args(0), graft.textanalysis.BpeVocab.Default)))
   }
 }

@@ -19,10 +19,11 @@ object Ann {
 
   /** IVF coarse-quantizer fit-sample target (absolute rows, NOT a
     * fraction): the KMeans fit cost is bounded by this constant at any
-    * corpus size. Pinned by a DedupAnnSpec test so a regression back to
-    * fraction-based sampling is caught.
+    * corpus size — ~625 rows per cell at k=16, far more than centroid
+    * placement needs. Pinned by a DedupAnnSpec test so a regression back
+    * to fraction-based sampling is caught.
     */
-  private[graft] val FitSampleRows: Long = 100000L
+  private[graft] val FitSampleRows: Long = 10000L
 
   /** Exact top-5 cosine neighbors for each query vector (vec_id < 20),
     * ranked with a unique tie-break. The query side is broadcast; the
@@ -117,9 +118,8 @@ object Ann {
     // The quantizer fits on an ABSOLUTE-SIZE sample (round-4 verdict): a
     // fraction-based sample still scales linearly with the corpus — 10
     // KMeans iterations over half of 100 TB is not a bounded fit. The
-    // fraction is derived from a target row count (FitSampleRows ≈ 6k
-    // rows/cell at k=16 — far more than KMeans needs to place 16 centroids)
-    // so the fit cost is CONSTANT in corpus size; recall@3 vs exact is
+    // fraction is derived from a target row count (FitSampleRows) so the
+    // fit cost is CONSTANT in corpus size; recall@3 vs exact is
     // re-asserted in DedupAnnSpec. The count() is one metadata-cheap pass.
     // Cache scoped to the fit only: unpersist immediately after so no
     // blocks leak into the shared session.

@@ -5,6 +5,24 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
+/** Subword vocabulary for the greedy BPE-style tokenizer: loaded from a
+  * vocab FILE (resource `graft/bpe_vocab.txt` by default — swap in a real
+  * tokenizer's merged vocab via [[fromLines]]). Lines are verbatim tokens:
+  * leading spaces are significant (GPT-style space-prefixed word tokens),
+  * so the loader must never trim.
+  */
+object BpeVocab {
+  lazy val Default: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_vocab.txt")
+    require(in != null, "missing resource graft/bpe_vocab.txt")
+    try fromLines(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
+
+  def fromLines(lines: Iterator[String]): Seq[String] =
+    lines.map(_.stripSuffix("\r")).filter(_.nonEmpty).toSeq
+}
+
 /** Text-analysis operators over the `documents` table — the quality /
   * profiling stage of a training-data pipeline. Everything is built from
   * codegen'd builtin functions (no UDFs), so the whole stage stays inside
@@ -170,6 +188,50 @@ object Text {
       | CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
       | CAST(LENGTH(text) AS DOUBLE) / GREATEST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')), 1) AS chars_per_token
       |FROM documents""".stripMargin
+
+  /** Vocab-driven subword token accounting (round-4 verdict "real
+    * tokenizer" item): greedy longest-match over a BPE-style merged vocab
+    * (the WordPiece/SentencePiece fast path — see `BpeMatcher`), via a
+    * codegen expression; one pass, zero shuffle. Reports the token count,
+    * the fallback count (codepoints no vocab entry covers — the UNK rate),
+    * and chars-per-token compression. Oracle: DuckDB replays the identical
+    * greedy walk as a recursive CTE over the same vocab literal (generated
+    * from the same loaded file, so the two sides cannot drift).
+    */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    bpeTokensOf(Tables.documents(spark, dir), BpeVocab.Default)
+
+  private[graft] def bpeTokensOf(documents: DataFrame, vocab: Seq[String]): DataFrame =
+    documents
+      .withColumn("bpe", graft.functions.native.bpeTokenStats(col("text"), vocab))
+      .select(
+        col("doc_id"),
+        col("bpe").getItem(0).as("n_tokens"),
+        col("bpe").getItem(1).as("n_fallback"),
+        (length(col("text")).cast("double") /
+          greatest(col("bpe").getItem(0), lit(1L))).as("chars_per_token"))
+
+  val bpeTokensSql: String = {
+    val toks = BpeVocab.Default.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    val longest = s"""(SELECT max(len(v.tok))
+       |             FROM (SELECT unnest([$toks]) AS tok) v
+       |             WHERE substring(d.text, w.pos, len(v.tok)) = v.tok)""".stripMargin
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, text, length(text) AS n FROM documents),
+       |walk(doc_id, pos, ntok, nfb) AS (
+       |  SELECT doc_id, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM d
+       |  UNION ALL
+       |  SELECT w.doc_id,
+       |         w.pos + CAST(coalesce($longest, 1) AS INT),
+       |         w.ntok + 1,
+       |         w.nfb + CASE WHEN $longest IS NULL THEN 1 ELSE 0 END
+       |  FROM walk w JOIN d ON d.doc_id = w.doc_id
+       |  WHERE w.pos <= d.n)
+       |SELECT w.doc_id, MAX(w.ntok) AS n_tokens, MAX(w.nfb) AS n_fallback,
+       |       CAST(ANY_VALUE(d.n) AS DOUBLE) / GREATEST(MAX(w.ntok), 1) AS chars_per_token
+       |FROM walk w JOIN d ON d.doc_id = w.doc_id
+       |GROUP BY 1""".stripMargin
+  }
 
   /** Content fingerprint via md5 — portable across engines. */
   def fingerprintMd5(spark: SparkSession, dir: String): DataFrame =
@@ -372,12 +434,14 @@ object Text {
     "text_token_count" -> (tokenCount _),
     "text_fingerprint_md5" -> (fingerprintMd5 _),
     "text_fingerprint" -> (fingerprint _),
-    "text_scrub_pii" -> (scrubPii _))
+    "text_scrub_pii" -> (scrubPii _),
+    "text_bpe_tokens" -> (bpeTokens _))
 
   val oracles: Map[String, String] = Map(
     "text_rep" -> repetitionSql,
     "text_fingerprint" -> fingerprintSql,
     "text_scrub_pii" -> scrubPiiSql,
+    "text_bpe_tokens" -> bpeTokensSql,
     "text_rarity" -> raritySql,
     "text_top_terms" -> topTermsSql,
     "text_stats" -> statsSql,

@@ -395,6 +395,89 @@ case class HyperplaneBuckets(child: Expression, planes: Seq[Double],
     copy(child = newChild)
 }
 
+/** Greedy longest-match subword tokenizer over an ASCII vocab — the
+  * engine-side seam for BPE-consistent token accounting (round-4 verdict:
+  * "a vocab-file driven greedy BPE"). Real learned-merge BPE applies merge
+  * rules iteratively; the industry-standard fast path (WordPiece /
+  * SentencePiece greedy) is longest-prefix match over the merged vocab,
+  * which is what this implements — deterministic, one pass, O(text ·
+  * candidates-per-first-char).
+  *
+  * Positions advance in CODEPOINTS (one fallback token per unmatched
+  * codepoint), matching ANSI-SQL character semantics so the DuckDB oracle
+  * can replay the walk exactly; the vocab is required ASCII, where UTF-16
+  * char indexing and codepoint indexing agree on every possible match.
+  */
+class BpeMatcher(val vocab: Array[String]) extends Serializable {
+  require(vocab.forall(t => t.nonEmpty && t.forall(_ < 128)),
+    "BPE vocab must be non-empty ASCII tokens")
+
+  // candidates bucketed by first char, longest first → the first region
+  // match IS the longest match
+  @transient private lazy val byChar: Array[Array[String]] = {
+    val buckets = Array.fill(128)(List.empty[String])
+    vocab.foreach(t => buckets(t.charAt(0)) ::= t)
+    buckets.map(_.sortBy(-_.length).toArray)
+  }
+
+  /** [n_tokens, n_fallback] of the greedy walk over `s`. */
+  def stats(s: String): Array[Long] = {
+    var pos = 0
+    var ntok = 0L
+    var nfb = 0L
+    while (pos < s.length) {
+      val c = s.charAt(pos)
+      var len = 0
+      if (c < 128) {
+        val cands = byChar(c)
+        var i = 0
+        while (i < cands.length && len == 0) {
+          if (s.startsWith(cands(i), pos)) len = cands(i).length
+          i += 1
+        }
+      }
+      ntok += 1
+      if (len == 0) {
+        nfb += 1
+        pos += Character.charCount(s.codePointAt(pos))
+      } else pos += len
+    }
+    Array(ntok, nfb)
+  }
+}
+
+/** Token statistics of the greedy subword walk: output = [n_tokens,
+  * n_fallback]. The matcher (with its prebuilt candidate index) rides into
+  * generated code as a codegen reference object; `vocab` stays the
+  * structural-equality carrier (same lesson as [[HyperplaneBuckets]]).
+  */
+case class BpeTokenStats(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  @transient private lazy val matcher = new BpeMatcher(vocab.toArray)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bpe_token_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      matcher.stats(input.asInstanceOf[UTF8String].toString))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("bpeMatcher", matcher, classOf[BpeMatcher].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $m.stats($c.toString()));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Sorted distinct 64-bit hashes of all character n-grams of a string —
   * the shingle-set builder for n-gram Jaccard, fused into one codegen pass
   * (hash windows over the raw UTF-8 bytes, sort, dedup in place) instead of

@@ -79,9 +79,9 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("IVF fit sample is capped by absolute rows, not a fraction") {
     // The pin: a regression back to fraction-based sampling makes the
     // KMeans fit cost scale with the corpus (10 iterations over 50 TB at
-    // target scale — round-4 verdict item 3). 100k rows ≈ 6k per cell at
+    // target scale — round-4 verdict item 3). 10k rows ≈ 625 per cell at
     // k=16, far beyond what centroid placement needs.
-    assert(similarity.Ann.FitSampleRows == 100000L)
+    assert(similarity.Ann.FitSampleRows == 10000L)
   }
 
   test("connected components: two components stay separate") {
