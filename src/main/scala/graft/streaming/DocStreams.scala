@@ -29,8 +29,16 @@ object DocStreams {
       .withColumn("q_score", score)
       .filter(col("q_score") >= 0.6)
       .filter(col("lang").isin("en", "es", "de", "fr", "zh"))
+      // PII scrub is a stateless map stage, so it slots into the streaming
+      // chain unchanged (dedup keys on the PRE-scrub hash: redaction must
+      // not merge distinct documents that share a template)
+      .transform(graft.pipeline.Pipeline.scrubPii())
       .groupBy(window(col("ts"), "1 hour"), col("lang"))
-      .agg(count(lit(1)).as("n_kept"))
-      .select(col("window.start").as("hour_start"), col("lang"), col("n_kept"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(when(col("text").contains("<EMAIL>") ||
+          col("text").contains("<URL>") ||
+          col("text").contains("<PHONE>"), 1L).otherwise(0L)).as("n_redacted"))
+      .select(col("window.start").as("hour_start"), col("lang"),
+        col("n_kept"), col("n_redacted"))
   }
 }

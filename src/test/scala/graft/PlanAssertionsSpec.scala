@@ -126,6 +126,17 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     }
   }
 
+  test("text_scrub_pii / text_bpe_tokens: map-only, whole-stage codegen, 2-col scan") {
+    for (q <- Seq("text_scrub_pii", "text_bpe_tokens")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle: $p")
+      // whole-stage codegen renders as the `*(n)` stage prefix here
+      assert(p.contains("*(1) Project"), s"$q must stay codegen'd: $p")
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$q must prune the scan to (doc_id, text): $p")
+    }
+  }
+
   test("ann_range: query panel broadcasts, corpus side never shuffles") {
     val p = planOf("ann_range")
     assert(p.contains("BroadcastNestedLoopJoin"), p)

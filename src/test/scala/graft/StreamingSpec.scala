@@ -124,15 +124,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         Doc(2, ts(6), good, "en"),          // exact dup of doc 1 -> dropped
         Doc(3, ts(7), "too short", "en"),   // 2 tokens: q_score 0.51 -> dropped
         Doc(4, ts(8), good + " es", "xx"),  // unsupported lang -> dropped
-        Doc(5, ts(9), good + " v2", "fr"))  // distinct, long, supported -> kept
+        Doc(5, ts(9), good + " v2 mail@example.com", "fr")) // kept + scrubbed
       q.processAllAvailable()
       // push the watermark past the window end so the windowed agg emits
       input.addData(Doc(99, ts(600), good + " late", "en"))
       q.processAllAvailable()
       val got = spark.table("curated")
-        .select($"hour_start", $"lang", $"n_kept")
-        .as[(Timestamp, String, Long)].collect().toSet
-      assert(got == Set((ts(0), "en", 1L), (ts(0), "fr", 1L)), got.toString)
+        .select($"hour_start", $"lang", $"n_kept", $"n_redacted")
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      // the fr doc carries an email -> scrubbed in-stream, counted redacted
+      assert(got == Set((ts(0), "en", 1L, 0L), (ts(0), "fr", 1L, 1L)), got.toString)
     } finally q.stop()
   }
 
