@@ -17,6 +17,29 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("no query plan contains a scale-killer: cartesian product or unpartitioned window") {
+    // The global guard behind the per-query plan assertions: EVERY query in
+    // the inventory is planned and screened for the two patterns that are
+    // always fatal at 100 TB — a CartesianProduct (the non-equi-join
+    // fallback nobody meant to ship) and a Window over SinglePartition
+    // (all rows through one task). Allowlist entries must argue bounded
+    // cardinality, not convenience.
+    val allow = Map(
+      // window input is the per-source aggregate: rows = |sources| (tiny,
+      // bounded by the mixture config), not corpus rows
+      "mixture_weights" -> "global-window")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      val flags = Seq(
+        if (p.contains("CartesianProduct")) Some("cartesian") else None,
+        if (p.contains("Window") && p.contains("SinglePartition"))
+          Some("global-window") else None).flatten
+      flags.filterNot(f => allow.get(name).contains(f)).map(f => s"$name: $f")
+    }
+    assert(offenders.isEmpty,
+      s"scale-killer patterns in:\n${offenders.mkString("\n")}")
+  }
+
   test("salted join returns exactly the plain-join rows") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
