@@ -268,7 +268,53 @@ object Prep {
       |SELECT doc_id, n_chars, p01, p99 FROM documents, b
       |WHERE n_chars >= p01 AND n_chars <= p99""".stripMargin
 
+  /** Overlapping-window document chunking — the context-window prep stage
+    * (RAG indexing, long-doc training samples): fixed `ChunkSize`-char
+    * windows at `ChunkStride` steps, so consecutive chunks overlap by
+    * size − stride chars and no text is lost. n_chunks = 1 + ⌈(len −
+    * size)/stride⌉ — the LAST window is the only short one, and a doc at
+    * most `size` long is exactly one chunk (no redundant tail window).
+    * Chunks are generated in-row (transform + explode: map-only, no
+    * shuffle) and fingerprinted so the oracle hash-checks every chunk
+    * boundary without shipping chunk text. Both engines slice by
+    * CHARACTER position (substring is codepoint-indexed in each), so the
+    * boundaries agree on non-ASCII text too.
+    */
+  private val ChunkSize = 200
+  private val ChunkStride = 150
+
+  def docChunk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("len", length(col("text")))
+      .withColumn("n_chunks",
+        (lit(1) + greatest(lit(0),
+          expr(s"cast(ceil((len - $ChunkSize) / cast($ChunkStride as double)) as int)")))
+          .cast("int"))
+      .select(col("doc_id"), col("n_chunks"), explode(expr(
+        s"""transform(sequence(0, n_chunks - 1), i -> named_struct(
+           |  'chunk_idx', i,
+           |  'chunk_len', length(substring(text, i * $ChunkStride + 1, $ChunkSize)),
+           |  'chunk_md5', md5(substring(text, i * $ChunkStride + 1, $ChunkSize))))""".stripMargin)).as("c"))
+      .select(col("doc_id"), col("n_chunks"),
+        col("c.chunk_idx").cast("bigint").as("chunk_idx"),
+        col("c.chunk_len").cast("bigint").as("chunk_len"),
+        col("c.chunk_md5").as("chunk_md5"))
+
+  val docChunkSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |         CAST(1 + greatest(0,
+       |           CAST(ceil((length(text) - $ChunkSize) / CAST($ChunkStride AS DOUBLE)) AS INT)) AS INT) AS n_chunks
+       |  FROM documents)
+       |SELECT doc_id, n_chunks,
+       |       CAST(i AS BIGINT) AS chunk_idx,
+       |       CAST(length(substring(text, CAST(i * $ChunkStride + 1 AS INT), $ChunkSize)) AS BIGINT) AS chunk_len,
+       |       md5(substring(text, CAST(i * $ChunkStride + 1 AS INT), $ChunkSize)) AS chunk_md5
+       |FROM (SELECT doc_id, text, n_chunks,
+       |        unnest(generate_series(0, n_chunks - 1)) AS i FROM d) t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunk" -> (docChunk _),
     "pack_sequences" -> (packSequences _),
     "sample_stratified" -> (sampleStratified _),
     "text_normalize" -> (textNormalize _),
@@ -279,6 +325,7 @@ object Prep {
     "doc_length_trim" -> (lengthTrim _))
 
   val oracles: Map[String, String] = Map(
+    "doc_chunk" -> docChunkSql,
     "pack_sequences" -> packSequencesSql,
     "sample_stratified" -> sampleStratifiedSql,
     "text_normalize" -> textNormalizeSql,

@@ -129,4 +129,34 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == codes.sum)
     }
   }
+
+  test("BpeMatcher agrees with a naive longest-match reference on random text") {
+    // reference: at each position scan the WHOLE vocab for the longest
+    // match (no index, no ordering tricks) — the indexed matcher must agree
+    // exactly, and the walk must consume every codepoint exactly once
+    val vocab = Array(" the", "the", " a", "and", "ing", "ther", "er",
+      "row", "key", "t", "a", "e", " ", "0", "42")
+    def naive(s: String): (Long, Long) = {
+      var pos = 0; var ntok = 0L; var nfb = 0L
+      while (pos < s.length) {
+        val best = vocab.filter(t => s.startsWith(t, pos))
+          .map(_.length).maxOption.getOrElse(0)
+        ntok += 1
+        if (best == 0) { nfb += 1; pos += Character.charCount(s.codePointAt(pos)) }
+        else pos += best
+      }
+      (ntok, nfb)
+    }
+    val m = new org.apache.spark.sql.graft.BpeMatcher(vocab)
+    val charGen = Gen.frequency(
+      6 -> Gen.oneOf('t', 'h', 'e', 'a', 'n', 'd', 'i', 'g', 'r', 'o', 'w', 'k'),
+      2 -> Gen.const(' '), 1 -> Gen.oneOf('z', 'q', '!', '4', '2', 'é', '世'))
+    val textGen = Gen.listOfN(60, charGen).map(_.mkString)
+    for (s <- samples(textGen, 40)) {
+      val Array(ntok, nfb) = m.stats(s)
+      assert((ntok, nfb) == naive(s), s"matcher diverged on: '$s'")
+      assert(nfb <= ntok && ntok <= s.codePointCount(0, s.length).toLong)
+      assert((s.nonEmpty && ntok > 0) || (s.isEmpty && ntok == 0))
+    }
+  }
 }
