@@ -33,4 +33,22 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  private val loaders: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "region" -> (region _), "nation" -> (nation _), "customer" -> (customer _),
+    "supplier" -> (supplier _), "part" -> (part _), "orders" -> (orders _),
+    "lineitem" -> (lineitem _), "events" -> (events _),
+    "documents" -> (documents _), "embeddings" -> (embeddings _))
+
+  /** Register every table as a temp view so arbitrary SQL runs against the
+    * named tables — the reference's exact usage flow (`register_parquet`
+    * then `ctx.sql(...)`, `benches/query.rs:37-47`). Views are lazy plans
+    * over the parquet scans (events with its nanos→micros ts conversion
+    * baked in), so pushdown/pruning behave identically to the programmatic
+    * loaders.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    loaders.foreach { case (name, fn) =>
+      fn(spark, dir).createOrReplaceTempView(name)
+    }
 }

@@ -16,6 +16,22 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("registerAll enables the reference's register-then-SQL flow") {
+    // the reference's usage shape verbatim (benches/query.rs:37-47):
+    // register every parquet table, then run arbitrary SQL by table name
+    Tables.registerAll(spark, sf)
+    val agg = spark.sql(
+      """SELECT l_returnflag, l_linestatus, avg(l_quantity) q
+        |FROM lineitem GROUP BY 1, 2""".stripMargin)
+    assert(agg.count() == 6)
+    val joined = spark.sql(
+      """SELECT n.n_name, count(*) c FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY 1""".stripMargin)
+    assert(joined.count() == 25)
+    // events view carries the nanos->micros ts conversion
+    assert(spark.sql("SELECT max(ts) FROM events").head.get(0) != null)
+  }
+
   test("every declared query has an oracle or is documented rows-only") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
