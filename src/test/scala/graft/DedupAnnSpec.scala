@@ -84,6 +84,32 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(similarity.Ann.FitSampleRows == 10000L)
   }
 
+  test("connected components match union-find on random graphs") {
+    // the pointer-jump fixpoint vs a plain union-find reference, across
+    // sparse/dense/forest regimes — randomized but seeded (reproducible)
+    import spark.implicits._
+    val rng = new scala.util.Random(1234)
+    for ((nV, nE) <- Seq((40, 10), (60, 60), (200, 120), (80, 300))) {
+      val edges = Seq.fill(nE)((rng.nextInt(nV).toLong + 1, rng.nextInt(nV).toLong + 1))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(nV + 1)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // reference label = min vertex id in the component
+      val want = (1 to nV).groupBy(find).flatMap { case (_, vs) =>
+        val m = vs.min.toLong; vs.map(v => v.toLong -> m)
+      }
+      val got = dedup.Dedup.connectedComponents(
+          (1L to nV.toLong).toDF("doc_id"),
+          edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"diverged from union-find at nV=$nV nE=$nE")
+    }
+  }
+
   test("connected components: two components stay separate") {
     import spark.implicits._
     val vertices = (1L to 6L).toDF("doc_id")
