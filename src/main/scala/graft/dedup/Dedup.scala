@@ -56,12 +56,20 @@ object Dedup {
 
   /** Word-3gram shingles, distinct, as an array column (no explode: the
     * shingle set stays row-local until the LSH bands shuffle).
+    *
+    * try_element_at, NOT `words[i]`: Spark 4 runs ANSI mode by default,
+    * where an out-of-range array index THROWS — a sub-3-word document
+    * would crash the whole job. try_element_at returns NULL there and
+    * concat_ws skips NULLs, which is exactly DuckDB's `words[i]`
+    * semantics, so short docs produce the same degenerate shingle on both
+    * sides of the oracle.
     */
-  private def withShingles(df: DataFrame): DataFrame =
+  private[graft] def withShingles(df: DataFrame): DataFrame =
     df.withColumn("words", split(col("text"), " "))
       .withColumn("shingles", expr(
         """array_distinct(transform(sequence(0, greatest(size(words)-3, 0)),
-          |  i -> concat_ws(' ', words[i], words[i+1], words[i+2])))""".stripMargin))
+          |  i -> concat_ws(' ', try_element_at(words, i+1),
+          |    try_element_at(words, i+2), try_element_at(words, i+3))))""".stripMargin))
 
   /** MinHash signatures (64 Carter–Wegman permutations, native codegen
     * expression) over word-3gram shingles, plus sorted shingle-hash arrays
@@ -156,14 +164,17 @@ object Dedup {
       .select(col("doc_id"), col("cand_id").as("dup_candidate"), col("jaccard"))
   }
 
-  /** DuckDB mirror of `minhashLsh`: exact all-pairs word-3gram-shingle
-    * Jaccard at the same ≥ 0.8 threshold (see the recall caveat on
-    * [[minhashLsh]]). Shingle construction mirrors `withShingles` exactly:
-    * out-of-range list indexes are NULL and concat_ws skips NULLs in both
-    * engines, so sub-3-word docs yield the same degenerate shingles.
+  /** Shared oracle fragment: the word-3gram shingle sets and exact
+    * all-pairs intersection CTEs (w → sh → g → c → inter). Interpolated
+    * into EVERY oracle that mirrors the minhash pair engine
+    * ([[minhashLshSql]], [[clustersSql]], Curate.oracleSql) so the three
+    * cannot drift apart — one string, one set of shingle semantics.
+    * Out-of-range list indexes are NULL and concat_ws skips NULLs, which
+    * `withShingles` mirrors with try_element_at, so sub-3-word docs yield
+    * the same degenerate shingles in both engines.
     */
-  val minhashLshSql: String =
-    """WITH w AS (
+  private[graft] val shinglePairCtes: String =
+    """w AS (
       |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
       |sh AS (
       |  SELECT doc_id, list_distinct(list_transform(
@@ -175,7 +186,14 @@ object Dedup {
       |inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
       |  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB mirror of `minhashLsh`: exact all-pairs word-3gram-shingle
+    * Jaccard at the same ≥ 0.8 threshold (see the recall caveat on
+    * [[minhashLsh]]).
+    */
+  val minhashLshSql: String =
+    s"""WITH $shinglePairCtes,
       |pairs AS (
       |  SELECT i.id_a, i.id_b,
       |         CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard
@@ -583,19 +601,7 @@ object Dedup {
     * their own label, exactly like the Spark vertex set.
     */
   val clustersSql: String =
-    """WITH RECURSIVE w AS (
-      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-      |sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(
-      |    generate_series(0, greatest(len(words)-3, 0)),
-      |    i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS shingles
-      |  FROM w),
-      |g AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-      |c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-      |inter AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
-      |  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
+    s"""WITH RECURSIVE $shinglePairCtes,
       |nearp AS (
       |  SELECT i.id_a, i.id_b
       |  FROM inter i

@@ -37,31 +37,12 @@ object Curate {
     val exact = quality.withColumn("rn", row_number().over(keeper))
       .withColumn("pass_exact", col("rn") === 1).drop("rn")
 
-    // 3. near dedup via MinHash-LSH: drop the higher id of each verified pair
-    val shingled = docs
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("shingles", expr(
-        """array_distinct(transform(sequence(0, greatest(size(words)-3, 0)),
-          |  i -> concat_ws(' ', words[i], words[i+1], words[i+2])))""".stripMargin))
-      .withColumn("sig", native.minHashSignature(col("shingles")))
-      .withColumn("gh", array_sort(array_distinct(expr("transform(shingles, s -> xxhash64(s))"))))
-      .select(col("doc_id"), col("sig"), col("gh"))
-    val bands = shingled.select(col("doc_id"), col("gh"), explode(expr(
-      """transform(sequence(0, 15),
-        |  b -> named_struct('band', b, 'bh', xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3])))""".stripMargin)).as("bb"))
-      .select(col("doc_id"), col("gh"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    // candidate key = (band index, band hash) — same key as Dedup.minhashLsh;
-    // hash-only would admit spurious cross-band collisions into the verify.
-    // Hot-bucket cap: same degenerate-band defense as the dedup family.
-    val capped = graft.dedup.Dedup.capBuckets(
-      bands, Seq("band", "bh"), 10000, "curate_bucket_cap")
-    val nearDupIds = capped.as("a").join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-          && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("inter", native.sortedIntersectCount(col("a.gh"), col("b.gh")))
-      .filter(col("inter").cast("double") /
-        (size(col("a.gh")) + size(col("b.gh")) - col("inter")) >= 0.8)
-      .select(col("b.doc_id").as("doc_id")).distinct()
+    // 3. near dedup via MinHash-LSH: drop the higher id of each verified
+    // pair. The pair engine (shingle → banded LSH → hot-bucket cap → exact
+    // Jaccard ≥ 0.8) is SHARED with the dedup family — one implementation,
+    // one set of band/threshold/cap constants to maintain.
+    val nearDupIds = graft.dedup.Dedup.minhashVerifiedPairs(spark, dir, 0.8)
+      .select(col("id_b").as("doc_id")).distinct()
     val near = exact.join(nearDupIds.withColumn("is_near_dup", lit(true)), Seq("doc_id"), "left")
       .withColumn("pass_near", coalesce(col("is_near_dup"), lit(false)) === false)
 
@@ -97,23 +78,12 @@ object Curate {
     * recall tail, not a stage regression.
     */
   val oracleSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT doc_id, lang, source, text,
       |    (0.5 * LEAST(1.0, (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) / 100.0) + 0.5) >= 0.6 AS pass_quality,
       |    (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)) = 1 AS pass_exact
       |  FROM documents),
-      |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-      |sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(
-      |    generate_series(0, greatest(len(words)-3, 0)),
-      |    i -> concat_ws(' ', words[i+1], words[i+2], words[i+3]))) AS shingles
-      |  FROM w),
-      |g AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-      |c AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-      |inter AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
-      |  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
+      |${graft.dedup.Dedup.shinglePairCtes},
       |near AS (
       |  SELECT DISTINCT i.id_b AS doc_id
       |  FROM inter i

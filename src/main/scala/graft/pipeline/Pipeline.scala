@@ -69,17 +69,11 @@ object Pipeline {
   }
 
   /** Redact PII in place: emails → `<EMAIL>`, URLs → `<URL>`, phone-shaped
-    * tokens → `<PHONE>` (Text.scrubPii's patterns and fixed order — emails
-    * before URLs because the patterns can overlap). Map-only, no shuffle.
+    * tokens → `<PHONE>` — delegates to Text.scrubExpr, the single home of
+    * the patterns and their order invariant. Map-only, no shuffle.
     */
-  def scrubPii(textCol: String = "text"): DataFrame => DataFrame = { df =>
-    import graft.textanalysis.Text
-    df.withColumn(textCol, regexp_replace(
-      regexp_replace(
-        regexp_replace(col(textCol), Text.EmailRe, "<EMAIL>"),
-        Text.UrlRe, "<URL>"),
-      Text.PhoneRe, "<PHONE>"))
-  }
+  def scrubPii(textCol: String = "text"): DataFrame => DataFrame =
+    df => df.withColumn(textCol, graft.textanalysis.Text.scrubExpr(col(textCol)))
 
   /** Canonicalize text in place (lowercase, strip non-alphanumerics,
     * collapse whitespace). Map-only.

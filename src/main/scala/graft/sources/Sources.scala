@@ -27,11 +27,12 @@ object Sources {
     * same capability is the S3A connector plus these knobs, applied to the
     * session's Hadoop conf:
     *
-    *  - `fadvise=random`: positioned byte-range reads for parquet
-    *    column-chunk access instead of sequential whole-object streaming —
-    *    the exact access pattern the reference's `get_range` implements;
-    *  - `connection.maximum` / `fast.upload`: connection-pool sizing for
-    *    1000-executor fan-out and buffered multipart writes;
+    *  - `fs.s3a.input.fadvise=random` (the current, non-deprecated key):
+    *    positioned byte-range reads for parquet column-chunk access
+    *    instead of sequential whole-object streaming — the exact access
+    *    pattern the reference's `get_range` implements;
+    *  - `connection.maximum`: connection-pool sizing for 1000-executor
+    *    fan-out;
     *  - endpoint / path-style / credentials provider: deployment seam
     *    (MinIO, VPC endpoints, instance roles).
     *
@@ -51,8 +52,7 @@ object Sources {
       "fs.s3a.aws.credentials.provider" -> credentialsProvider,
       "fs.s3a.path.style.access" -> pathStyleAccess.toString,
       "fs.s3a.connection.maximum" -> maxConnections.toString,
-      "fs.s3a.experimental.input.fadvise" -> "random",
-      "fs.s3a.fast.upload" -> "true") ++
+      "fs.s3a.input.fadvise" -> "random") ++
       endpoint.map("fs.s3a.endpoint" -> _)
 
   /** Apply an [[s3aProfile]] to a live session (Hadoop conf is

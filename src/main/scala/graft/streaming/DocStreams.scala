@@ -31,13 +31,16 @@ object DocStreams {
       .filter(col("lang").isin("en", "es", "de", "fr", "zh"))
       // PII scrub is a stateless map stage, so it slots into the streaming
       // chain unchanged (dedup keys on the PRE-scrub hash: redaction must
-      // not merge distinct documents that share a template)
-      .transform(graft.pipeline.Pipeline.scrubPii())
+      // not merge distinct documents that share a template). A doc counts
+      // as redacted iff the scrub CHANGED it — matching the sentinel
+      // strings instead would miscount a doc that legitimately contained
+      // the literal text "<EMAIL>".
+      .withColumn("scrubbed", graft.textanalysis.Text.scrubExpr(col("text")))
+      .withColumn("was_redacted", col("scrubbed") =!= col("text"))
+      .withColumn("text", col("scrubbed")).drop("scrubbed")
       .groupBy(window(col("ts"), "1 hour"), col("lang"))
       .agg(count(lit(1)).as("n_kept"),
-        sum(when(col("text").contains("<EMAIL>") ||
-          col("text").contains("<URL>") ||
-          col("text").contains("<PHONE>"), 1L).otherwise(0L)).as("n_redacted"))
+        sum(when(col("was_redacted"), 1L).otherwise(0L)).as("n_redacted"))
       .select(col("window.start").as("hour_start"), col("lang"),
         col("n_kept"), col("n_redacted"))
   }

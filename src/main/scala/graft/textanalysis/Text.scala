@@ -213,19 +213,26 @@ object Text {
 
   val bpeTokensSql: String = {
     val toks = BpeVocab.Default.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
-    val longest = s"""(SELECT max(len(v.tok))
-       |             FROM (SELECT unnest([$toks]) AS tok) v
-       |             WHERE substring(d.text, w.pos, len(v.tok)) = v.tok)""".stripMargin
+    // ONE vocab scan per step: the lateral aggregate yields zero rows on
+    // no-match (HAVING), and the LEFT JOIN preserves the walk row with a
+    // NULL len — both the advance and the fallback flag read the same
+    // binding instead of re-running the 155-token scan twice.
     s"""WITH RECURSIVE d AS (
        |  SELECT doc_id, text, length(text) AS n FROM documents),
        |walk(doc_id, pos, ntok, nfb) AS (
        |  SELECT doc_id, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM d
        |  UNION ALL
        |  SELECT w.doc_id,
-       |         w.pos + CAST(coalesce($longest, 1) AS INT),
+       |         w.pos + CAST(coalesce(m.len, 1) AS INT),
        |         w.ntok + 1,
-       |         w.nfb + CASE WHEN $longest IS NULL THEN 1 ELSE 0 END
-       |  FROM walk w JOIN d ON d.doc_id = w.doc_id
+       |         w.nfb + CASE WHEN m.len IS NULL THEN 1 ELSE 0 END
+       |  FROM walk w
+       |  JOIN d ON d.doc_id = w.doc_id
+       |  LEFT JOIN LATERAL (
+       |    SELECT max(len(v.tok)) AS len
+       |    FROM (SELECT unnest([$toks]) AS tok) v
+       |    WHERE substring(d.text, w.pos, len(v.tok)) = v.tok
+       |    HAVING max(len(v.tok)) IS NOT NULL) m ON true
        |  WHERE w.pos <= d.n)
        |SELECT w.doc_id, MAX(w.ntok) AS n_tokens, MAX(w.nfb) AS n_fallback,
        |       CAST(ANY_VALUE(d.n) AS DOUBLE) / GREATEST(MAX(w.ntok), 1) AS chars_per_token
@@ -296,12 +303,20 @@ object Text {
   def scrubPii(spark: SparkSession, dir: String): DataFrame =
     scrubPiiOf(Tables.documents(spark, dir))
 
-  private[graft] def scrubPiiOf(documents: DataFrame): DataFrame = {
-    val scrubbed = regexp_replace(
+  /** THE redaction expression — fixed order (emails → URLs → phones,
+    * because the patterns can overlap), shared by the query profile, the
+    * Pipeline stage, and the streaming chain so the order invariant has
+    * exactly one home.
+    */
+  def scrubExpr(c: Column): Column =
+    regexp_replace(
       regexp_replace(
-        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        regexp_replace(c, EmailRe, "<EMAIL>"),
         UrlRe, "<URL>"),
       PhoneRe, "<PHONE>")
+
+  private[graft] def scrubPiiOf(documents: DataFrame): DataFrame = {
+    val scrubbed = scrubExpr(col("text"))
     documents.select(
       col("doc_id"),
       size(expr(s"regexp_extract_all(text, '$EmailRe', 0)")).cast("bigint").as("n_emails"),

@@ -84,6 +84,24 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(similarity.Ann.FitSampleRows == 10000L)
   }
 
+  test("shingles survive sub-3-word docs under ANSI mode (degenerate shingle, no throw)") {
+    // Spark 4 defaults spark.sql.ansi.enabled=true, where words[i] on an
+    // out-of-range index THROWS — withShingles must use try_element_at so
+    // a short document yields DuckDB's degenerate shingle instead of
+    // crashing dedup_minhash_lsh / dedup_clusters / pipeline_curate.
+    import spark.implicits._
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "this regression test is only meaningful under ANSI mode")
+    val df = Seq((1L, "solo"), (2L, "two words"), (3L, "three word doc"))
+      .toDF("doc_id", "text")
+    val got = dedup.Dedup.withShingles(df)
+      .select(col("doc_id"), col("shingles"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("solo"), got(1L).toString)
+    assert(got(2L) == Seq("two words"), got(2L).toString)
+    assert(got(3L) == Seq("three word doc"), got(3L).toString)
+  }
+
   test("connected components match union-find on random graphs") {
     // the pointer-jump fixpoint vs a plain union-find reference, across
     // sparse/dense/forest regimes — randomized but seeded (reproducible)

@@ -90,7 +90,7 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val profile = Sources.s3aProfile(
       endpoint = Some("https://object-store.internal:9000"),
       pathStyleAccess = true)
-    assert(profile("fs.s3a.experimental.input.fadvise") == "random",
+    assert(profile("fs.s3a.input.fadvise") == "random",
       "parquet column-chunk access needs positioned byte-range reads")
     assert(profile("fs.s3a.endpoint") == "https://object-store.internal:9000")
     assert(profile("fs.s3a.path.style.access") == "true")
