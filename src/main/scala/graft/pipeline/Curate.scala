@@ -76,6 +76,12 @@ object Curate {
     * miss ≈ 2·10⁻⁴ at j = 0.8, ≈ 4·10⁻⁸ at the ≥ 0.9 Jaccard this corpus's
     * duplicate pairs actually have). A future one-pair drift here is the
     * recall tail, not a stage regression.
+    *
+    * The count sums are CAST to BIGINT: DuckDB's SUM over integers returns
+    * HUGEINT, which pandas widens to float64 — values equal to Spark's
+    * bigint but a different typed representation, which fails the driver's
+    * value hash (the round-5 `pipeline_curate` red row was exactly this,
+    * not a recall miss).
     */
   val oracleSql: String =
     s"""WITH q AS (
@@ -97,11 +103,11 @@ object Curate {
       |  FROM q LEFT JOIN near ON q.doc_id = near.doc_id)
       |SELECT lang, source,
       |  COUNT(*) AS n_docs,
-      |  SUM(CASE WHEN pass_quality AND pass_exact AND pass_near AND pass_lang
-      |        THEN 1 ELSE 0 END) AS n_kept,
-      |  SUM(CASE WHEN NOT pass_quality THEN 1 ELSE 0 END) AS drop_quality,
-      |  SUM(CASE WHEN NOT pass_exact THEN 1 ELSE 0 END) AS drop_exact_dup,
-      |  SUM(CASE WHEN NOT pass_near THEN 1 ELSE 0 END) AS drop_near_dup
+      |  CAST(SUM(CASE WHEN pass_quality AND pass_exact AND pass_near AND pass_lang
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN NOT pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS drop_quality,
+      |  CAST(SUM(CASE WHEN NOT pass_exact THEN 1 ELSE 0 END) AS BIGINT) AS drop_exact_dup,
+      |  CAST(SUM(CASE WHEN NOT pass_near THEN 1 ELSE 0 END) AS BIGINT) AS drop_near_dup
       |FROM flags
       |GROUP BY 1, 2""".stripMargin
 

@@ -37,6 +37,22 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("no oracle sums integers without a BIGINT cast (HUGEINT hash trap)") {
+    // DuckDB's SUM over integer operands returns HUGEINT, which pandas
+    // widens to float64 on the driver side — values equal Spark's bigint
+    // but the typed hash differs (the round-5 pipeline_curate red row).
+    // Every counting SUM (`SUM(CASE .. THEN 1 ELSE 0 END)`, `SUM(1)`) must
+    // be wrapped in CAST(... AS BIGINT). Heuristic; integer sums that stay
+    // CTE-internal and are cast before output (dedup_simhash) use other
+    // shapes (`ELSE -1`, HUGEINT arithmetic) and are not flagged.
+    val offenders = SparkEntry.oracleSql.collect {
+      case (name, sql) if raw"(?is)(?<!CAST\()SUM\(\s*(CASE\s+WHEN(?:(?!END).)*THEN\s+1\s+ELSE\s+0\s+END|1\s*\))".r
+        .findFirstIn(sql).isDefined => name
+    }
+    assert(offenders.isEmpty,
+      s"oracles with uncast integer SUM (wrap in CAST(.. AS BIGINT)): $offenders")
+  }
+
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name runs and is non-empty") {
       val df = fn(spark, sf)
