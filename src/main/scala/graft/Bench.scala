@@ -147,6 +147,43 @@ object Bench {
         }
       }.toMap
 
+  /** A query whose min landed more than [[NoiseRatio]]× above its committed
+    * floor needs a time-shifted retry: the adaptive sampler's 20%-agreement
+    * test is satisfied by N uniformly-slow samples when a VM noise window
+    * covers the query's ENTIRE sampling block (round-5 driver capture:
+    * q_union_cte 0.23 s → 6.1 s, q_topk_per_key 0.21 s → 3.3 s while the
+    * other 97 queries sat at floor — and `suspect_noise` stayed false
+    * because the window was local, not collective).
+    */
+  private[graft] def needsRetime(min: Double, floor: Option[Double]): Boolean =
+    floor.exists(c => c > 0 && min > c * NoiseRatio)
+
+  /** Re-time every [[needsRetime]] query once more, AFTER the main pass —
+    * the time shift escapes a localized noise window. A genuine regression
+    * is slow in both passes (min merges all samples), so this pass can only
+    * remove false alarms, never hide a real slowdown. Returns the updated
+    * results plus the retimed names (recorded in bench_detail.json so a
+    * reader can see which mins came from the second chance).
+    */
+  private[graft] def retimePass(results: Seq[QueryResult],
+      committed: Map[String, Double], once: String => Either[String, Double],
+      samples: Int = Samples): (Seq[QueryResult], Seq[String]) = {
+    val slow = results.collect {
+      case r if r.timings.nonEmpty && needsRetime(r.timings.min, committed.get(r.name)) =>
+        r.name
+    }
+    val updated = results.map { r =>
+      if (!slow.contains(r.name)) r
+      else {
+        val extra = (1 to samples).map(_ => once(r.name))
+        r.copy(timings = r.timings ++ extra.collect { case Right(t) => t },
+          attempts = r.attempts + extra.size,
+          error = r.error.orElse(extra.collectFirst { case Left(m) => m }))
+      }
+    }
+    (updated, slow)
+  }
+
   /** True when this capture landed in one of the VM's noise windows: the
     * MEDIAN inflation of the light queries (committed min < [[LightSec]])
     * exceeds [[NoiseRatio]]. One slow query is a regression; dozens of
@@ -215,7 +252,11 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     runOnceMain(names.head) // warm-up: first-job/codegen/scan-index init
-    val results = timeAll(spark, SparkEntry.queries, sfDir)
+    val firstPass = timeAll(spark, SparkEntry.queries, sfDir)
+    // second-chance pass for queries that sampled inside a noise window
+    // (runs BEFORE throughput/concurrent — those leave heap pressure that
+    // would bias the retry slow)
+    val (results, retimedNames) = retimePass(firstPass, committed, runOnceMain)
     val failed = results.filter(_.failed).filter(_.error.isDefined)
     val flaky = results.filter(_.flaky)
     val ok = results.filter(_.timings.nonEmpty)
@@ -281,6 +322,7 @@ object Bench {
       "flaky" -> jmap(flaky.map(r => r.name -> jstr(r.error.get))),
       s"concurrent_x$ConcurrentStreams" -> cc,
       "throughput" -> tp,
+      "retimed" -> jarr(retimedNames),
       "sf" -> jstr(sfDir),
       "cpus" -> cpus))
     java.nio.file.Files.writeString(detailPath, detail + "\n")
