@@ -249,14 +249,36 @@ object Events {
     exact.join(sketches, "event_type")
   }
 
-  /** Seeded Bernoulli sample + aggregation — deterministic for a fixed
-    * Spark seed (sampling is engine-specific → rows-only check).
+  /** ~10% Bernoulli sample + aggregation. Membership is a CONTENT-HASH
+    * threshold (md5(event_id) byte 0 < 26 ⇒ 26/256 ≈ 10.16%), not
+    * `.sample(seed)`: the RNG sample is partition-layout-dependent (same
+    * seed, different file splits → different rows) and engine-specific,
+    * which made this a rows-only check through round 5. The hash sample is
+    * reproducible across engines, retries, AND repartitioning — the only
+    * sampling shape that gives a 100 TB pipeline stable, resumable
+    * subsets — and it upgrades the query to a full oracle pass.
     */
-  def sampleAgg(spark: SparkSession, dir: String): DataFrame =
+  def sampleAgg(spark: SparkSession, dir: String): DataFrame = {
+    val b0 = expr(
+      """(instr('0123456789abcdef', substr(md5(cast(event_id as string)), 1, 1)) - 1) * 16
+        | + instr('0123456789abcdef', substr(md5(cast(event_id as string)), 2, 1)) - 1""".stripMargin)
     Tables.events(spark, dir)
-      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .filter(b0 < 26)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_sampled"))
+      .agg(count(lit(1)).as("n_sampled"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+  }
+
+  val sampleAggSql: String =
+    """SELECT event_type, COUNT(*) AS n_sampled,
+      | COUNT(DISTINCT user_id) AS n_users,
+      | MIN(event_id) AS min_event, MAX(event_id) AS max_event
+      |FROM events
+      |WHERE (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |    + strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1 < 26
+      |GROUP BY 1""".stripMargin
 
   /** Conversion funnel with a 1-day window per stage: first view → first
     * click within 24h → first purchase within 24h of that click, counted
@@ -370,6 +392,7 @@ object Events {
     "q_funnel" -> funnelSql,
     "q_cohort" -> cohortSql,
     "q_json_extract" -> jsonExtractSql,
+    "q_sample_agg" -> sampleAggSql,
     "ref_full_scan" -> refFullScanSql,
     "ref_filter" -> refFilterSql,
     "ref_aggregation" -> refAggregationSql,
