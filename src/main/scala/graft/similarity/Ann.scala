@@ -353,7 +353,95 @@ object Ann {
       |        ORDER BY dist_sq, c_label) AS rn FROM d) t
       |WHERE rn = 1""".stripMargin
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public): cluster the corpus with the deterministic
+    * integer coarse quantizer (the [[assignCentroids]] machinery), then
+    * prune WITHIN each cluster: of any pair with cosine ≥ 0.4 (this
+    * corpus's near-dup threshold, shared with `dedup_embedding`), the
+    * higher vec_id is marked a semantic duplicate.
+    *
+    * Scale shape: the O(n²) pair space is confined to clusters — at corpus
+    * scale the cluster count grows with the data so per-cluster population
+    * stays bounded, and [[graft.dedup.Dedup.capBuckets]] guards a
+    * degenerate cluster (an oversized cluster is non-discriminative; its
+    * pairs are dropped with an observed counter). One shuffle keyed by
+    * cluster id; vectors ship once per pair.
+    *
+    * Fully oracle-checked: integer-scaled embeddings (round(v·10⁶), the
+    * emb_assign idiom) make the quantizer assignment AND every pairwise
+    * dot product exact integers; cosine = dot / (√n2a·√n2b) is then three
+    * correctly-rounded IEEE ops on identical operands — bit-equal across
+    * engines, so the ≥ τ cut can never drift.
+    */
+  def semDedup(spark: SparkSession, dir: String, maxCluster: Int = 100000): DataFrame = {
+    val assigned = assignCentroids(spark, dir)
+      .select(col("vec_id"), col("pred_label").as("cluster"))
+    val x = graft.dedup.Dedup.capBuckets(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"),
+          expr("transform(cast(embedding as array<double>), v -> cast(round(v * 1000000.0D) as bigint))").as("xi"))
+        .withColumn("n2", expr("aggregate(xi, 0L, (a, v) -> a + v * v)"))
+        .join(assigned, "vec_id"),
+      Seq("cluster"), maxCluster, "semdedup_cluster_cap")
+    val dups = x.as("a").join(x.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id")
+          && col("a.n2") > 0 && col("b.n2") > 0)
+      .withColumn("dot",
+        expr("aggregate(zip_with(a.xi, b.xi, (p, q) -> p * q), 0L, (acc, v) -> acc + v)"))
+      .filter(col("dot").cast("double") / (sqrt(col("a.n2")) * sqrt(col("b.n2"))) >= 0.4)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    x.select(col("vec_id"), col("label"), col("cluster"))
+      .join(dups.withColumn("d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("cluster"),
+        coalesce(col("d"), lit(false)).as("is_semdup"))
+  }
+
+  /** DuckDB replay of [[semDedup]] — the assignCentroidsSql CTEs plus the
+    * within-cluster integer-dot pair cut.
+    */
+  val semDedupSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, label, i - 1 AS dim,
+      |         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+      |c AS (
+      |  SELECT label AS c_label, dim,
+      |         CAST(floor(CAST(SUM(xi) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
+      |  FROM x GROUP BY 1, 2),
+      |d AS (
+      |  SELECT x.vec_id, c.c_label,
+      |         CAST(SUM((xi - cq) * (xi - cq)) AS BIGINT) AS dist_sq
+      |  FROM x JOIN c ON x.dim = c.dim GROUP BY 1, 2),
+      |assigned AS (
+      |  SELECT vec_id, c_label AS cluster FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist_sq, c_label) AS rn FROM d) t
+      |  WHERE rn = 1),
+      |n2 AS (SELECT vec_id, CAST(SUM(xi * xi) AS BIGINT) AS n2 FROM x GROUP BY 1),
+      |dots AS (
+      |  SELECT xa.vec_id AS id_a, xb.vec_id AS id_b,
+      |         CAST(SUM(xa.xi * xb.xi) AS BIGINT) AS dot
+      |  FROM x xa
+      |  JOIN x xb ON xa.dim = xb.dim AND xa.vec_id < xb.vec_id
+      |  JOIN assigned aa ON aa.vec_id = xa.vec_id
+      |  JOIN assigned ab ON ab.vec_id = xb.vec_id AND aa.cluster = ab.cluster
+      |  GROUP BY 1, 2),
+      |dups AS (
+      |  SELECT DISTINCT dt.id_b AS vec_id
+      |  FROM dots dt
+      |  JOIN n2 na ON na.vec_id = dt.id_a
+      |  JOIN n2 nb ON nb.vec_id = dt.id_b
+      |  WHERE na.n2 > 0 AND nb.n2 > 0
+      |    AND CAST(dt.dot AS DOUBLE) /
+      |        (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.4)
+      |SELECT e.vec_id, e.label, a.cluster,
+      |       dups.vec_id IS NOT NULL AS is_semdup
+      |FROM embeddings e
+      |JOIN assigned a ON a.vec_id = e.vec_id
+      |LEFT JOIN dups ON dups.vec_id = e.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_semdedup" -> ((s, d) => semDedup(s, d)),
     "emb_assign" -> (assignCentroids _),
     "ann_topk_ivf" -> (topkIvf _),
     "ann_topk" -> (topk _),
@@ -364,6 +452,7 @@ object Ann {
 
   val oracles: Map[String, String] = Map(
     "emb_assign" -> assignCentroidsSql,
+    "emb_semdedup" -> semDedupSql,
     "ann_topk" -> topkSql,
     "ann_topk_lsh" -> topkLshSql,
     "ann_range" -> rangeSearchSql,

@@ -16,6 +16,39 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("emb_semdedup: every flagged dup has a kept lower-id neighbor at cos >= 0.4 in its cluster") {
+    import spark.implicits._
+    val out = similarity.Ann.semDedup(spark, sf)
+      .select($"vec_id", $"cluster", $"is_semdup").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue, r.getBoolean(2)))
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val xa = a.map(v => math.round(v * 1e6)); val xb = b.map(v => math.round(v * 1e6))
+      val dot = xa.zip(xb).map { case (p, q) => p * q }.sum.toDouble
+      dot / (math.sqrt(xa.map(v => v * v).sum.toDouble) * math.sqrt(xb.map(v => v * v).sum.toDouble))
+    }
+    val byCluster = out.groupBy(_._2)
+    val dups = out.filter(_._3)
+    assert(out.nonEmpty && dups.length < out.length, "semdedup must keep most vectors")
+    dups.foreach { case (id, cl, _) =>
+      val hasWitness = byCluster(cl).exists { case (o, _, _) =>
+        o < id && cos(emb(o), emb(id)) >= 0.4
+      }
+      assert(hasWitness, s"vec $id flagged without a lower-id cos>=0.4 witness in cluster $cl")
+    }
+    // and no false negative within a cluster: a kept vector must have NO
+    // kept lower-id neighbor at cos >= 0.4 ... unless that neighbor was
+    // itself only reachable via a dropped vector — the pair cut is
+    // pairwise, so the exact property is: kept vec has no lower-id
+    // IN-CLUSTER vec (kept or not) at cos >= 0.4
+    out.filter(!_._3).foreach { case (id, cl, _) =>
+      val wrongly = byCluster(cl).exists { case (o, _, _) => o < id && cos(emb(o), emb(id)) >= 0.4 }
+      assert(!wrongly, s"vec $id should have been flagged (cluster $cl)")
+    }
+  }
+
   test("connected components converge on a diameter-6 chain") {
     // 1-2-3-4-5-6-7: min-label propagation needs 6 rounds; a fixed 5-round
     // loop leaves node 7 labeled 2 (silent under-merge). Fixpoint must not.
