@@ -439,7 +439,59 @@ object Text {
       |FROM tok JOIN cnt USING (word), tot
       |GROUP BY doc_id""".stripMargin
 
+  /** Boilerplate detection (round 6): mine word-5grams shared by ≥ 3
+    * distinct documents (headers, footers, license blurbs, nav chrome —
+    * the repeated spans a web corpus is full of), then score every doc by
+    * its boilerplate-position fraction. keep = bp fraction < 20 %, as an
+    * INTEGER comparison (n_bp·5 < n_grams) so the cut is engine-exact.
+    *
+    * Scale shape: the mining pass is one shuffle keyed by gram (the same
+    * class as text_contamination's gram join); the boilerplate list is
+    * capped to the top 1000 by (doc count, gram) — a deterministic bounded
+    * broadcast no matter how pathological the corpus — and the scoring
+    * pass is a broadcast join + per-doc count, never a second wide
+    * shuffle. An adversarial corpus can grow the CANDIDATE set, not the
+    * broadcast.
+    */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).withColumn("words", split(col("text"), " "))
+    val grams = docs.filter(size(col("words")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(words)-5),
+          |  i -> concat_ws(' ', element_at(words, i+1), element_at(words, i+2),
+          |    element_at(words, i+3), element_at(words, i+4), element_at(words, i+5)))""".stripMargin))
+        .as("gram"))
+    val bp = grams.groupBy(col("gram")).agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 3)
+      .orderBy(col("nd").desc, col("gram")).limit(1000)
+    val perDoc = grams.join(broadcast(bp.select(col("gram"))), Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bp_grams"))
+    docs.select(col("doc_id"),
+        greatest(size(col("words")) - 4, lit(0)).cast("bigint").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_bp_grams", coalesce(col("n_bp_grams"), lit(0L)))
+      .withColumn("keep", col("n_bp_grams") * 5 < greatest(col("n_grams"), lit(1L)))
+  }
+
+  val boilerplateSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |g AS (
+      |  SELECT doc_id, concat_ws(' ', words[i+1], words[i+2], words[i+3],
+      |                           words[i+4], words[i+5]) AS gram
+      |  FROM w, unnest(generate_series(0, len(words)-5)) t(i)
+      |  WHERE len(words) >= 5),
+      |bp AS (
+      |  SELECT gram FROM (
+      |    SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1) t
+      |  WHERE nd >= 3 ORDER BY nd DESC, gram LIMIT 1000),
+      |pd AS (SELECT doc_id, count(*) AS n_bp_grams FROM g JOIN bp USING (gram) GROUP BY 1)
+      |SELECT w.doc_id, CAST(greatest(len(words) - 4, 0) AS BIGINT) AS n_grams,
+      |       CAST(COALESCE(pd.n_bp_grams, 0) AS BIGINT) AS n_bp_grams,
+      |       COALESCE(pd.n_bp_grams, 0) * 5 < greatest(len(words) - 4, 1) AS keep
+      |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate" -> (boilerplate _),
     "text_rep" -> (repetition _),
     "text_rarity" -> (rarity _),
     "text_top_terms" -> (topTerms _),
@@ -453,6 +505,7 @@ object Text {
     "text_bpe_tokens" -> (bpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "text_boilerplate" -> boilerplateSql,
     "text_rep" -> repetitionSql,
     "text_fingerprint" -> fingerprintSql,
     "text_scrub_pii" -> scrubPiiSql,
