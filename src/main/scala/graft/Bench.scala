@@ -56,7 +56,8 @@ object Bench {
     "dedup_ngram_jaccard", "dedup_embedding", "dedup_clusters",
     "ann_topk", "ann_topk_lsh", "ann_topk_ivf",
     "text_stats", "text_lang_id", "text_top_terms", "text_contamination",
-    "mm_embed", "pipeline_curate", "pack_sequences")
+    "mm_embed", "pipeline_curate", "pack_sequences",
+    "emb_semdedup", "dedup_incremental", "text_boilerplate")
 
   /** Time one query through the noop sink (materializes every column —
     * count() would let Catalyst prune the whole projection for scan-shaped

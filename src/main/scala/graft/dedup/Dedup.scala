@@ -672,7 +672,90 @@ object Dedup {
       |FROM (SELECT v, MIN(l) AS l FROM lbl GROUP BY v) t
       |GROUP BY 1""".stripMargin
 
+  /** Incremental near-dedup — the production shape: dedup a NEW batch
+    * against the EXISTING corpus. The batch is a deterministic ~25% slice
+    * (md5(doc_id) byte 0 < 64 — a portable stand-in for "today's crawl");
+    * only CROSS-side band collisions become candidates, so the corpus
+    * never self-joins.
+    *
+    * 100 TB shape: the corpus band index (doc_id, band, bh) is computed
+    * once and persisted bucketed by (band, bh); each daily increment
+    * hashes ONLY the batch and joins its bands against the bucketed index
+    * — per-increment cost is O(batch), not O(corpus), and the join is
+    * co-located with zero corpus shuffle. Here both sides derive from one
+    * table read; the plan shape (cross-side-only band join, shared
+    * verify) is the part that carries.
+    *
+    * Same oracle-recall caveat as [[minhashLsh]]: exact all-pairs oracle
+    * vs banded-LSH candidates, per-pair miss ≈ 2·10⁻⁴ at j = 0.8.
+    */
+  def incremental(spark: SparkSession, dir: String, maxBucket: Int = 10000): DataFrame = {
+    val docs = withMinhash(Tables.documents(spark, dir))
+      .withColumn("is_batch", graft.functions.Portable.md5Byte0(col("doc_id")) < 64)
+      .select(col("doc_id"), col("gh"), col("sig"), col("is_batch"))
+    val bands = capBuckets(
+      docs.select(col("doc_id"), col("is_batch"), explode(expr(
+        """transform(sequence(0, 15),
+          |  b -> named_struct('band', b, 'bh', xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3])))""".stripMargin))
+        .as("bb"))
+        .select(col("doc_id"), col("is_batch"), col("bb.band").as("band"), col("bb.bh").as("bh")),
+      Seq("band", "bh"), maxBucket, "incr_bucket_cap")
+    val cand = bands.filter(col("is_batch")).as("a")
+      .join(bands.filter(!col("is_batch")).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+    val verified = cand
+      .join(docs.select(col("doc_id").as("batch_id"), col("gh").as("gh_a")), "batch_id")
+      .join(docs.select(col("doc_id").as("corpus_id"), col("gh").as("gh_b")), "corpus_id")
+      .withColumn("inter", native.sortedIntersectCount(col("gh_a"), col("gh_b")))
+      .select(col("batch_id"), col("corpus_id"),
+        (col("inter").cast("double") /
+          (size(col("gh_a")) + size(col("gh_b")) - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+    val w = Window.partitionBy(col("batch_id")).orderBy(col("jaccard").desc, col("corpus_id"))
+    val best = verified.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    docs.filter(col("is_batch")).select(col("doc_id").as("batch_id"))
+      .join(best, Seq("batch_id"), "left")
+      .select(col("batch_id").as("doc_id"), col("corpus_id").as("dup_of"), col("jaccard"))
+  }
+
+  /** DuckDB mirror of [[incremental]]: exact all-pairs Jaccard restricted
+    * to cross-side pairs at the same md5 side split.
+    */
+  val incrementalSql: String = {
+    val b0 = graft.functions.Portable.md5Byte0Sql("doc_id")
+    s"""WITH $shinglePairCtes,
+      |pairs AS (
+      |  SELECT i.id_a, i.id_b,
+      |         CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard
+      |  FROM inter i
+      |  JOIN c ca ON ca.doc_id = i.id_a
+      |  JOIN c cb ON cb.doc_id = i.id_b
+      |  WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= 0.8),
+      |side AS (SELECT doc_id, ($b0) < 64 AS is_batch FROM documents),
+      |x AS (
+      |  SELECT p.id_a AS batch_id, p.id_b AS corpus_id, p.jaccard FROM pairs p
+      |  JOIN side sa ON sa.doc_id = p.id_a
+      |  JOIN side sb ON sb.doc_id = p.id_b
+      |  WHERE sa.is_batch AND NOT sb.is_batch
+      |  UNION ALL
+      |  SELECT p.id_b, p.id_a, p.jaccard FROM pairs p
+      |  JOIN side sa ON sa.doc_id = p.id_a
+      |  JOIN side sb ON sb.doc_id = p.id_b
+      |  WHERE sb.is_batch AND NOT sa.is_batch),
+      |best AS (
+      |  SELECT batch_id, corpus_id, jaccard FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY batch_id
+      |      ORDER BY jaccard DESC, corpus_id) AS rn FROM x) t
+      |  WHERE rn = 1)
+      |SELECT s.doc_id, best.corpus_id AS dup_of, best.jaccard
+      |FROM side s LEFT JOIN best ON best.batch_id = s.doc_id
+      |WHERE s.is_batch""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> ((s, d) => incremental(s, d)),
     "dedup_cc" -> (embeddingClusters _),
     "dedup_clusters" -> (clusters _),
     "dedup_exact" -> (exact _),
@@ -690,5 +773,6 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
     "dedup_clusters" -> clustersSql,
-    "dedup_ngram_jaccard" -> ngramJaccardSql)
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_incremental" -> incrementalSql)
 }

@@ -38,4 +38,17 @@ object Portable {
 
   def centsAvgSql(e: String, scale: Int = 2): String =
     s"(${centsSumSql(e, scale)})/COUNT(*)"
+
+  /** Byte 0 (0..255) of md5 of a key — THE deterministic, engine-portable
+    * split/sample/shard hash (reproducible across engines, retries, and
+    * repartitionings; uncorrelated with key order). The same value the
+    * Prep split/shard operators compute inline; exposed here for any
+    * operator needing a portable side/sample assignment.
+    */
+  def md5Byte0(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast(LongType)
+
+  def md5Byte0Sql(e: String): String =
+    s"(strpos('0123456789abcdef', substr(md5(CAST($e AS VARCHAR)), 1, 1)) - 1) * 16" +
+      s" + strpos('0123456789abcdef', substr(md5(CAST($e AS VARCHAR)), 2, 1)) - 1"
 }

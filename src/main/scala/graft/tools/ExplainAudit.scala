@@ -16,7 +16,8 @@ object ExplainAudit {
         "q5_local_supplier", "q6_revenue_forecast", "q_topk_orders", "q_asof_join",
         "pack_sequences", "text_contamination", "dedup_embedding", "pipeline_curate",
         "q_funnel", "dedup_cc", "emb_assign", "text_rarity",
-        "text_scrub_pii", "text_bpe_tokens", "doc_chunk", "dedup_minhash_lsh")
+        "text_scrub_pii", "text_bpe_tokens", "doc_chunk", "dedup_minhash_lsh",
+        "emb_semdedup", "dedup_incremental", "text_boilerplate", "ann_topk_lsh")
     val spark = GraftSession.local(4)
     names.foreach { n =>
       println(s"\n========== $n ==========")
