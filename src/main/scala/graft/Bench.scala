@@ -57,7 +57,7 @@ object Bench {
     "ann_topk", "ann_topk_lsh", "ann_topk_ivf",
     "text_stats", "text_lang_id", "text_top_terms", "text_contamination",
     "mm_embed", "pipeline_curate", "pack_sequences",
-    "emb_semdedup", "dedup_incremental", "text_boilerplate")
+    "emb_semdedup", "dedup_incremental", "text_boilerplate", "bpe_train")
 
   /** Time one query through the noop sink (materializes every column —
     * count() would let Catalyst prune the whole projection for scan-shaped

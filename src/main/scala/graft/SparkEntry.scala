@@ -7,7 +7,7 @@ import graft.multimodal.Blobs
 import graft.pipeline.{Curate, Prep}
 import graft.operators.{Analytics, Events, Relational, RelationalExt, Skew, TopK}
 import graft.similarity.Ann
-import graft.textanalysis.Text
+import graft.textanalysis.{BpeTrain, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -18,13 +18,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ RelationalExt.queries ++ Analytics.queries ++ TopK.queries ++ Events.queries ++ Text.queries ++ Dedup.queries ++
+    Relational.queries ++ RelationalExt.queries ++ Analytics.queries ++ TopK.queries ++ Events.queries ++ Text.queries ++ BpeTrain.queries ++ Dedup.queries ++
       Ann.queries ++ Blobs.queries ++ Curate.queries ++ Skew.queries ++ Prep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ RelationalExt.oracles ++ Analytics.oracles ++ TopK.oracles ++ Events.oracles ++ Text.oracles ++ Dedup.oracles ++
+    Relational.oracles ++ RelationalExt.oracles ++ Analytics.oracles ++ TopK.oracles ++ Events.oracles ++ Text.oracles ++ BpeTrain.oracles ++ Dedup.oracles ++
       Ann.oracles ++ Blobs.oracles ++ Curate.oracles ++ Skew.oracles ++ Prep.oracles
 }

@@ -374,21 +374,31 @@ object Ann {
     * engines, so the ≥ τ cut can never drift.
     */
   def semDedup(spark: SparkSession, dir: String, maxCluster: Int = 100000): DataFrame = {
+    // The assignment is referenced by BOTH sides of the pair self-join and
+    // by the output join; without a cut Spark re-expands the centroid-fit
+    // subtree (two aggregation shuffles over the corpus) once per
+    // reference — ~4 corpus passes. localCheckpoint materializes the tiny
+    // (vec_id, cluster) map once (the dedup_cc convention); the remaining
+    // self-join recompute is only the map-side xi projection.
     val assigned = assignCentroids(spark, dir)
       .select(col("vec_id"), col("pred_label").as("cluster"))
+      .localCheckpoint()
+    // xi as integer-VALUED doubles: the codegen'd cosineSim then computes
+    // dot/(√na·√nb) with exact integer sums — bit-identical to the
+    // oracle's integer CTEs, but one tight loop per pair instead of ~dim
+    // interpreted zip_with/aggregate lambda evals (measured 4.4 s → 2.2 s
+    // at sf0.1). A zero vector yields NaN ≥ τ = false, matching the
+    // oracle's n2 > 0 guard.
     val x = graft.dedup.Dedup.capBuckets(
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label"),
-          expr("transform(cast(embedding as array<double>), v -> cast(round(v * 1000000.0D) as bigint))").as("xi"))
-        .withColumn("n2", expr("aggregate(xi, 0L, (a, v) -> a + v * v)"))
+          expr("transform(cast(embedding as array<double>), v -> round(v * 1000000.0D))")
+            .cast("array<double>").as("xd"))
         .join(assigned, "vec_id"),
       Seq("cluster"), maxCluster, "semdedup_cluster_cap")
     val dups = x.as("a").join(x.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id")
-          && col("a.n2") > 0 && col("b.n2") > 0)
-      .withColumn("dot",
-        expr("aggregate(zip_with(a.xi, b.xi, (p, q) -> p * q), 0L, (acc, v) -> acc + v)"))
-      .filter(col("dot").cast("double") / (sqrt(col("a.n2")) * sqrt(col("b.n2"))) >= 0.4)
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .filter(native.cosineSim(col("a.xd"), col("b.xd")) >= 0.4)
       .select(col("b.vec_id").as("vec_id")).distinct()
     x.select(col("vec_id"), col("label"), col("cluster"))
       .join(dups.withColumn("d", lit(true)), Seq("vec_id"), "left")

@@ -49,6 +49,32 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bpe_train: first merge is the true argmax pair and merge counts never increase") {
+    import spark.implicits._
+    val out = textanalysis.BpeTrain.train(spark, sf)
+      .orderBy($"iter").as[(Long, String, String, Long)].collect()
+    assert(out.length == textanalysis.BpeTrain.NMerges, s"got ${out.length} merges")
+    // counts are non-increasing: a post-merge pair (x, ab) occurs at most
+    // count(ab) times, and count(ab) was the max when chosen
+    out.sliding(2).foreach { case Array((_, _, _, n1), (i2, p2, _, n2)) =>
+      assert(n2 <= n1, s"merge $i2 ($p2) count $n2 > previous $n1")
+    }
+    // brute-force the first merge in plain Scala
+    val words = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("w")).filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("cnt")).as[(String, Long)].collect()
+    val pairCounts = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, cnt) =>
+      w.toSeq.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = s"${p(0)} ${p(1)}"
+        pairCounts(k) = pairCounts.getOrElse(k, 0L) + cnt
+      }
+    }
+    val expect = pairCounts.toSeq.sortBy { case (p, n) => (-n, p) }.head
+    assert((out.head._2, out.head._4) == expect,
+      s"first merge ${out.head} != brute-force $expect")
+  }
+
   test("connected components converge on a diameter-6 chain") {
     // 1-2-3-4-5-6-7: min-label propagation needs 6 rounds; a fixed 5-round
     // loop leaves node 7 labeled 2 (silent under-merge). Fixpoint must not.
