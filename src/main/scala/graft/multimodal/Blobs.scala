@@ -205,13 +205,131 @@ object Blobs {
       |FROM (SELECT doc_id, dim, cnt,
       |        sqrt(sum(cnt*cnt) OVER (PARTITION BY doc_id)) AS nrm FROM f) t""".stripMargin
 
+  /** Perceptual-hash near-dup over blob payloads (round 6) — the dedup
+    * family extended to the multimodal column. The hash is average-hash
+    * (aHash, public): partition the payload into 64 byte buckets (the 8×8
+    * grid of the image version), bit i = bucket-sum i above the mean —
+    * computed as the integer comparison s·64 > total so there is no
+    * division anywhere. On real images the buckets are downsampled
+    * pixels; with the stub decode they are raw byte windows — swapping in
+    * a codec changes ONE mapPartitions stage, never the banding/verify
+    * plan. Blocking + verify is exactly the dedup_simhash machinery:
+    * 4×16-bit bands (Hamming ≤ 3 ⇒ shared band by pigeonhole), hot-bucket
+    * cap, exact Hamming ≤ 8 verify, best candidate per doc.
+    *
+    * Fully deterministic — the oracle replays hash, banding, AND verify
+    * with HUGEINT bit arithmetic (the dedup_simhash idioms).
+    */
+  def phashDedup(spark: SparkSession, dir: String, maxBucket: Int = 10000): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val n = bytes.length
+        val sums = new Array[Long](64)
+        var i = 0
+        while (i < n) { sums(((i.toLong * 64) / n).toInt) += (bytes(i) & 0xff); i += 1 }
+        var total = 0L
+        var j = 0
+        while (j < 64) { total += sums(j); j += 1 }
+        var h = 0L
+        j = 0
+        while (j < 64) { if (sums(j) * 64 > total) h |= (1L << j); j += 1 }
+        (id, h)
+      }).toDF("doc_id", "phash")
+    val bands = graft.dedup.Dedup.capBuckets(
+      hashed.select(col("doc_id"), col("phash"), explode(expr(
+        "transform(sequence(0, 3), b -> named_struct('band', b, 'bv', shiftright(phash, 16*b) & 65535))")).as("bb"))
+        .select(col("doc_id"), col("phash"), col("bb.band").as("band"), col("bb.bv").as("bv")),
+      Seq("band", "bv"), maxBucket, "phash_bucket_cap")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("bit_count(a.phash ^ b.phash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+    val directed = cand.select(col("id_a").as("doc_id"), col("id_b").as("cand_id"), col("hamming"))
+      .unionAll(cand.select(col("id_b").as("doc_id"), col("id_a").as("cand_id"), col("hamming")))
+    val best = directed.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("hamming"), col("cand_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    hashed.select(col("doc_id"), col("phash"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"), col("cand_id").as("dup_candidate"), col("hamming"))
+  }
+
+  /** DuckDB replay of [[phashDedup]]: hex-window byte extraction (the
+    * decodeStats trick), integer bucket sums, HUGEINT bit assembly with
+    * the signed-64 wrap before Hamming (the dedup_simhash idioms).
+    */
+  val phashDedupSql: String =
+    """WITH d0 AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |         octet_length(encode(text)) AS n
+      |  FROM documents),
+      |by AS (
+      |  SELECT doc_id, CAST((CAST(i AS BIGINT) * 64) // n AS INT) AS bucket,
+      |    (strpos('0123456789ABCDEF', substr(hx, i*2+1, 1)) - 1) * 16
+      |    + strpos('0123456789ABCDEF', substr(hx, i*2+2, 1)) - 1 AS bv
+      |  FROM d0, unnest(generate_series(0, n-1)) t(i)
+      |  WHERE n > 0),
+      |bs AS (SELECT doc_id, bucket, CAST(SUM(bv) AS BIGINT) AS s FROM by GROUP BY 1, 2),
+      |grid AS (SELECT d0.doc_id, r.range AS bucket FROM d0 CROSS JOIN range(64) r),
+      |bsum AS (
+      |  SELECT g.doc_id, g.bucket, coalesce(bs.s, 0) AS s
+      |  FROM grid g LEFT JOIN bs ON bs.doc_id = g.doc_id AND bs.bucket = g.bucket),
+      |tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS total FROM bsum GROUP BY 1),
+      |hu0 AS (
+      |  SELECT b.doc_id,
+      |    SUM(CASE WHEN b.s * 64 > t.total THEN CAST(power(2, b.bucket) AS HUGEINT)
+      |          ELSE CAST(0 AS HUGEINT) END) AS hu
+      |  FROM bsum b JOIN tot t USING (doc_id) GROUP BY 1),
+      |d AS (
+      |  SELECT doc_id, hu,
+      |    CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+      |      THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS BIGINT) AS phash
+      |  FROM hu0),
+      |bands AS (
+      |  SELECT doc_id, b.range AS band,
+      |         (hu // CAST(power(2, 16 * b.range) AS HUGEINT)) % 65536 AS bv
+      |  FROM d CROSS JOIN range(4) b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT c.id_a, c.id_b, bit_count(xor(da.phash, db.phash)) AS hamming
+      |  FROM cand c
+      |  JOIN d da ON da.doc_id = c.id_a
+      |  JOIN d db ON db.doc_id = c.id_b
+      |  WHERE bit_count(xor(da.phash, db.phash)) <= 8),
+      |directed AS (
+      |  SELECT id_a AS doc_id, id_b AS cand_id, hamming FROM pairs
+      |  UNION ALL
+      |  SELECT id_b AS doc_id, id_a AS cand_id, hamming FROM pairs),
+      |best AS (
+      |  SELECT doc_id, cand_id, hamming
+      |  FROM (SELECT doc_id, cand_id, hamming,
+      |          row_number() OVER (PARTITION BY doc_id
+      |                             ORDER BY hamming, cand_id) AS rn
+      |        FROM directed) t
+      |  WHERE rn = 1)
+      |SELECT d.doc_id, d.phash, best.cand_id AS dup_candidate,
+      |       CAST(best.hamming AS INT) AS hamming
+      |FROM d LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_embed" -> (embedExploded _),
     "mm_decode_stats" -> (decodeStats _),
+    "mm_phash" -> ((s, d) => phashDedup(s, d)),
     "mm_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
     "mm_embed" -> embedExplodedSql,
     "mm_decode_stats" -> decodeStatsSql,
+    "mm_phash" -> phashDedupSql,
     "mm_frame_sample" -> frameSampleSql)
 }
