@@ -372,7 +372,97 @@ object Events {
       |SELECT s.hour_epoch, COALESCE(h.n, 0) AS n_errors
       |FROM spine s LEFT JOIN h USING (hour_epoch)""".stripMargin
 
+  /** Last-touch attribution: each purchase is credited to the user's most
+    * recent click/view in the preceding 24h (or 'none'), then collapsed to
+    * revenue per touch type — the marketing-analytics staple. ONE window
+    * sweep over the per-user event stream (the as-of-join plan shape):
+    * no purchase×touch join, so a hot user can never blow up the pair
+    * count; the stream shuffles once on user_id and the window is
+    * partition-local. The struct max orders by (ts, event_id) so the
+    * winning touch is unique and engine-portable; revenue sums as exact
+    * cents.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000L
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("touch",
+        when(col("event_type").isin("click", "view"),
+          struct(col("ts_us").as("t_ts"), col("event_id").as("t_id"),
+            col("event_type").as("t_type"))))
+      .withColumn("last_touch", max(col("touch")).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("touch_type",
+        when(col("last_touch").isNotNull &&
+          col("last_touch.t_ts") >= col("ts_us") - day, col("last_touch.t_type"))
+          .otherwise(lit("none")))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        centsSum(col("value")).as("revenue"))
+  }
+
+  /** DuckDB mirror: the same sweep with last_value(... IGNORE NULLS) over
+    * the identical (ts_us, event_id) order — the struct field order on the
+    * Spark side exists precisely so its max() agrees with this ordering.
+    */
+  val attributionSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+       |  FROM events),
+       |sw AS (
+       |  SELECT event_type, ts_us, value,
+       |    last_value(CASE WHEN event_type IN ('click', 'view')
+       |                    THEN struct_pack(t_ts := ts_us, t_id := event_id,
+       |                                     t_type := event_type) END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+       |  FROM e)
+       |SELECT CASE WHEN lt IS NOT NULL AND lt.t_ts >= ts_us - 86400000000
+       |            THEN lt.t_type ELSE 'none' END AS touch_type,
+       |       COUNT(*) AS n_purchases, ${centsSumSql("value")} AS revenue
+       |FROM sw WHERE event_type = 'purchase'
+       |GROUP BY 1""".stripMargin
+
+  /** Per-user behavioral transition matrix (the Markov-chain view of the
+    * event stream): count event_type → next event_type transitions within
+    * each user's timeline and report the per-source transition probability
+    * in exact ppm (n·10⁶ div total — a float ratio would be libm state).
+    * One shuffle on user_id (lead is partition-local), then a bounded
+    * (5×5) aggregate — at 100 TB the output is still 25 rows.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = pairs.groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("p_ppm", expr("n * 1000000 div sum(n) over (partition by from_type)"))
+      .select(col("from_type"), col("to_type"), col("n"), col("p_ppm"))
+  }
+
+  val transitionsSql: String =
+    """WITH p AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY epoch_us(ts), event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |       n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS p_ppm
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (attribution _),
+    "q_events_transition" -> (transitions _),
     "q_gapfill" -> (gapFill _),
     "q_funnel" -> (funnel _),
     "q_cohort" -> (cohort _),
@@ -388,6 +478,8 @@ object Events {
     "q_asof_fwd" -> (asofJoinForward _))
 
   val oracles: Map[String, String] = Map(
+    "q_attribution" -> attributionSql,
+    "q_events_transition" -> transitionsSql,
     "q_gapfill" -> gapFillSql,
     "q_funnel" -> funnelSql,
     "q_cohort" -> cohortSql,

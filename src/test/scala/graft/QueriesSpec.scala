@@ -106,4 +106,32 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nEvents = s.agg(org.apache.spark.sql.functions.sum("n_events")).head.getLong(0)
     assert(nEvents == Tables.events(spark, sf).count())
   }
+
+  test("attribution: purchase totals are conserved across touch types") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Events.attribution(spark, sf)
+    val totals = out.agg(sum("n_purchases"), sum("revenue")).head
+    val purchases = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+    assert(totals.getLong(0) == purchases.count())
+    // every attributed touch type is a real touch type or 'none'
+    val types = out.select("touch_type").collect().map(_.getString(0)).toSet
+    assert(types.subsetOf(Set("click", "view", "none")))
+  }
+
+  test("transitions: per-user pair counts conserve and ppm sums to ~1e6") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Events.transitions(spark, sf)
+    val nPairs = out.agg(sum("n")).head.getLong(0)
+    val e = Tables.events(spark, sf)
+    val nUsers = e.select("user_id").distinct().count()
+    assert(nPairs == e.count() - nUsers) // one pair per event except each user's last
+    // integer-division ppm per source state sums to (1e6 - rounding slack)
+    val perFrom = out.groupBy("from_type").agg(sum("p_ppm").as("s"), count(lit(1)).as("k"))
+      .collect()
+    perFrom.foreach { r =>
+      val s = r.getAs[Long]("s"); val k = r.getAs[Long]("k")
+      assert(s <= 1000000L && s > 1000000L - k,
+        s"ppm sum $s out of range for ${r.getAs[String]("from_type")}")
+    }
+  }
 }
