@@ -490,7 +490,65 @@ object Text {
       |       COALESCE(pd.n_bp_grams, 0) * 5 < greatest(len(words) - 4, 1) AS keep
       |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin
 
+  /** Bigram language-model scoring — the REAL perplexity-style quality
+    * filter (the CCNet/Wikipedia-LM recipe, replacing the unigram-rarity
+    * stand-in `text_rarity`): train conditional bigram counts on the corpus
+    * itself, then score every document by its mean per-bigram surprise.
+    * Surprise of (w1, w2) is ctx(w1)·10⁶ div c(w1, w2) — the integer-exact
+    * inverse of the MLE conditional p(w2 | w1) — so the score is a monotone
+    * transform of per-token log-perplexity with zero float/libm state, and
+    * the keep cut (avg < 32·10⁶, ≈ p90 of this corpus) is engine-exact.
+    *
+    * Scale shape: pass 1 is ONE corpus-sized shuffle keyed by (w1, w2)
+    * (map-side combine shrinks it to the distinct-bigram table); the ctx
+    * table aggregates from the bigram table (vocab-sized, not
+    * corpus-sized); pass 2 re-keys the doc bigrams by the same (w1, w2) so
+    * AQE keeps the count joins co-partitioned, then collapses per doc. At
+    * web scale the bigram table is capped to a top-K vocab + an OOV
+    * default before the scoring join — the standard LM-filter dial; this
+    * corpus's vocab is tiny so no cap is wired. The ·10⁶ ppm scale bounds
+    * ctx at ~9·10¹² context occurrences per word (Long.Max/10⁶) — beyond
+    * that, drop a ppm digit.
+    */
+  def perplexity(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+    val ctx = bc.groupBy(col("w1")).agg(sum(col("bc")).as("ctx"))
+    bi.join(bc, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("ctx * 1000000 div bc")).as("surprise_sum"))
+      .withColumn("avg_surprise", expr("surprise_sum div n_bigrams"))
+      .withColumn("keep", col("avg_surprise") < 32000000L)
+  }
+
+  /** DuckDB mirror of [[perplexity]]; DuckDB's integer SUMs widen to
+    * HUGEINT, so every output column re-casts to BIGINT (the
+    * pipeline_curate lesson) — the // arithmetic itself is exact in both.
+    */
+  val perplexitySql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |b AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |      FROM w, unnest(generate_series(1, len(w) - 1)) t(i)
+      |      WHERE len(w) >= 2),
+      |bc AS (SELECT w1, w2, count(*) AS bc FROM b GROUP BY 1, 2),
+      |ctx AS (SELECT w1, sum(bc) AS ctx FROM bc GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       CAST(sum(ctx * 1000000 // bc) AS BIGINT) AS surprise_sum,
+      |       CAST(sum(ctx * 1000000 // bc) // count(*) AS BIGINT) AS avg_surprise,
+      |       sum(ctx * 1000000 // bc) // count(*) < 32000000 AS keep
+      |FROM b JOIN bc USING (w1, w2) JOIN ctx USING (w1)
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_perplexity" -> (perplexity _),
     "text_boilerplate" -> (boilerplate _),
     "text_rep" -> (repetition _),
     "text_rarity" -> (rarity _),
@@ -505,6 +563,7 @@ object Text {
     "text_bpe_tokens" -> (bpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "text_perplexity" -> perplexitySql,
     "text_boilerplate" -> boilerplateSql,
     "text_rep" -> repetitionSql,
     "text_fingerprint" -> fingerprintSql,

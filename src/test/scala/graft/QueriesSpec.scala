@@ -118,6 +118,19 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(types.subsetOf(Set("click", "view", "none")))
   }
 
+  test("perplexity: surprise floor holds and bigrams conserve") {
+    import org.apache.spark.sql.functions._
+    val out = textanalysis.Text.perplexity(spark, sf)
+    // p(w2|w1) <= 1 ⇒ every per-bigram surprise >= 1e6, so the avg too
+    assert(out.filter(col("avg_surprise") < 1000000L).count() == 0)
+    // every scored doc contributes exactly size(words) - 1 bigrams
+    val nb = out.agg(sum("n_bigrams")).head.getLong(0)
+    val expect = Tables.documents(spark, sf)
+      .select(greatest(size(split(col("text"), " ")) - 1, lit(0)).cast("long").as("nb"))
+      .agg(sum(col("nb"))).head.getLong(0)
+    assert(nb == expect)
+  }
+
   test("transitions: per-user pair counts conserve and ppm sums to ~1e6") {
     import org.apache.spark.sql.functions._
     val out = operators.Events.transitions(spark, sf)
