@@ -754,7 +754,82 @@ object Dedup {
       |WHERE s.is_batch""".stripMargin
   }
 
+  /** Exact substring-level dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499 — public): unlike
+    * whole-document dedup, this finds REPEATED SPANS — any word-8-gram
+    * occurring twice anywhere in the corpus (across docs or within one) —
+    * and removes exactly the covered words, keeping the unique remainder.
+    * Per doc: duplicated-word count, the md5 of the span-scrubbed text
+    * (every removal boundary is hash-checked), and a keep gate for docs
+    * that are majority-duplicated.
+    *
+    * Scale shape: pass 1 is one corpus-sized shuffle keyed by the gram
+    * (map-side combine collapses repeats; at web scale key by a 128-bit
+    * gram hash to ship digests, not text). The duplicated-gram set joins
+    * back on the same key — co-partitioned, never broadcast (it is
+    * data-dependent and unbounded). Coverage explodes a bounded ×8 factor,
+    * and reconstruction is one shuffle keyed by doc_id. No stage holds a
+    * whole block in a row (the dedup_ngram_jaccard lesson).
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupOf(Tables.documents(spark, dir))
+
+  private[graft] def substringDedupOf(documents: DataFrame): DataFrame = {
+    val K = 8
+    val docs = documents.withColumn("w", split(col("text"), " "))
+    val grams = docs.filter(size(col("w")) >= K)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${K - 1}), i -> concat_ws(' ', slice(w, i, $K)))")))
+      .toDF("doc_id", "idx", "gram")
+    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("gram"))
+    val covered = grams.join(dup, Seq("gram"))
+      .select(col("doc_id"), explode(expr(s"sequence(idx, idx + ${K - 1})")).as("pos"))
+      .distinct()
+    val words = docs.select(col("doc_id"), posexplode(col("w"))).toDF("doc_id", "pos", "word")
+    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, word))), s -> s.word)")))
+          .as("cleaned_md5"))
+    docs.select(col("doc_id"), size(col("w")).cast("bigint").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_dup_words"),
+        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"),
+        ((col("n_words") - coalesce(col("n_kept"), lit(0L))) * 2 < col("n_words")).as("keep"))
+  }
+
+  /** DuckDB replay of [[substringDedupOf]] — same 0-based positions, same
+    * left-anti reconstruction via string_agg ORDER BY pos.
+    */
+  val substringDedupSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, i - 1 AS idx, array_to_string(w[i:i+7], ' ') AS gram
+      |      FROM d, unnest(generate_series(1, len(w) - 7)) t(i)
+      |      WHERE len(w) >= 8),
+      |dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+      |cov AS (SELECT DISTINCT doc_id, idx + o AS pos
+      |        FROM g JOIN dup USING (gram), unnest(generate_series(0, 7)) t(o)),
+      |wds AS (SELECT doc_id, i - 1 AS pos, w[i] AS word
+      |        FROM d, unnest(generate_series(1, len(w))) t(i)),
+      |kept AS (
+      |  SELECT wds.doc_id, count(*) AS n_kept,
+      |         md5(string_agg(wds.word, ' ' ORDER BY wds.pos)) AS cleaned_md5
+      |  FROM wds LEFT JOIN cov ON cov.doc_id = wds.doc_id AND cov.pos = wds.pos
+      |  WHERE cov.doc_id IS NULL
+      |  GROUP BY 1)
+      |SELECT d.doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |       CAST(len(w) - coalesce(k.n_kept, 0) AS BIGINT) AS n_dup_words,
+      |       coalesce(k.cleaned_md5, md5('')) AS cleaned_md5,
+      |       (len(w) - coalesce(k.n_kept, 0)) * 2 < len(w) AS keep
+      |FROM d LEFT JOIN kept k USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> (substringDedup _),
     "dedup_incremental" -> ((s, d) => incremental(s, d)),
     "dedup_cc" -> (embeddingClusters _),
     "dedup_clusters" -> (clusters _),
@@ -766,6 +841,7 @@ object Dedup {
     "dedup_embedding" -> (embedding _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_substring" -> substringDedupSql,
     "dedup_cc" -> embeddingClustersSql,
     "dedup_exact" -> exactSql,
     "dedup_exact_hash" -> exactHashSql,

@@ -49,6 +49,28 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedup_substring: planted shared span is removed, unique text survives intact") {
+    import spark.implicits._
+    // 3 docs: a & b share an 8-word span ("s0 .. s7"), c is fully unique;
+    // a's prefix and suffix are unique so only the span is scrubbed from it
+    val span = (0 until 8).map("s" + _).mkString(" ")
+    val docs = Seq(
+      (1L, s"ua1 ua2 ua3 ua4 ua5 ua6 $span za1 za2 za3"),
+      (2L, s"ub1 ub2 $span zb1"),
+      (3L, "uc1 uc2 uc3 uc4 uc5 uc6 uc7 uc8 uc9")).toDF("doc_id", "text")
+    val out = dedup.Dedup.substringDedupOf(docs)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_dup_words", $"cleaned_md5", $"keep")
+      .collect()
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getLong(1) == 8 && out(0).getString(2) == md5hex("ua1 ua2 ua3 ua4 ua5 ua6 za1 za2 za3"))
+    assert(out(1).getLong(1) == 8 && out(1).getString(2) == md5hex("ub1 ub2 zb1"))
+    assert(out(2).getLong(1) == 0 && out(2).getString(2) == md5hex("uc1 uc2 uc3 uc4 uc5 uc6 uc7 uc8 uc9"))
+    // doc 2 is 8/11 duplicated -> dropped by the majority gate; 1 and 3 kept
+    assert(!out(1).getBoolean(3) && out(0).getBoolean(3) && out(2).getBoolean(3))
+  }
+
   test("bpe_train: first merge is the true argmax pair and merge counts never increase") {
     import spark.implicits._
     val out = textanalysis.BpeTrain.train(spark, sf)
