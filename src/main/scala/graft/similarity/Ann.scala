@@ -450,7 +450,127 @@ object Ann {
       |JOIN assigned a ON a.vec_id = e.vec_id
       |LEFT JOIN dups ON dups.vec_id = e.vec_id""".stripMargin
 
+  /** Product quantization ANN (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search" — public): the 64-dim space splits into
+    * m=16 subspaces of 4 dims; each subvector is coded as its nearest of
+    * ks=16 codewords, so a vector compresses to 16 nibbles and query
+    * distance is evaluated against CODES via a per-query ADC lookup table
+    * (asymmetric distance: exact query subvector → codeword), never
+    * against raw vectors.
+    *
+    * The codebook is DETERMINISTIC sample seeding — the 16 corpus vectors
+    * with the smallest (md5(vec_id), vec_id) — so unlike the KMeans IVF
+    * quantizer there is no trained model state: every step (seed choice,
+    * code assignment, ADC sums) is exact integer arithmetic on
+    * round(v·10⁶) coordinates, and the WHOLE path is oracle-checked.
+    * ADC quality vs the exact integer-L2 ranking is measured in
+    * DedupAnnSpec (recall floor), the honest counterpart of the IVF/LSH
+    * recall gates.
+    *
+    * Scale shape: seed selection is a global top-16 by hash
+    * (TakeOrdered — no sort); encode joins the corpus against the
+    * broadcast (m·ks·dsub = 1024-entry) codebook with map-side combine;
+    * the ADC table is |panel|·m·ks rows (bounded, broadcast); candidate
+    * scoring is one scan of the CODES (8 longs/vector, not 64 doubles) +
+    * a per-query top-k. Nothing is corpus-quadratic.
+    */
+  def pq(spark: SparkSession, dir: String): DataFrame = {
+    val m = 16; val dsub = 4; val ks = 16
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "dim", "v")
+      .select(col("vec_id"), col("dim"),
+        expr("cast(round(v * 1000000.0D) as bigint)").as("xi"))
+    val seeds = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(ks)
+      .withColumn("j", row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1)
+      .select(col("vec_id"), col("j"))
+    val cb = x.join(seeds, "vec_id").select(col("j"), col("dim"), col("xi").as("c"))
+    val enc = x.join(broadcast(cb), Seq("dim"))
+      .groupBy(col("vec_id"), expr(s"dim div $dsub").as("s"), col("j"))
+      .agg(sum(expr("(xi - c) * (xi - c)")).as("d2"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("j"))
+    val codes = enc.withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("j").as("code"))
+    val qd2 = x.filter(col("vec_id") < 20)
+      .join(broadcast(cb), Seq("dim"))
+      .groupBy(col("vec_id").as("query_id"), expr(s"dim div $dsub").as("s"), col("j"))
+      .agg(sum(expr("(xi - c) * (xi - c)")).as("d2"))
+    val adc = codes.join(broadcast(qd2),
+        codes("s") === qd2("s") && codes("code") === qd2("j"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("adc_dist"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    // ADC is the SHORTLIST stage (the IVFADC+refine production shape):
+    // codes alone rank a candidate pool cheaply, then the top-32 per query
+    // re-rank by EXACT integer L2 — only |panel|·32 raw-vector reads, and
+    // the emitted ranking/distance is exact (no quantization error in the
+    // output, and the oracle replays it bit-for-bit).
+    val wShort = Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("neighbor_id"))
+    val shortlist = adc.withColumn("sr", row_number().over(wShort)).filter(col("sr") <= 32)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"))
+    val qx = x.select(col("vec_id").as("qid"), col("dim"), col("xi").as("qxv"))
+    val nx = x.select(col("vec_id").as("nid"), col("dim").as("ndim"), col("xi").as("nxv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("l2_dist"), col("neighbor_id"))
+    shortlist
+      .join(qx, col("query_id") === col("qid"))
+      .join(nx, col("neighbor_id") === col("nid") && col("dim") === col("ndim"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(expr("(qxv - nxv) * (qxv - nxv)")).as("l2_dist"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("l2_dist"))
+  }
+
+  /** DuckDB replay of [[pq]]: same seeds, same integer codebook, same
+    * argmin codes, same ADC sums — every value BIGINT-exact.
+    */
+  val pqSql: String =
+    """WITH x AS (
+      |  SELECT vec_id, i - 1 AS dim,
+      |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+      |seeds AS (
+      |  SELECT vec_id,
+      |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+      |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |cb AS (SELECT s.j, x.dim, x.xi AS c FROM seeds s JOIN x ON x.vec_id = s.vec_id),
+      |enc AS (
+      |  SELECT x.vec_id, x.dim // 4 AS s, cb.j, SUM((x.xi - cb.c) * (x.xi - cb.c)) AS d2
+      |  FROM x JOIN cb ON cb.dim = x.dim GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, s, j AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+      |    FROM enc) t
+      |  WHERE rn = 1),
+      |qd2 AS (
+      |  SELECT x.vec_id AS query_id, x.dim // 4 AS s, cb.j,
+      |         SUM((x.xi - cb.c) * (x.xi - cb.c)) AS d2
+      |  FROM x JOIN cb ON cb.dim = x.dim WHERE x.vec_id < 20 GROUP BY 1, 2, 3),
+      |adc AS (
+      |  SELECT qd2.query_id, c.vec_id AS neighbor_id, CAST(SUM(qd2.d2) AS BIGINT) AS adc_dist
+      |  FROM codes c JOIN qd2 ON qd2.s = c.s AND qd2.j = c.code
+      |  WHERE c.vec_id <> qd2.query_id
+      |  GROUP BY 1, 2),
+      |shortlist AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_dist, neighbor_id) AS sr FROM adc) t
+      |  WHERE sr <= 32),
+      |rerank AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |         CAST(SUM((qx.xi - nx.xi) * (qx.xi - nx.xi)) AS BIGINT) AS l2_dist
+      |  FROM shortlist s
+      |  JOIN x qx ON qx.vec_id = s.query_id
+      |  JOIN x nx ON nx.vec_id = s.neighbor_id AND nx.dim = qx.dim
+      |  GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, rank, l2_dist FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY l2_dist, neighbor_id) AS rank FROM rerank) t
+      |WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pq" -> (pq _),
     "emb_semdedup" -> ((s, d) => semDedup(s, d)),
     "emb_assign" -> (assignCentroids _),
     "ann_topk_ivf" -> (topkIvf _),
@@ -461,6 +581,7 @@ object Ann {
     "emb_centroids" -> (labelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "emb_pq" -> pqSql,
     "emb_assign" -> assignCentroidsSql,
     "emb_semdedup" -> semDedupSql,
     "ann_topk" -> topkSql,

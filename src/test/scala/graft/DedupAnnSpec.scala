@@ -49,6 +49,27 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("emb_pq: ADC ranking holds a measured recall@3 floor vs exact integer L2") {
+    import spark.implicits._
+    val got = similarity.Ann.pq(spark, sf)
+      .select($"query_id".cast("long"), $"neighbor_id".cast("long")).as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.map(x => math.round(x * 1e6)) }.toMap
+    def l2(a: Seq[Long], b: Seq[Long]): Long = a.zip(b).map { case (p, q) => (p - q) * (p - q) }.sum
+    val queries = emb.keys.filter(_ < 20).toSeq
+    val hits = queries.map { q =>
+      val exact = emb.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2(emb(q), emb(n)), n)).take(3).toSet
+      (exact intersect got.getOrElse(q, Set.empty)).size
+    }.sum
+    val recall = hits.toDouble / (queries.size * 3)
+    info(f"emb_pq recall@3 vs exact integer L2: $recall%.3f")
+    assert(recall >= 0.4, f"PQ ADC recall@3 $recall%.3f below floor 0.4")
+  }
+
   test("dedup_substring: planted shared span is removed, unique text survives intact") {
     import spark.implicits._
     // 3 docs: a & b share an 8-word span ("s0 .. s7"), c is fully unique;
