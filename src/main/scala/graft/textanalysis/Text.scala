@@ -547,7 +547,63 @@ object Text {
       |FROM b JOIN bc USING (w1, w2) JOIN ctx USING (w1)
       |GROUP BY 1""".stripMargin
 
+  /** Inverted-index build (the search/RAG primitive): per term, the
+    * document frequency, total term frequency, the top document by tf, and
+    * an md5 over the ordered posting list (doc:tf pairs by doc_id) so every
+    * posting boundary is hash-checked without shipping the list.
+    *
+    * Scale shape: one (term, doc) shuffle with map-side combine, then one
+    * term-keyed aggregate. The posting-list ROW is the hazard at corpus
+    * scale — a stopword's postings are corpus-sized — so the fingerprint
+    * covers only the first 1000 postings per term by doc_id (a
+    * deterministic window cut BEFORE the collect; df/tf_total stay exact
+    * over all postings, and a real index would spill one parquet row per
+    * posting rather than aggregate them at all). No unbounded aggregate
+    * row (the dedup_ngram_jaccard lesson).
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val wTop = Window.partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id"))
+    val top = tf.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+      .select(col("term"), col("doc_id").as("top_doc"), col("tf").as("top_tf"))
+    val wPost = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    val postings = tf.withColumn("pn", row_number().over(wPost)).filter(col("pn") <= 1000)
+      .groupBy(col("term"))
+      .agg(md5(concat_ws(",",
+        expr("transform(array_sort(collect_list(struct(doc_id, tf))), s -> concat(s.doc_id, ':', s.tf))")))
+        .as("postings_md5"))
+    val agg = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+    agg.join(top, "term").join(postings, "term")
+      .select(col("term"), col("df"), col("tf_total"),
+        col("top_doc"), col("top_tf"), col("postings_md5"))
+  }
+
+  val invertedIndexSql: String =
+    """WITH tf AS (
+      |  SELECT term, doc_id, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT term, doc_id AS top_doc, tf AS top_tf FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY term
+      |      ORDER BY tf DESC, doc_id) AS rn FROM tf) t
+      |  WHERE rn = 1),
+      |p AS (
+      |  SELECT term, md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)) AS postings_md5
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS pn
+      |        FROM tf) t
+      |  WHERE pn <= 1000 GROUP BY 1),
+      |a AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
+      |      FROM tf GROUP BY 1)
+      |SELECT a.term, a.df, a.tf_total, top.top_doc, top.top_tf, p.postings_md5
+      |FROM a JOIN top USING (term) JOIN p USING (term)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_inverted_index" -> (invertedIndex _),
     "text_perplexity" -> (perplexity _),
     "text_boilerplate" -> (boilerplate _),
     "text_rep" -> (repetition _),
@@ -563,6 +619,7 @@ object Text {
     "text_bpe_tokens" -> (bpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "text_inverted_index" -> invertedIndexSql,
     "text_perplexity" -> perplexitySql,
     "text_boilerplate" -> boilerplateSql,
     "text_rep" -> repetitionSql,

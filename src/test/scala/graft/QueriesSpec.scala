@@ -118,6 +118,19 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(types.subsetOf(Set("click", "view", "none")))
   }
 
+  test("inverted index: term mass conserves and top doc is a real posting") {
+    import org.apache.spark.sql.functions._
+    val out = textanalysis.Text.invertedIndex(spark, sf)
+    // sum over terms of total tf == total corpus word count
+    val mass = out.agg(sum("tf_total")).head.getLong(0)
+    val words = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(mass == words)
+    // top_tf is the max tf of its term: never exceeded by tf_total/df avg
+    assert(out.filter(col("top_tf") * col("df") < col("tf_total")).count() == 0)
+  }
+
   test("perplexity: surprise floor holds and bigrams conserve") {
     import org.apache.spark.sql.functions._
     val out = textanalysis.Text.perplexity(spark, sf)
