@@ -672,6 +672,83 @@ object Dedup {
       |FROM (SELECT v, MIN(l) AS l FROM lbl GROUP BY v) t
       |GROUP BY 1""".stripMargin
 
+  /** PageRank over the near-dup similarity graph — link-analysis weighting
+    * for curation (a document whose neighborhood is dense duplicate mush
+    * concentrates rank; isolated originals sit at the 0.15 floor). Damping
+    * 0.85 as the integer ratio 17/20; ranks are ×10⁶ scaled longs with
+    * floor division at every step, so all 6 fixed iterations are
+    * engine-exact — no libm, no float accumulation order.
+    *
+    * Scale shape: the edge set is the [[embedding]] LSH+verify pair plan
+    * (checkpointed once — the embeddingClusters lesson); per iteration
+    * exactly ONE shuffle (contributions keyed by destination), the
+    * degree-annotated edge table partitions once and is reused; iteration
+    * count is FIXED, not data-dependent, so the cost is 6 shuffles at any
+    * corpus size. Dangling vertices (deg 0) hold the 150 000 floor.
+    * The same recall caveat as [[embedding]] applies to the oracle
+    * comparison (exact all-pairs vs LSH candidates, designed miss ≈ 5e-6).
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val iters = 6
+    val pairs = embedding(spark, dir)
+      .select(col("vec_a").as("id_a"), col("vec_b").as("id_b"))
+      .localCheckpoint()
+    val edges = pairs.unionAll(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val deg = edges.groupBy(col("id_a").as("v")).agg(count(lit(1)).as("deg"))
+    val verts = Tables.embeddings(spark, dir).select(col("vec_id").as("v"))
+    val degAll = verts.join(deg, Seq("v"), "left")
+      .select(col("v"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .localCheckpoint()
+    // source degree rides on the edge once; the loop only ever joins ranks
+    val edgesDeg = edges
+      .join(degAll.select(col("v").as("id_a"), col("deg").as("src_deg")), "id_a")
+      .localCheckpoint()
+    var r = degAll.select(col("v"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg.join(r, col("id_a") === col("v"))
+        .select(col("id_b").as("dst"), expr("r * 17 div (20 * src_deg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = degAll.select(col("v"))
+        .join(contrib, col("v") === col("dst"), "left")
+        .select(col("v"), (lit(150000L) + coalesce(col("s"), lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    r.join(degAll, "v")
+      .select(col("v").as("vec_id"), col("r").as("pagerank"), col("deg"))
+  }
+
+  /** DuckDB replay of [[pagerank]]: the exact all-pairs edge set (the
+    * embeddingSql caveat) and the SAME 6 iterations unrolled as
+    * materialized CTEs (the bpe_train oracle pattern) — floor division at
+    * identical points, so every rank is BIGINT-equal.
+    */
+  val pagerankSql: String = {
+    val iterCtes = (1 to 6).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT d.v, CAST(150000 + coalesce(SUM(p.r * 17 // (20 * sd.deg)), 0) AS BIGINT) AS r
+         |  FROM deg d
+         |  LEFT JOIN edges e ON e.id_b = d.v
+         |  LEFT JOIN r${i - 1} p ON p.v = e.id_a
+         |  LEFT JOIN deg sd ON sd.v = e.id_a
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+       |edges AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+       |d0 AS (SELECT id_a AS v, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |deg AS MATERIALIZED (
+       |  SELECT e.vec_id AS v, coalesce(d0.deg, 0) AS deg
+       |  FROM embeddings e LEFT JOIN d0 ON d0.v = e.vec_id),
+       |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |$iterCtes
+       |SELECT d.v AS vec_id, r6.r AS pagerank, CAST(d.deg AS BIGINT) AS deg
+       |FROM deg d JOIN r6 ON r6.v = d.v""".stripMargin
+  }
+
   /** Incremental near-dedup — the production shape: dedup a NEW batch
     * against the EXISTING corpus. The batch is a deterministic ~25% slice
     * (md5(doc_id) byte 0 < 64 — a portable stand-in for "today's crawl");
@@ -829,6 +906,7 @@ object Dedup {
       |FROM d LEFT JOIN kept k USING (doc_id)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (pagerank _),
     "dedup_substring" -> (substringDedup _),
     "dedup_incremental" -> ((s, d) => incremental(s, d)),
     "dedup_cc" -> (embeddingClusters _),
@@ -841,6 +919,7 @@ object Dedup {
     "dedup_embedding" -> (embedding _))
 
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankSql,
     "dedup_substring" -> substringDedupSql,
     "dedup_cc" -> embeddingClustersSql,
     "dedup_exact" -> exactSql,

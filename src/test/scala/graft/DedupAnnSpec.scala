@@ -49,6 +49,15 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("graph_pagerank: floor holds, dangling vertices sit exactly on it, hubs rise above") {
+    import org.apache.spark.sql.functions._
+    val out = dedup.Dedup.pagerank(spark, sf)
+    assert(out.filter(col("pagerank") < 150000L).count() == 0)
+    assert(out.filter(col("deg") === 0 && col("pagerank") =!= 150000L).count() == 0)
+    assert(out.filter(col("deg") > 0 && col("pagerank") > 150000L).count() > 0,
+      "no connected vertex accumulated rank — edge set empty?")
+  }
+
   test("emb_pq: ADC ranking holds a measured recall@3 floor vs exact integer L2") {
     import spark.implicits._
     val got = similarity.Ann.pq(spark, sf)
