@@ -860,24 +860,24 @@ object Dedup {
       .toDF("doc_id", "idx", "gram")
     val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select(col("gram"))
-    val covered = grams.join(dup, Seq("gram"))
+    // Covered positions collapse to ONE bounded set per doc (≤ doc length),
+    // so the scrub is an in-row lambda filter — no word-level explode, no
+    // per-word shuffle, no sort-aggregate: the only wide stages in the
+    // whole operator are the gram count and this doc-keyed set build
+    // (replaces a first-cut plan that shuffled every word twice).
+    val covSets = grams.join(dup, Seq("gram"))
       .select(col("doc_id"), explode(expr(s"sequence(idx, idx + ${K - 1})")).as("pos"))
-      .distinct()
-    val words = docs.select(col("doc_id"), posexplode(col("w"))).toDF("doc_id", "pos", "word")
-    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        md5(concat_ws(" ",
-          expr("transform(array_sort(collect_list(struct(pos, word))), s -> s.word)")))
-          .as("cleaned_md5"))
-    docs.select(col("doc_id"), size(col("w")).cast("bigint").as("n_words"))
-      .join(kept, Seq("doc_id"), "left")
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("cov"))
+    docs.select(col("doc_id"), col("w"), size(col("w")).cast("bigint").as("n_words"))
+      .join(covSets, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), expr("cast(array() as array<int>)")))
       .select(
         col("doc_id"),
         col("n_words"),
-        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_dup_words"),
-        coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"),
-        ((col("n_words") - coalesce(col("n_kept"), lit(0L))) * 2 < col("n_words")).as("keep"))
+        size(col("cov")).cast("bigint").as("n_dup_words"),
+        md5(concat_ws(" ",
+          expr("filter(w, (x, i) -> not array_contains(cov, i))"))).as("cleaned_md5"),
+        (size(col("cov")).cast("bigint") * 2 < col("n_words")).as("keep"))
   }
 
   /** DuckDB replay of [[substringDedupOf]] — same 0-based positions, same

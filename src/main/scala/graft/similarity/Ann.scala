@@ -467,57 +467,67 @@ object Ann {
     * DedupAnnSpec (recall floor), the honest counterpart of the IVF/LSH
     * recall gates.
     *
-    * Scale shape: seed selection is a global top-16 by hash
-    * (TakeOrdered — no sort); encode joins the corpus against the
-    * broadcast (m·ks·dsub = 1024-entry) codebook with map-side combine;
-    * the ADC table is |panel|·m·ks rows (bounded, broadcast); candidate
-    * scoring is one scan of the CODES (8 longs/vector, not 64 doubles) +
-    * a per-query top-k. Nothing is corpus-quadratic.
+    * Scale shape: seed selection is a global top-16 by hash (TakeOrdered
+    * — no sort, bounded collect: the codebook is a model artifact exactly
+    * like the IVF centroid table); encode is a PURE MAP STAGE against the
+    * codebook literal (zero shuffle — the plan every executor can run on
+    * its slice of 100 TB); the per-query ADC lookup tables ride a
+    * broadcast panel; candidate scoring reads CODES (16 nibbles/vector,
+    * not 64 doubles) + a per-query top-k. Nothing is corpus-quadratic and
+    * nothing shuffles the corpus.
     */
   def pq(spark: SparkSession, dir: String): DataFrame = {
     val m = 16; val dsub = 4; val ks = 16
-    val x = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
-      .toDF("vec_id", "dim", "v")
-      .select(col("vec_id"), col("dim"),
-        expr("cast(round(v * 1000000.0D) as bigint)").as("xi"))
-    val seeds = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("h"))
-      .orderBy(col("h"), col("vec_id")).limit(ks)
-      .withColumn("j", row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1)
-      .select(col("vec_id"), col("j"))
-    val cb = x.join(seeds, "vec_id").select(col("j"), col("dim"), col("xi").as("c"))
-    val enc = x.join(broadcast(cb), Seq("dim"))
-      .groupBy(col("vec_id"), expr(s"dim div $dsub").as("s"), col("j"))
-      .agg(sum(expr("(xi - c) * (xi - c)")).as("d2"))
-    val wEnc = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("j"))
-    val codes = enc.withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("s"), col("j").as("code"))
-    val qd2 = x.filter(col("vec_id") < 20)
-      .join(broadcast(cb), Seq("dim"))
-      .groupBy(col("vec_id").as("query_id"), expr(s"dim div $dsub").as("s"), col("j"))
-      .agg(sum(expr("(xi - c) * (xi - c)")).as("d2"))
-    val adc = codes.join(broadcast(qd2),
-        codes("s") === qd2("s") && codes("code") === qd2("j"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum(col("d2")).as("adc_dist"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val ei = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        "transform(cast(embedding as array<double>), v -> cast(round(v * 1000000.0D) as bigint))")
+        .as("xi"))
+    // The codebook is a MODEL ARTIFACT (like the IVF centroid table): a
+    // bounded ks-row TakeOrdered collect, then a literal every executor
+    // holds. Encode is therefore a PURE MAP STAGE — the first cut joined
+    // the corpus against a (dim × ks) table and re-aggregated, a ks×
+    // shuffle blowup that is exactly the wrong shape at corpus scale.
+    val cbArr: Seq[Seq[Long]] = Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast("long").as("vid"),
+        md5(col("vec_id").cast("string")).as("h"),
+        expr("transform(cast(embedding as array<double>), v -> cast(round(v * 1000000.0D) as bigint))")
+          .as("xi"))
+      .orderBy(col("h"), col("vid")).limit(ks)
+      .collect().map(_.getSeq[Long](2).toSeq).toSeq
+    // d2(s, j) against the codebook literal, shared by encode and ADC-table
+    def subD2(s: String, j: String): String =
+      s"""aggregate(sequence(0, ${dsub - 1}), cast(0 as bigint), (acc, d) ->
+         |  acc + (element_at(xi, $s * $dsub + d + 1) - element_at(element_at(cb, $j + 1), $s * $dsub + d + 1))
+         |      * (element_at(xi, $s * $dsub + d + 1) - element_at(element_at(cb, $j + 1), $s * $dsub + d + 1)))""".stripMargin
+    val withCb = ei.withColumn("cb", typedlit(cbArr))
+    val coded = withCb.withColumn("codes", expr(
+      s"""transform(sequence(0, ${m - 1}), s ->
+         |  array_min(transform(sequence(0, ${ks - 1}), j ->
+         |    struct(${subD2("s", "j")} as d2, j as j))).j)""".stripMargin))
+      .select(col("vec_id"), col("xi"), col("codes"))
+    // per-query ADC lookup table (m × ks integer distances), in-row on the
+    // bounded panel, broadcast with the exact query vector for the re-rank
+    val panel = withCb.filter(col("vec_id") < 20)
+      .withColumn("qd2", expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+           |  transform(sequence(0, ${ks - 1}), j -> ${subD2("s", "j")}))""".stripMargin))
+      .select(col("vec_id").as("query_id"), col("xi").as("qxi"), col("qd2"))
     // ADC is the SHORTLIST stage (the IVFADC+refine production shape):
-    // codes alone rank a candidate pool cheaply, then the top-32 per query
-    // re-rank by EXACT integer L2 — only |panel|·32 raw-vector reads, and
-    // the emitted ranking/distance is exact (no quantization error in the
-    // output, and the oracle replays it bit-for-bit).
-    val wShort = Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("neighbor_id"))
-    val shortlist = adc.withColumn("sr", row_number().over(wShort)).filter(col("sr") <= 32)
-      .select(col("query_id"), col("neighbor_id"), col("adc_dist"))
-    val qx = x.select(col("vec_id").as("qid"), col("dim"), col("xi").as("qxv"))
-    val nx = x.select(col("vec_id").as("nid"), col("dim").as("ndim"), col("xi").as("nxv"))
+    // codes alone rank the pool via m table lookups per candidate, then
+    // the top-32 per query re-rank by EXACT integer L2 — |panel|·32
+    // raw-vector reads, and the emitted ranking/distance carries no
+    // quantization error (the oracle replays it bit-for-bit).
+    val adc = coded.join(broadcast(panel), col("query_id") =!= col("vec_id"))
+      .withColumn("adc_dist", expr(
+        """aggregate(zip_with(codes, qd2, (c, row) -> element_at(row, c + 1)),
+          |  cast(0 as bigint), (a, v) -> a + v)""".stripMargin))
+    val wShort = Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("l2_dist"), col("neighbor_id"))
-    shortlist
-      .join(qx, col("query_id") === col("qid"))
-      .join(nx, col("neighbor_id") === col("nid") && col("dim") === col("ndim"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(expr("(qxv - nxv) * (qxv - nxv)")).as("l2_dist"))
+    adc.withColumn("sr", row_number().over(wShort)).filter(col("sr") <= 32)
+      .withColumn("l2_dist", expr(
+        """aggregate(zip_with(qxi, xi, (a, b) -> (a - b) * (a - b)),
+          |  cast(0 as bigint), (a, v) -> a + v)""".stripMargin))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("l2_dist"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("l2_dist"))
   }

@@ -17,7 +17,9 @@ object ExplainAudit {
         "pack_sequences", "text_contamination", "dedup_embedding", "pipeline_curate",
         "q_funnel", "dedup_cc", "emb_assign", "text_rarity",
         "text_scrub_pii", "text_bpe_tokens", "doc_chunk", "dedup_minhash_lsh",
-        "emb_semdedup", "dedup_incremental", "text_boilerplate", "ann_topk_lsh")
+        "emb_semdedup", "dedup_incremental", "text_boilerplate", "ann_topk_lsh",
+        "q_attribution", "q_events_transition", "text_perplexity", "dedup_substring",
+        "emb_pq", "text_inverted_index", "graph_pagerank")
     val spark = GraftSession.local(4)
     names.foreach { n =>
       println(s"\n========== $n ==========")
