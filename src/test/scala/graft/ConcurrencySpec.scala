@@ -29,12 +29,13 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
   private val names = Seq(
     "q1_pricing_summary", "q_topk_per_key", "q_lateral", "q_funnel",
     "text_rep", "emb_quant", "q_window_dist", "dedup_exact_hash",
-    "text_scrub_pii", "text_bpe_tokens", "doc_chunk")
+    "text_scrub_pii", "text_bpe_tokens", "doc_chunk",
+    "q_attribution", "text_perplexity", "emb_pq")
 
   private def run(n: String): Seq[String] =
     SparkEntry.queries(n)(spark, sf).collect().map(_.toString).sorted.toSeq
 
-  test("22 concurrent runs of 11 mixed queries match their sequential results") {
+  test("28 concurrent runs of 14 mixed queries match their sequential results") {
     val sequential = names.map(n => n -> run(n)).toMap
     val pool = Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)

@@ -167,6 +167,37 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(p.contains("partial_sum"), s"distance sum must map-side combine: $p")
   }
 
+  // AQE plan strings append an "== Initial Plan ==" section that repeats
+  // every node; structural counts must look at the final plan only
+  private def finalPlanOf(name: String): String =
+    planOf(name).split("== Initial Plan ==").head
+
+  test("emb_pq: encode is map-only (corpus never shuffles before the panel join)") {
+    val p = finalPlanOf("emb_pq")
+    // the codebook is a literal: no join computes codes, so no SHUFFLE
+    // exchange may appear below the BroadcastNestedLoopJoin that attaches
+    // the panel (the panel's own BroadcastExchange is expected)
+    val belowPanel = p.split("BroadcastNestedLoopJoin").last
+    assert(!belowPanel.contains("Exchange hashpartitioning"),
+      s"corpus side of the panel join must be scan->project only:\n$p")
+  }
+
+  test("q_attribution: one user-hash exchange feeds the sweep (no touch join)") {
+    val p = finalPlanOf("q_attribution")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"attribution must be a window sweep, not a purchase x touch join:\n$p")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("dedup_substring: no word-level shuffle — wide stages key on gram or doc only") {
+    val p = planOf("dedup_substring")
+    // the scrub is an in-row lambda: no exchange may carry a `pos` column
+    // (the first-cut plan shuffled every (doc_id, pos, word) row twice)
+    val shuffles = "Exchange hashpartitioning\\(([^)]*)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(shuffles.nonEmpty && shuffles.forall(k => !k.contains("pos")),
+      s"found a position-keyed (word-level) exchange in:\n$shuffles")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     for (q <- Seq("q1_pricing_summary", "q6_revenue_forecast", "ref_aggregation")) {
       // "*(n)" prefixes mark WholeStageCodegen spans in compact plan strings
