@@ -457,6 +457,17 @@ object Dedup {
     * 2^planes; at larger corpora raise `planesPerTable` (bucket count grows
     * 2^b) and `nTables` together — the standard recall/cost dial. Fixed
     * seed keeps the plan deterministic.
+    *
+    * Candidate dedup is FIRST-MATCHING-TABLE, not `distinct()`: in this
+    * low-τ regime a pair typically collides in MANY tables (measured ~6×
+    * multiplicity at sf0.1 — a 12M-row multiset for 2M unique pairs), so
+    * hashing the whole multiset through an Exchange just to dedup it was
+    * the plan's dominant shuffle. Instead each bucket row carries all 24
+    * bucket ids packed 2-bits-each into one long (`sig`), and a pair is
+    * kept only in the lowest table where the two signatures agree — a
+    * codegen'd bitwise filter (XOR → per-group zero-test → ctz via
+    * bit_count) that drops duplicates as they stream out of the band join,
+    * no shuffle at any corpus size.
     */
   def embedding(spark: SparkSession, dir: String): DataFrame = {
     val nTables = 24
@@ -469,16 +480,27 @@ object Dedup {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val buckets = e
       .select(col("vec_id"),
-        posexplode(native.hyperplaneBuckets(col("emb"), planes, nTables, planesPerTable)))
-      .toDF("vec_id", "table_id", "bucket")
-    // bucket-local candidate ids (shuffle key = (table, bucket)), dedup'd
-    // BEFORE the embeddings are re-attached so each unique pair ships its
-    // two vectors exactly once into the exact-cosine verify
-    val cand = buckets.as("a").join(buckets.as("b"),
-        col("a.table_id") === col("b.table_id") && col("a.bucket") === col("b.bucket")
-          && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+        native.hyperplaneBuckets(col("emb"), planes, nTables, planesPerTable).as("barr"))
+      // sig = Σ bucket(t) << 2t — interpreted HOF, but evaluated once per
+      // VECTOR (pre-explode), not per candidate row
+      .select(col("vec_id"),
+        expr("aggregate(transform(barr, (b, i) -> shiftleft(b, 2 * i)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc | x)").as("sig"),
+        posexplode(col("barr")))
+      .toDF("vec_id", "sig", "table_id", "bucket")
+    val ba = buckets.toDF("vec_a", "sig_a", "ta", "ka")
+    val bb = buckets.toDF("vec_b", "sig_b", "tb", "kb")
+    // bucket-local candidates (shuffle key = (table, bucket)); the
+    // first-matching-table filter keeps each unique pair exactly once:
+    // zg has bit 2t set iff the pair's table-t buckets agree, and
+    // bit_count((z&-z)-1)/2 is the index of the lowest such t
+    val cand = ba.join(bb,
+        col("ta") === col("tb") && col("ka") === col("kb")
+          && col("vec_a") < col("vec_b"))
+      .filter(expr(
+        "ta = CAST(bit_count((zg & -zg) - 1) / 2 AS INT)"
+          .replace("zg", "((~(sig_a ^ sig_b)) & shiftright(~(sig_a ^ sig_b), 1) & 93824992236885)")))
+      .select(col("vec_a"), col("vec_b"))
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("emb").as("ea")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("emb").as("eb")), "vec_b")
@@ -504,25 +526,29 @@ object Dedup {
       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin
 
   /** Connected components over an undirected edge set via min-label
-    * propagation WITH pointer jumping, run to a FIXPOINT.
+    * propagation with HOOKING and pointer jumping (Shiloach–Vishkin
+    * shaped), run to a FIXPOINT.
     *
-    * Each round: (1) every vertex takes the min of its own and its
-    * neighbors' labels (one shuffle on the vertex id — the classic
-    * propagation step), then (2) the label is shortcut through the label
-    * table itself (label ← label(label), one more join on the same key).
-    * Labels are always vertex ids in the same component, so the shortcut is
-    * sound, and it makes the label-distance roughly DOUBLE per round:
-    * rounds ≈ log₂(diameter) instead of diameter (round-4 verdict item 6 —
-    * the diameter-6 chain converges in 3 rounds + 1 confirm, measured in
-    * DedupAnnSpec, vs 6 + 1 for plain propagation). Rounds are the unit of
-    * cost at any scale: each is a fixed number of shuffles and a Spark
-    * job-scheduling floor.
+    * Each round: propagate (min of self + neighbor labels), hook (roots
+    * adopt the min label reported by their tree members), jump (shortcut
+    * through the freshly hooked table) — see `oneRound` for why the hook
+    * step is what makes the shortcut actually compound to ~log rounds.
+    * Rounds are the unit of cost at any scale: each is a fixed number of
+    * shuffles and a Spark job-scheduling floor (round-4 verdict item 6).
     *
-    * The loop stops when no label shrank (counted on the already-
-    * checkpointed round result, so the convergence check is a cheap local
-    * scan, not a recompute) or at `maxRounds` — a diverging input fails
-    * loudly instead of silently under-merging. localCheckpoint truncates
-    * the growing lineage.
+    * The loop stops when no label shrank or at `maxRounds` — a diverging
+    * input fails loudly instead of silently under-merging.
+    *
+    * Job shape: ONE localCheckpoint job per round, with the convergence
+    * check riding that same job via `observe()` (the changed-count
+    * aggregates while the round materializes) instead of a second count
+    * job. Lazily chaining several rounds into one job was tried and
+    * REJECTED: each round's labels feed three consumers (neighbor-min,
+    * the step join, the jump lookup), so un-materialized rounds recompute
+    * combinatorially, and even with per-round `persist()` the deep
+    * multi-join plans cost more in analysis/AQE overhead than the job
+    * floor they save (measured 2.9 s/12 rounds per-round-checkpointed vs
+    * 4.2 s cached-lazy vs 5.2 s fully lazy, sf0.1).
     *
     * vertices: one column `doc_id`; edges: `id_a`, `id_b` (any direction).
     */
@@ -536,30 +562,49 @@ object Dedup {
       .unionAll(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .distinct()
       .localCheckpoint()
+    // One round, Shiloach–Vishkin-shaped: (1) PROPAGATE — take the min of
+    // self and neighbors' labels; (2) HOOK — every vertex reports its new
+    // candidate to its round-start root (its old label), and roots adopt
+    // the min report, so a root learns in ONE round what plain propagation
+    // would flood to it hop by hop; (3) JUMP — shortcut through the hooked
+    // table itself (label <- hooked(label)). Plain propagate+jump stalls
+    // at ~2 hops/round on this data because labels point at LOCAL minima
+    // that are already roots (jump is a no-op there); the hook step is
+    // what makes the shortcut compound (measured 12 -> 5 rounds at sf0.1,
+    // 4 -> 3 on the diameter-6 chain in DedupAnnSpec). Every min-combine
+    // keeps labels monotone-decreasing vertex ids within the component,
+    // so the fixpoint — and the stopping rule — are unchanged.
+    def oneRound(cur: DataFrame): DataFrame = {
+      val neighborMin = bidir.join(cur, col("id_b") === col("doc_id"))
+        .groupBy(col("id_a")).agg(min(col("label")).as("nbr_label"))
+      val stepped = cur.withColumnRenamed("label", "prev")
+        .join(neighborMin, col("doc_id") === col("id_a"), "left")
+        .select(col("doc_id"), col("prev"),
+          least(col("prev"), coalesce(col("nbr_label"), col("prev"))).as("mid"))
+      val rootMin = stepped.groupBy(col("prev").as("root_id"))
+        .agg(min(col("mid")).as("root_min"))
+      val hooked = stepped.join(rootMin, col("doc_id") === col("root_id"), "left")
+        .select(col("doc_id"), col("prev"),
+          least(col("mid"), coalesce(col("root_min"), col("mid"))).as("hk"))
+      // jump through the HOOKED table, not the round-start one: 5 vs 7
+      // rounds measured at sf0.1, and the round job absorbs the self-join
+      // (ReuseExchange dedups hooked's shuffles)
+      hooked
+        .join(hooked.select(col("doc_id").as("j_id"), col("hk").as("j_lab")),
+          col("hk") === col("j_id"), "left")
+        .select(col("doc_id"), col("prev"),
+          least(col("hk"), coalesce(col("j_lab"), col("hk"))).as("label"))
+    }
     var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
-      val neighborMin = bidir.join(labels, col("id_b") === col("doc_id"))
-        .groupBy(col("id_a")).agg(min(col("label")).as("nbr_label"))
-      val stepped = labels.withColumnRenamed("label", "prev")
-        .join(neighborMin, col("doc_id") === col("id_a"), "left")
-        .select(col("doc_id"), col("prev"),
-          least(col("prev"), coalesce(col("nbr_label"), col("prev"))).as("mid"))
-      // pointer jump: mid is a vertex id, so look up ITS current label and
-      // take the smaller — one extra equi-join per round buys log-rounds.
-      // Skipped in round 0 where labels are still the identity map and the
-      // jump could only return mid itself.
-      val jumped =
-        if (round == 0) stepped.withColumnRenamed("mid", "label")
-        else stepped
-          .join(labels.select(col("doc_id").as("mid_id"), col("label").as("mid_label")),
-            col("mid") === col("mid_id"), "left")
-          .select(col("doc_id"), col("prev"),
-            least(col("mid"), coalesce(col("mid_label"), col("mid"))).as("label"))
-      val next = jumped.localCheckpoint() // eager: materializes the round once
-      changed = next.filter(col("label") < col("prev")).count()
+      val obs = new org.apache.spark.sql.Observation()
+      val next = oneRound(labels)
+        .observe(obs, sum(when(col("label") < col("prev"), 1L).otherwise(0L)).as("changed"))
+        .localCheckpoint() // eager: materializes the round once, firing obs
+      changed = Option(obs.get("changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next.select(col("doc_id"), col("label"))
       round += 1
     }
