@@ -53,6 +53,43 @@ object Ann {
       | WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id) t
       |WHERE rank <= 5""".stripMargin
 
+  /** Exact k-NN graph: every vector's 5 nearest neighbors by cosine — the
+    * all-queries generalization of [[topk]], and the substrate for graph
+    * analytics over a corpus (kNN-graph clustering, link-based curation).
+    *
+    * The scored candidate stream goes through graft's TopKPerKey physical
+    * operator rather than a window: the operator's PARTIAL pass heap-
+    * reduces each map partition to ≤ k rows per query BEFORE the exchange,
+    * so the shuffle carries O(#queries × k × #partitions) slim rows while
+    * the n×m score stream itself is never materialized or sorted (a
+    * window formulation must shuffle and sort every scored row). This is
+    * the exact-scoring baseline: at corpus scale the same TopKPerKey sits
+    * after an IVF cell-routed candidate join ([[topkIvf]]) instead of the
+    * full cross product.
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.select(col("vec_id").as("query_id"), col("emb").as("ea"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        native.cosineSim(col("ea"), col("eb")).as("cos"))
+    graft.operators.TopK.perKey(scored,
+        keys = Seq("query_id"),
+        order = Seq("cos" -> true, "neighbor_id" -> false),
+        k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  val knnGraphSql: String =
+    """SELECT query_id, neighbor_id FROM (
+      | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rn
+      | FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id) t
+      |WHERE rn <= 5""".stripMargin
+
   /** Hyperplane values for the LSH tables: md5-derived integers in
     * [-128, 127] (byte 0 of md5("plane:t:p:d") minus 128) instead of JVM
     * Gaussians. Two reasons (round-5 → 6 upgrade):
@@ -585,6 +622,7 @@ object Ann {
     "emb_assign" -> (assignCentroids _),
     "ann_topk_ivf" -> (topkIvf _),
     "ann_topk" -> (topk _),
+    "emb_knn_graph" -> (knnGraph _),
     "ann_topk_lsh" -> ((s, d) => topkLsh(s, d)),
     "ann_range" -> (rangeSearch _),
     "emb_quant" -> (quantize _),
@@ -595,6 +633,7 @@ object Ann {
     "emb_assign" -> assignCentroidsSql,
     "emb_semdedup" -> semDedupSql,
     "ann_topk" -> topkSql,
+    "emb_knn_graph" -> knnGraphSql,
     "ann_topk_lsh" -> topkLshSql,
     "ann_range" -> rangeSearchSql,
     "emb_quant" -> quantizeSql,

@@ -20,6 +20,17 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * child distribution is ClusteredDistribution(keys), so Spark plans
   * exactly one hash exchange — the same shuffle the window needs, minus
   * the sort.
+  *
+  * The strategy plans it as PARTIAL → exchange → FINAL, exactly like a
+  * hash aggregate: the partial pass runs the same bounded-heap scan on
+  * each map-side partition with no distribution requirement, so at most
+  * (#keys-in-partition × k) rows ever reach the exchange. A candidate-
+  * scored input (e.g. the kNN-graph's n×n cosine stream) shuffles k rows
+  * per key per partition instead of the whole score stream — the combine
+  * step a window formulation cannot have. Requires the ordering to be a
+  * TOTAL order per key (tie rows retained by a partial pass are
+  * arrival-order-dependent otherwise) — every graft call site orders by
+  * a unique trailing key column.
   */
 case class TopKPerKeyNode(
     groupingKeys: Seq[Expression],
@@ -36,7 +47,8 @@ case class TopKPerKeyNode(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, ordering, k, child) =>
-      TopKPerKeyExec(keys, ordering, k, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, ordering, k,
+        TopKPerKeyExec(keys, ordering, k, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }
@@ -45,15 +57,22 @@ case class TopKPerKeyExec(
     groupingKeys: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  // Empty keys = GLOBAL top-k: every row must reach one task or each
-  // partition would emit its own k rows (matching WindowExec's contract).
-  // The per-key path only needs co-location of equal keys.
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+
+  // Partial = map-side combine: no distribution requirement, keeps the
+  // child's partitioning, emits at most k rows per key per partition.
+  // Final: empty keys = GLOBAL top-k — every row must reach one task or
+  // each partition would emit its own k rows (matching WindowExec's
+  // contract); the per-key path only needs co-location of equal keys.
   override def requiredChildDistribution: Seq[Distribution] =
-    if (groupingKeys.isEmpty) AllTuples :: Nil
+    if (partial) super.requiredChildDistribution
+    else if (groupingKeys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupingKeys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {

@@ -70,6 +70,26 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(!p.contains("Sort "), "heap-based top-k must not sort")
   }
 
+  test("emb_knn_graph: broadcast score stream heap-reduced before the exchange") {
+    // the n×m cosine stream must never hit an Exchange un-reduced: the
+    // query side broadcasts, and the partial top-k bounds what shuffles
+    val p = planOf("emb_knn_graph").split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TopKPerKeyPartial"), p)
+    assert(!p.contains("Sort "), "kNN graph must not sort the score stream")
+  }
+
+  test("q_topk_per_key: partial (map-side) top-k combine below the exchange") {
+    // aggregate-style split: TopKPerKeyPartial feeds the hash exchange, so
+    // at most k rows per key per map partition are ever shuffled
+    val p = planOf("q_topk_per_key").split("== Initial Plan ==")(0)
+    assert(p.contains("TopKPerKeyPartial"), p)
+    val partialIdx = p.indexOf("TopKPerKeyPartial")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      s"expected partial top-k BELOW the exchange in: $p")
+  }
+
   test("asof join: exactly one hash-partition exchange (union-and-sweep)") {
     // AQE toString prints Final and Initial plan sections; count only final
     val p = planOf("q_asof_join").split("== Initial Plan ==")(0)
