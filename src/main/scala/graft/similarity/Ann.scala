@@ -390,6 +390,106 @@ object Ann {
       |        ORDER BY dist_sq, c_label) AS rn FROM d) t
       |WHERE rn = 1""".stripMargin
 
+  /** Distributed k-means: k=8, THREE full Lloyd iterations from a
+    * deterministic seed (the first 8 vectors), everything in exact integer
+    * arithmetic — coordinates quantize to round(x·1e6) longs, distances
+    * are BIGINT sums of squared diffs (≤ 2⁴⁸, order-independent), argmin
+    * ties break on cluster id, and the centroid update rounds via
+    * floor(sum/n + 0.5) (sums ≤ 2³¹ are exact doubles, so the IEEE divide
+    * + floor is engine-identical). That makes an ITERATIVE ML fit
+    * hash-checkable: the oracle replays all three iterations as unrolled
+    * materialized CTEs (the bpe_train/pagerank pattern).
+    *
+    * Scale shape: the centroid table is k×dims (tiny — broadcast every
+    * iteration); the exploded corpus is checkpointed ONCE and streamed
+    * per iteration (join-broadcast → map-side partial min-distance agg);
+    * each iteration is a fixed number of shuffles on (vec_id) /
+    * (c_id, dim) keys, so the cost is iters × O(corpus) at any scale —
+    * the textbook distributed Lloyd shape. Empty clusters drop out of the
+    * recompute on both engines identically.
+    *
+    * Output: per-cluster membership, exact inertia, and the centroid's L1
+    * mass after the final iteration.
+    */
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val iters = 3
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "dim", "v")
+      .select(col("vec_id"), col("dim").cast("bigint").as("dim"),
+        round(col("v") * 1000000.0).cast("long").as("xi"))
+      .localCheckpoint() // consumed by every assign AND every recompute
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist_sq"), col("c_id"))
+      x.join(broadcast(cent), Seq("dim"))
+        .groupBy(col("vec_id"), col("c_id"))
+        .agg(sum(expr("(xi - cq) * (xi - cq)")).as("dist_sq"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_id"), col("dist_sq"))
+    }
+    var cent = x.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("dim"), col("xi").as("cq"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val a = assign(cent)
+      // k×dims rows: materializing per iteration keeps every round's plan
+      // shallow (the connectedComponents lesson) and feeds the broadcast
+      cent = x.join(a.select(col("vec_id"), col("c_id")), Seq("vec_id"))
+        .groupBy(col("c_id"), col("dim"))
+        .agg(expr("cast(floor(cast(sum(xi) as double) / count(1) + 0.5) as bigint)").as("cq"))
+        .localCheckpoint()
+    }
+    val finalAssign = assign(cent)
+    val centL1 = cent.groupBy(col("c_id"))
+      .agg(sum(abs(col("cq"))).as("centroid_l1"))
+    finalAssign.groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dist_sq")).as("inertia"))
+      .join(centL1, Seq("c_id"))
+      .select(col("c_id").as("cluster_id"), col("n_members"), col("inertia"),
+        col("centroid_l1"))
+  }
+
+  /** DuckDB replay of [[kmeans]]: the same three Lloyd iterations unrolled
+    * as materialized CTEs — seed, assign₁, recompute₁, …, final assign —
+    * with floor division and tie-breaks at identical points, so every
+    * BIGINT (membership, inertia, centroid L1) is hash-equal.
+    */
+  val kmeansSql: String = {
+    def assignCte(name: String, cent: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, c_id, dist_sq FROM (
+         |    SELECT x.vec_id, c.c_id, SUM((xi - cq) * (xi - cq)) AS dist_sq,
+         |           row_number() OVER (PARTITION BY x.vec_id
+         |             ORDER BY SUM((xi - cq) * (xi - cq)), c.c_id) AS rn
+         |    FROM x JOIN $cent c ON x.dim = c.dim GROUP BY 1, 2) t
+         |  WHERE rn = 1)""".stripMargin
+    def centCte(name: String, assign: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT a.c_id, x.dim,
+         |         CAST(floor(CAST(SUM(xi) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
+         |  FROM x JOIN $assign a ON x.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT vec_id, i - 1 AS dim,
+       |         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+       |c0 AS MATERIALIZED (
+       |  SELECT vec_id AS c_id, dim, xi AS cq FROM x WHERE vec_id < 8),
+       |${assignCte("a1", "c0")},
+       |${centCte("c1", "a1")},
+       |${assignCte("a2", "c1")},
+       |${centCte("c2", "a2")},
+       |${assignCte("a3", "c2")},
+       |${centCte("c3", "a3")},
+       |${assignCte("af", "c3")},
+       |l1 AS (SELECT c_id, SUM(abs(cq)) AS centroid_l1 FROM c3 GROUP BY 1)
+       |SELECT f.c_id AS cluster_id, COUNT(*) AS n_members,
+       |       CAST(SUM(dist_sq) AS BIGINT) AS inertia,
+       |       CAST(MIN(l1.centroid_l1) AS BIGINT) AS centroid_l1
+       |FROM af f JOIN l1 ON f.c_id = l1.c_id
+       |GROUP BY 1""".stripMargin
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540 — public): cluster the corpus with the deterministic
     * integer coarse quantizer (the [[assignCentroids]] machinery), then
@@ -623,6 +723,7 @@ object Ann {
     "ann_topk_ivf" -> (topkIvf _),
     "ann_topk" -> (topk _),
     "emb_knn_graph" -> (knnGraph _),
+    "emb_kmeans" -> (kmeans _),
     "ann_topk_lsh" -> ((s, d) => topkLsh(s, d)),
     "ann_range" -> (rangeSearch _),
     "emb_quant" -> (quantize _),
@@ -634,6 +735,7 @@ object Ann {
     "emb_semdedup" -> semDedupSql,
     "ann_topk" -> topkSql,
     "emb_knn_graph" -> knnGraphSql,
+    "emb_kmeans" -> kmeansSql,
     "ann_topk_lsh" -> topkLshSql,
     "ann_range" -> rangeSearchSql,
     "emb_quant" -> quantizeSql,

@@ -343,6 +343,31 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $got, want $want")
   }
 
+  test("emb_kmeans: full partition, nonneg inertia, better than the seed assignment") {
+    import spark.implicits._
+    val out = similarity.Ann.kmeans(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(out.length <= 8 && out.nonEmpty, s"got ${out.length} clusters")
+    assert(out.map(_._2).sum == nVecs, "every vector must be assigned exactly once")
+    assert(out.forall(_._3 >= 0L), "inertia is a sum of squares")
+    // Lloyd never increases inertia: 3 iterations must not be worse than
+    // assigning straight to the seed centroids (computed inline here)
+    val x = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "dim", "v")
+      .select(col("vec_id"), col("dim"), round(col("v") * 1000000.0).cast("long").as("xi"))
+    val seed = x.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("dim"), col("xi").as("cq"))
+    val seedInertia = x.join(seed, Seq("dim"))
+      .groupBy(col("vec_id"), col("c_id"))
+      .agg(sum(expr("(xi - cq) * (xi - cq)")).as("d"))
+      .groupBy(col("vec_id")).agg(min(col("d")).as("d"))
+      .agg(sum(col("d"))).as[Long].head()
+    assert(out.map(_._3).sum <= seedInertia,
+      s"3 Lloyd iterations (${out.map(_._3).sum}) worse than the seed assignment ($seedInertia)")
+  }
+
   test("q_ntile matches the windowed ntile(4) formulation") {
     import spark.implicits._
     val got = operators.Analytics.ntileQuartiles(spark, sf)
