@@ -369,6 +369,71 @@ object Text {
       | FROM tf t JOIN df d USING (term)) x
       |WHERE rnk <= 3""".stripMargin
 
+  /** Corpus-level collocation mining: the 100 strongest bigram
+    * collocations by PMI-style lift — the classic phrase-discovery pass a
+    * tokenizer-training pipeline runs before merging multi-word units.
+    *
+    * Score: lift = p(w1,w2) / (p(w1)·p(w2)), reported as
+    * floor(lift·1000). log(lift) (true PMI) is MONOTONE in lift, so the
+    * ranking is PMI's without pulling libm's log into the portability
+    * surface; the double multiply/divide chain is written in the same
+    * parenthesized order in both engines (counts ≤ 2⁵³ are exact doubles,
+    * IEEE ops are deterministic), so the floored BIGINT hash-matches.
+    *
+    * Scale shape: bigrams are built INSIDE the row (zip_with over the
+    * token array — no positional self-join, no shuffle to form pairs);
+    * the two count aggregations shuffle (w1,w2)/(w) keys with map-side
+    * partials; the corpus totals are single-row broadcasts; the final
+    * top-100 is TakeOrderedAndProject (no global sort materialization).
+    * min-count 5 prunes the join inputs before the unigram attach.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val ws = Tables.documents(spark, dir).select(split(col("text"), " ").as("ws"))
+    val toks = ws.select(explode(col("ws")).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val nTok = toks.agg(count(lit(1)).as("n_tokens"))
+    val bigs = ws.select(explode(expr(
+        "zip_with(slice(ws, 1, size(ws)-1), slice(ws, 2, size(ws)-1), (a, b) -> struct(a, b))")).as("bg"))
+      .select(col("bg.a").as("w1"), col("bg.b").as("w2"))
+    val big = bigs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_big"))
+      .filter(col("n_big") >= 5)
+    val nBig = bigs.agg(count(lit(1)).as("n_bigrams"))
+    big
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), "w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+      .withColumn("lift_milli", expr(
+        "cast(floor(cast(n_big as double) * cast(n_tokens as double) * cast(n_tokens as double)" +
+          " / (cast(n_bigrams as double) * cast(n_w1 as double) * cast(n_w2 as double)) * 1000.0) as bigint)"))
+      .orderBy(col("lift_milli").desc, col("w1"), col("w2"))
+      .limit(100)
+      .select(col("w1"), col("w2"), col("n_big"), col("lift_milli"))
+  }
+
+  /** DuckDB mirror of [[collocations]] — the same space tokenization,
+    * positional bigram build, min-count cut, and the IDENTICALLY
+    * parenthesized double chain for the floored lift.
+    */
+  val collocationsSql: String =
+    """WITH s AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |toks AS (SELECT unnest(ws) AS w FROM s),
+      |uni AS (SELECT w, COUNT(*) AS n_w FROM toks GROUP BY 1),
+      |nt AS (SELECT COUNT(*) AS n_tokens FROM toks),
+      |bigs AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+      |         FROM s, unnest(generate_series(1, len(ws) - 1)) t(i)),
+      |big AS (SELECT w1, w2, COUNT(*) AS n_big FROM bigs
+      |        GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      |nb AS (SELECT COUNT(*) AS n_bigrams FROM bigs)
+      |SELECT b.w1, b.w2, b.n_big,
+      |  CAST(floor(CAST(b.n_big AS DOUBLE) * CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)
+      |    / (CAST(n_bigrams AS DOUBLE) * CAST(u1.n_w AS DOUBLE) * CAST(u2.n_w AS DOUBLE)) * 1000.0) AS BIGINT) AS lift_milli
+      |FROM big b
+      |JOIN uni u1 ON b.w1 = u1.w
+      |JOIN uni u2 ON b.w2 = u2.w
+      |CROSS JOIN nt CROSS JOIN nb
+      |ORDER BY lift_milli DESC, b.w1, b.w2
+      |LIMIT 100""".stripMargin
+
   /** Intra-document repetition profile (Gopher-style repetition filters):
     * duplicate-word fraction and duplicate-2-gram fraction per document.
     * Everything is computed INSIDE the row with array functions — no
@@ -609,6 +674,7 @@ object Text {
     "text_rep" -> (repetition _),
     "text_rarity" -> (rarity _),
     "text_top_terms" -> (topTerms _),
+    "text_collocations" -> (collocations _),
     "text_stats" -> (stats _),
     "text_quality" -> (quality _),
     "text_lang_id" -> (langId _),
@@ -628,6 +694,7 @@ object Text {
     "text_bpe_tokens" -> bpeTokensSql,
     "text_rarity" -> raritySql,
     "text_top_terms" -> topTermsSql,
+    "text_collocations" -> collocationsSql,
     "text_stats" -> statsSql,
     "text_quality" -> qualitySql,
     "text_token_count" -> tokenCountSql,

@@ -70,6 +70,13 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(!p.contains("Sort "), "heap-based top-k must not sort")
   }
 
+  test("text_collocations: in-row bigrams, partial counts, top-100 via TakeOrdered") {
+    val p = planOf("text_collocations").split("== Initial Plan ==")(0)
+    assert(p.contains("zip_with"), "bigrams must form inside the row: " + p)
+    assert(p.contains("partial_count"), "count aggs need map-side partials: " + p)
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must not global-sort: " + p)
+  }
+
   test("emb_knn_graph: broadcast score stream heap-reduced before the exchange") {
     // the n×m cosine stream must never hit an Exchange un-reduced: the
     // query side broadcasts, and the partial top-k bounds what shuffles
