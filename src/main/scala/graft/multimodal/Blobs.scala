@@ -321,15 +321,70 @@ object Blobs {
       |       CAST(best.hamming AS INT) AS hamming
       |FROM d LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin
 
+  /** Resize shape — the remaining multimodal verb next to decode /
+    * feature-extract / frame-sample: aspect-fit target dims from the
+    * decoded header (longest side → 224, exact integer division) plus a
+    * THUMBNAIL FINGERPRINT — md5 over 64 stride-sampled bytes of the
+    * payload, the "did the downsample see the same pixels" check a real
+    * resize kernel would be validated against. Pure map stage over
+    * codegen'd builtins (hex window slicing — no decode, no UDF); the
+    * DuckDB mirror samples the identical hex windows, so both dims and
+    * fingerprint are hash-checked. Samples past the payload end read as
+    * empty on both engines (the frameSample convention).
+    */
+  def resize(spark: SparkSession, dir: String): DataFrame = {
+    def b(i: Int): String =
+      s"if(nb > $i, cast(conv(substring(hx, ${i * 2 + 1}, 2), 16, 10) as int), 0)"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("nb", length(col("payload")).cast("int"))
+      .withColumn("hx", hex(col("payload")))
+      .withColumn("width", expr(s"64 + ((${b(0)} * 256 + ${b(1)}) % 960)"))
+      .withColumn("height", expr(s"64 + ((${b(2)} * 256 + ${b(3)}) % 960)"))
+      .withColumn("stride", expr("greatest(nb div 64, 1)"))
+      .select(col("doc_id"), col("width"), col("height"),
+        expr("cast(width * 224 div greatest(width, height) as int)").as("out_w"),
+        expr("cast(height * 224 div greatest(width, height) as int)").as("out_h"),
+        expr("md5(concat_ws('', transform(sequence(0, 63), i -> substring(hx, i * stride * 2 + 1, 2))))")
+          .as("thumb_hash"))
+  }
+
+  /** DuckDB mirror of [[resize]] — header bytes via the [[decodeStatsSql]]
+    * hex-strpos trick, dims by the same integer divisions, and the
+    * thumbnail fingerprint over the identical 64 hex windows.
+    */
+  val resizeSql: String = {
+    def byteAt(i: Int): String =
+      s"CASE WHEN nb > $i THEN (strpos('0123456789ABCDEF', substring(hx, ${i * 2 + 1}, 1)) - 1) * 16" +
+        s" + (strpos('0123456789ABCDEF', substring(hx, ${i * 2 + 2}, 1)) - 1) ELSE 0 END"
+    s"""WITH d AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) AS nb
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, hx, nb, greatest(nb // 64, 1) AS stride,
+       |         64 + ((${byteAt(0)} * 256 + ${byteAt(1)}) % 960) AS width,
+       |         64 + ((${byteAt(2)} * 256 + ${byteAt(3)}) % 960) AS height
+       |  FROM d)
+       |SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       |  CAST(width * 224 // greatest(width, height) AS INT) AS out_w,
+       |  CAST(height * 224 // greatest(width, height) AS INT) AS out_h,
+       |  md5(list_aggregate(list_transform(generate_series(0, 63),
+       |    i -> substring(hx, i * stride * 2 + 1, 2)), 'string_agg', '')) AS thumb_hash
+       |FROM h""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_embed" -> (embedExploded _),
     "mm_decode_stats" -> (decodeStats _),
     "mm_phash" -> ((s, d) => phashDedup(s, d)),
+    "mm_resize" -> (resize _),
     "mm_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
     "mm_embed" -> embedExplodedSql,
     "mm_decode_stats" -> decodeStatsSql,
     "mm_phash" -> phashDedupSql,
+    "mm_resize" -> resizeSql,
     "mm_frame_sample" -> frameSampleSql)
 }
