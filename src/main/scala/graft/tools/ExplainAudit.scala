@@ -19,7 +19,8 @@ object ExplainAudit {
         "text_scrub_pii", "text_bpe_tokens", "doc_chunk", "dedup_minhash_lsh",
         "emb_semdedup", "dedup_incremental", "text_boilerplate", "ann_topk_lsh",
         "q_attribution", "q_events_transition", "text_perplexity", "dedup_substring",
-        "emb_pq", "text_inverted_index", "graph_pagerank")
+        "emb_pq", "text_inverted_index", "graph_pagerank",
+        "emb_knn_graph", "emb_kmeans", "text_collocations", "mm_resize")
     val spark = GraftSession.local(4)
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -11,7 +11,7 @@ import org.scalatest.BeforeAndAfterAll
 
 /** The reference's headline mode is N concurrent query streams on one
   * engine (benches/query.rs:60-76); graft.Bench times that. This spec pins
-  * the CORRECTNESS side: a mix of 11 operator families — including queries
+  * the CORRECTNESS side: a mix of operator families — including queries
   * that register temp views (q_lateral) and one with an iterative fixpoint
   * (dedup_exact_hash's window) — each run twice simultaneously on one
   * SparkSession must produce byte-identical results to its sequential run.
@@ -30,12 +30,13 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     "q1_pricing_summary", "q_topk_per_key", "q_lateral", "q_funnel",
     "text_rep", "emb_quant", "q_window_dist", "dedup_exact_hash",
     "text_scrub_pii", "text_bpe_tokens", "doc_chunk",
-    "q_attribution", "text_perplexity", "emb_pq")
+    "q_attribution", "text_perplexity", "emb_pq",
+    "emb_kmeans", "text_collocations", "mm_resize")
 
   private def run(n: String): Seq[String] =
     SparkEntry.queries(n)(spark, sf).collect().map(_.toString).sorted.toSeq
 
-  test("28 concurrent runs of 14 mixed queries match their sequential results") {
+  test("34 concurrent runs of 17 mixed queries match their sequential results") {
     val sequential = names.map(n => n -> run(n)).toMap
     val pool = Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
