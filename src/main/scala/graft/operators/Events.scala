@@ -213,6 +213,85 @@ object Events {
       |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate) t
       |WHERE rn = 1""".stripMargin
 
+  /** NEAREST as-of join — for each event, the order with the smallest
+    * |Δt| in EITHER direction (pandas merge_asof direction='nearest'),
+    * completing the backward/forward pair. Ties (equidistant past and
+    * future orders) resolve BACKWARD; within a side, the backward
+    * convention keeps the max o_orderkey and the forward one the min —
+    * both pinned in the oracle's tie-break chain.
+    *
+    * Plan: the same union-and-sweep as [[asofJoinGeneric]], with TWO
+    * window passes over ONE hash exchange on user_id (the second window
+    * re-sorts but does not re-shuffle — plan-asserted): a backward sweep
+    * (last order at-or-before) and a forward sweep (first order
+    * at-or-after), then a codegen'd row-local pick. Still no join blowup
+    * and one corpus shuffle at any scale.
+    */
+  def asofJoinNearest(spark: SparkSession, dir: String): DataFrame =
+    asofJoinNearestGeneric(Tables.events(spark, dir), Tables.orders(spark, dir))
+
+  /** Input-generic form of the nearest as-of join. */
+  def asofJoinNearestGeneric(eventsDf: DataFrame, ordersDf: DataFrame): DataFrame = {
+    val markers = ordersDf.select(
+      col("o_custkey").as("user_id"),
+      unix_micros(col("o_orderdate")).as("t_us"),
+      lit(0).as("is_event"),
+      lit(null).cast("bigint").as("event_id"),
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    val evs = eventsDf.select(
+      col("user_id"),
+      unix_micros(col("ts")).as("t_us"),
+      lit(1).as("is_event"),
+      col("event_id"),
+      lit(null).cast("bigint").as("o_orderkey"),
+      lit(null).cast("string").as("order_date"))
+    // backward: orders sort before events at equal t_us (inclusive match);
+    // among same-t orders, ascending key makes "last" = max o_orderkey
+    val back = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("is_event"), col("o_orderkey").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: events sort before orders at equal t_us so the frame
+    // [current, following] still sees same-t orders (inclusive); among
+    // same-t orders, ascending key makes "first" = min o_orderkey
+    val fwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("is_event").desc, col("o_orderkey").asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val oT = when(col("is_event") === 0, col("t_us"))
+    markers.unionAll(evs)
+      .withColumn("b_key", last(col("o_orderkey"), ignoreNulls = true).over(back))
+      .withColumn("b_date", last(col("order_date"), ignoreNulls = true).over(back))
+      .withColumn("b_t", last(oT, ignoreNulls = true).over(back))
+      .withColumn("f_key", first(col("o_orderkey"), ignoreNulls = true).over(fwd))
+      .withColumn("f_date", first(col("order_date"), ignoreNulls = true).over(fwd))
+      .withColumn("f_t", first(oT, ignoreNulls = true).over(fwd))
+      .filter(col("is_event") === 1 &&
+        (col("b_key").isNotNull || col("f_key").isNotNull))
+      .withColumn("use_back", col("b_key").isNotNull &&
+        (col("f_key").isNull || col("t_us") - col("b_t") <= col("f_t") - col("t_us")))
+      .select(col("event_id"), col("user_id"),
+        when(col("use_back"), col("b_key")).otherwise(col("f_key")).as("o_orderkey"),
+        when(col("use_back"), col("b_date")).otherwise(col("f_date")).as("order_date"),
+        when(col("use_back"), col("t_us") - col("b_t"))
+          .otherwise(col("f_t") - col("t_us")).as("delta_us"))
+  }
+
+  /** DuckDB mirror of [[asofJoinNearest]]: one window over the joined
+    * candidate set, ordered by |Δt|, then direction (backward first), then
+    * the per-direction key convention (max key backward, min key forward).
+    */
+  val asofJoinNearestSql: String =
+    """SELECT event_id, user_id, o_orderkey, order_date, delta_us FROM (
+      | SELECT e.event_id, e.user_id, o.o_orderkey,
+      |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+      |  abs(epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))) AS delta_us,
+      |  ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY
+      |    abs(epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))),
+      |    CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END,
+      |    CASE WHEN o.o_orderdate <= e.ts THEN -o.o_orderkey ELSE o.o_orderkey END) AS rn
+      | FROM events e JOIN orders o ON o.o_custkey = e.user_id) t
+      |WHERE rn = 1""".stripMargin
+
   /** JSON extraction from the props column — `get_json_object` path query
     * + typed cast, aggregated. (Semi-structured columns are first-class in
     * a log pipeline; stays codegen'd.)
@@ -475,7 +554,8 @@ object Events {
     "q_events_hourly" -> (hourlyAgg _),
     "q_events_sessionize" -> (sessionize _),
     "q_asof_join" -> (asofJoin _),
-    "q_asof_fwd" -> (asofJoinForward _))
+    "q_asof_fwd" -> (asofJoinForward _),
+    "q_asof_nearest" -> (asofJoinNearest _))
 
   val oracles: Map[String, String] = Map(
     "q_attribution" -> attributionSql,
@@ -491,5 +571,6 @@ object Events {
     "q_events_hourly" -> hourlyAggSql,
     "q_events_sessionize" -> sessionizeSql,
     "q_asof_join" -> asofJoinSql,
-    "q_asof_fwd" -> asofJoinForwardSql)
+    "q_asof_fwd" -> asofJoinForwardSql,
+    "q_asof_nearest" -> asofJoinNearestSql)
 }

@@ -68,4 +68,42 @@ class AsofEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
       11L -> 1L,  // inclusive boundary
       20L -> 3L)) // same-ts tie -> min event_id
   }
+
+  test("nearest asof join: direction pick, equidistant tie, one-sided matches") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2020-01-06 00:00:00"), 1L),  // 3d to order 10, 1d to order 11 -> fwd
+      (2L, ts("2020-01-05 00:00:00"), 2L),  // equidistant (2d back, 2d fwd) -> BACKWARD
+      (3L, ts("2020-01-01 00:00:00"), 3L),  // only a future order -> fwd
+      (4L, ts("2020-01-09 00:00:00"), 3L),  // only a past order -> back
+      (5L, ts("2020-01-09 00:00:00"), 9L))  // no orders -> dropped
+      .toDF("event_id", "ts", "user_id")
+    val orders = Seq(
+      (10L, 1L, ts("2020-01-03 00:00:00")),
+      (11L, 1L, ts("2020-01-07 00:00:00")),
+      (20L, 2L, ts("2020-01-03 00:00:00")),
+      (21L, 2L, ts("2020-01-07 00:00:00")),
+      (30L, 3L, ts("2020-01-05 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val got = Events.asofJoinNearestGeneric(events, orders)
+      .select($"event_id", $"o_orderkey", $"delta_us")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val day = 86400L * 1000000L
+    assert(got == Map(
+      1L -> ((11L, day)),      // forward is closer
+      2L -> ((20L, 2 * day)),  // equidistant -> backward
+      3L -> ((30L, 4 * day)),  // forward-only
+      4L -> ((30L, 4 * day)))) // backward-only
+  }
+
+  test("nearest asof join: one hash exchange, two window sorts") {
+    import spark.implicits._
+    val events = Seq((1L, ts("2020-01-06 00:00:00"), 1L)).toDF("event_id", "ts", "user_id")
+    val orders = Seq((10L, 1L, ts("2020-01-03 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val plan = Events.asofJoinNearestGeneric(events, orders)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges in: $plan")
+  }
 }
