@@ -90,6 +90,101 @@ object Ann {
       | FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id) t
       |WHERE rn <= 5""".stripMargin
 
+  /** IVF-routed k-NN graph — [[knnGraph]]'s corpus-scale path: instead of
+    * scoring every (query, corpus) pair, each QUERY probes its 2 nearest
+    * coarse cells and each MEMBER is indexed in its 2 nearest cells
+    * (assignment replication — the standard IVF spill that rescues
+    * boundary neighbors). The quantizer is the [[assignCentroids]]
+    * integer one — exact BIGINT distances, so cell routing is
+    * deterministic and ORACLE-REPLAYABLE, unlike a trained-model
+    * quantizer, and the WHOLE approximate path hash-checks. Candidate
+    * volume is (probes × replicas / cells) of the corpus per query
+    * (50% here — the dials are corpus-tuned in production; this testdata
+    * is 8 label cells + heavy isotropic noise, so tail neighbors are
+    * direction-random and recall is bounded by the candidate fraction:
+    * measured 0.62 @ 50% vs 0.40 without replication, DedupAnnSpec).
+    * Scoring still flows through TopKPerKey's partial pass, so only k
+    * rows per query per partition reach the exchange.
+    */
+  def knnGraphIvf(spark: SparkSession, dir: String): DataFrame = {
+    val probes = 2
+    val replicas = 2
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "dim", "v")
+      .select(col("vec_id"), col("dim"),
+        expr("cast(round(v * 1000000.0) as bigint)").as("xi"))
+    val lbl = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val cent = x.join(lbl, "vec_id")
+      .groupBy(col("label").as("c_label"), col("dim"))
+      .agg(expr("cast(floor(cast(sum(xi) as double) / count(1) + 0.5) as bigint)").as("cq"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist_sq"), col("c_label"))
+    val cells = x.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("c_label"))
+      .agg(sum(expr("(xi - cq) * (xi - cq)")).as("dist_sq"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= math.max(probes, replicas))
+      .select(col("vec_id"), col("c_label").as("cell"), col("rn"))
+      .localCheckpoint() // feeds both sides of the cell-routed join
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // a pair can meet in up to min(probes, replicas) shared cells ->
+    // dedup the slim id pairs before the vectors are attached
+    val scored = cells.filter(col("rn") <= probes)
+      .select(col("vec_id").as("query_id"), col("cell"))
+      .join(cells.filter(col("rn") <= replicas)
+        .select(col("vec_id").as("neighbor_id"), col("cell")), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+      .join(e.select(col("vec_id").as("query_id"), col("emb").as("ea")), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        native.cosineSim(col("ea"), col("eb")).as("cos"))
+    graft.operators.TopK.perKey(scored,
+        keys = Seq("query_id"),
+        order = Seq("cos" -> true, "neighbor_id" -> false),
+        k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** DuckDB replay of [[knnGraphIvf]] — the integer quantizer CTEs
+    * ([[assignCentroidsSql]] shape) with a 2-probe window, the cell-routed
+    * candidate join, and the same cosine top-5 — the ENTIRE approximate
+    * path is hash-checked, candidate routing included, because every
+    * routing decision is exact integer arithmetic.
+    */
+  val knnGraphIvfSql: String =
+    """WITH x AS MATERIALIZED (
+      |  SELECT vec_id, label, i - 1 AS dim,
+      |         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+      |c AS (
+      |  SELECT label AS c_label, dim,
+      |         CAST(floor(CAST(SUM(xi) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
+      |  FROM x GROUP BY 1, 2),
+      |d AS (
+      |  SELECT x.vec_id, c.c_label,
+      |         CAST(SUM((xi - cq) * (xi - cq)) AS BIGINT) AS dist_sq
+      |  FROM x JOIN c ON x.dim = c.dim GROUP BY 1, 2),
+      |cells AS MATERIALIZED (
+      |  SELECT vec_id, c_label AS cell, rn FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist_sq, c_label) AS rn FROM d) t
+      |  WHERE rn <= 2),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, m.vec_id AS neighbor_id
+      |  FROM cells q JOIN cells m ON m.cell = q.cell AND m.rn <= 2
+      |  WHERE m.vec_id <> q.vec_id)
+      |SELECT query_id, neighbor_id FROM (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY cand.query_id
+      |      ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC,
+      |               cand.neighbor_id) AS rn
+      |  FROM cand
+      |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+      |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id) t
+      |WHERE rn <= 5""".stripMargin
+
   /** Hyperplane values for the LSH tables: md5-derived integers in
     * [-128, 127] (byte 0 of md5("plane:t:p:d") minus 128) instead of JVM
     * Gaussians. Two reasons (round-5 → 6 upgrade):
@@ -723,6 +818,7 @@ object Ann {
     "ann_topk_ivf" -> (topkIvf _),
     "ann_topk" -> (topk _),
     "emb_knn_graph" -> (knnGraph _),
+    "emb_knn_graph_ivf" -> (knnGraphIvf _),
     "emb_kmeans" -> (kmeans _),
     "ann_topk_lsh" -> ((s, d) => topkLsh(s, d)),
     "ann_range" -> (rangeSearch _),
@@ -735,6 +831,7 @@ object Ann {
     "emb_semdedup" -> semDedupSql,
     "ann_topk" -> topkSql,
     "emb_knn_graph" -> knnGraphSql,
+    "emb_knn_graph_ivf" -> knnGraphIvfSql,
     "emb_kmeans" -> kmeansSql,
     "ann_topk_lsh" -> topkLshSql,
     "ann_range" -> rangeSearchSql,
