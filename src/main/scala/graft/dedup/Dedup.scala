@@ -469,6 +469,20 @@ object Dedup {
     * bit_count) that drops duplicates as they stream out of the band join,
     * no shuffle at any corpus size.
     */
+  /** SQL predicate keeping a band-join candidate row only in the FIRST
+    * table where the two packed signatures agree (2 bits per table, table
+    * t at bits [2t, 2t+1]): zg gets bit 2t iff the XOR's table-t group is
+    * zero, (zg & -zg) isolates the lowest such bit, and bit_count of
+    * (that-1) is its position — ctz without a ctz builtin, all codegen'd
+    * longs. Expects columns sig_a, sig_b, ta. Property-tested against a
+    * brute-force reference in PropertySpec.
+    */
+  private[graft] def firstMatchTableFilter(nTables: Int): String = {
+    val mask = (0 until nTables).map(t => 1L << (2 * t)).sum
+    "ta = CAST(bit_count((zg & -zg) - 1) / 2 AS INT)"
+      .replace("zg", s"((~(sig_a ^ sig_b)) & shiftright(~(sig_a ^ sig_b), 1) & $mask)")
+  }
+
   def embedding(spark: SparkSession, dir: String): DataFrame = {
     val nTables = 24
     val planesPerTable = 2
@@ -497,9 +511,7 @@ object Dedup {
     val cand = ba.join(bb,
         col("ta") === col("tb") && col("ka") === col("kb")
           && col("vec_a") < col("vec_b"))
-      .filter(expr(
-        "ta = CAST(bit_count((zg & -zg) - 1) / 2 AS INT)"
-          .replace("zg", "((~(sig_a ^ sig_b)) & shiftright(~(sig_a ^ sig_b), 1) & 93824992236885)")))
+      .filter(expr(firstMatchTableFilter(nTables)))
       .select(col("vec_a"), col("vec_b"))
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("emb").as("ea")), "vec_a")

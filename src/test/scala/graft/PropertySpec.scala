@@ -159,4 +159,55 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert((s.nonEmpty && ntok > 0) || (s.isEmpty && ntok == 0))
     }
   }
+
+  test("first-match LSH dedup emits each colliding pair EXACTLY once, at its lowest table") {
+    import spark.implicits._
+    val nTables = 8 // smaller than production's 24 so collisions are dense
+    val sigGen = Gen.listOfN(nTables, Gen.choose(0L, 3L))
+    locally {
+      val sigs = samples(sigGen, 60).zipWithIndex
+        .map { case (bs, id) => (id.toLong, bs) }
+      // brute-force reference: (a, b, lowest agreeing table) for a < b
+      val want = (for {
+        (a, ba) <- sigs; (b, bb) <- sigs if a < b
+        t = ba.zip(bb).indexWhere { case (x, y) => x == y } if t >= 0
+      } yield (a, b, t)).sorted
+      val rows = sigs.flatMap { case (id, bs) =>
+        val sig = bs.zipWithIndex.map { case (b, t) => b << (2 * t) }.sum
+        bs.zipWithIndex.map { case (b, t) => (id, sig, t, b) }
+      }
+      val ba = rows.toDF("vec_a", "sig_a", "ta", "ka")
+      val bb = rows.toDF("vec_b", "sig_b", "tb", "kb")
+      val got = ba.join(bb,
+          col("ta") === col("tb") && col("ka") === col("kb")
+            && col("vec_a") < col("vec_b"))
+        .filter(expr(dedup.Dedup.firstMatchTableFilter(nTables)))
+        .select(col("vec_a"), col("vec_b"), col("ta"))
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      // EXACT multiset equality: every colliding pair once, no dups, and
+      // attributed to its lowest agreeing table
+      assert(got == want, s"got ${got.size} vs want ${want.size}")
+    }
+  }
+
+  test("hooked label propagation reaches the union-find fixpoint on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(55,
+      Gen.zip(Gen.choose(0L, 39L), Gen.choose(0L, 39L))).map(_.filter(e => e._1 != e._2))
+    for (edges <- samples(edgeGen, 5) if edges.nonEmpty) {
+      // reference: plain union-find
+      val parent = Array.tabulate(40)(identity)
+      def find(v: Int): Int = { if (parent(v) != v) parent(v) = find(parent(v)); parent(v) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val want = (0 until 40).map { v =>
+        val root = find(v)
+        v.toLong -> (0 until 40).filter(find(_) == root).min.toLong
+      }.toMap
+      val verts = (0L until 40L).toDF("doc_id")
+      val edf = edges.toDF("id_a", "id_b")
+      val got = dedup.Dedup.connectedComponents(verts, edf)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"diverged on ${edges.size} edges")
+    }
+  }
 }
