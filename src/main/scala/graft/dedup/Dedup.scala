@@ -967,7 +967,51 @@ object Dedup {
       |       (len(w) - coalesce(k.n_kept, 0)) * 2 < len(w) AS keep
       |FROM d LEFT JOIN kept k USING (doc_id)""".stripMargin
 
+  /** Representative selection — the dedup ACTION the cluster map exists
+    * for: within every near-dup cluster keep exactly ONE document, the
+    * highest-quality member (the [[graft.textanalysis.Text.quality]]
+    * score; doc_id breaks ties). Emits every document with its cluster,
+    * the score, and the keep/drop verdict, so the downstream filter is
+    * `WHERE kept` — the CCNet/RefinedWeb "best exemplar" policy instead
+    * of min-id-wins. The quality expression is IEEE-identical in both
+    * engines, so the per-cluster argmax (and therefore the verdict
+    * column) is hash-exact; the per-cluster window rides the cluster_id
+    * shuffle (cluster sizes are bounded by dedup semantics — no skew
+    * risk at corpus scale).
+    */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    val cl = clusters(spark, dir)
+    val q = graft.textanalysis.Text.quality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    cl.join(q, "doc_id")
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality_score"), col("kept"))
+  }
+
+  /** DuckDB mirror of [[keepBest]] — [[clustersSql]] nested as a CTE (its
+    * recall caveat carries over) joined to the quality expression, same
+    * argmax tie-break.
+    */
+  val keepBestSql: String =
+    s"""WITH cl AS MATERIALIZED (
+       |${clustersSql}
+       |),
+       |q AS (
+       |  SELECT doc_id,
+       |    0.5*LEAST(1.0, (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)/100.0)
+       |    + 0.25*(1.0 - CAST((LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g'))) AS DOUBLE)/LENGTH(text))
+       |    + 0.25*(1.0 - CAST((LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))) AS DOUBLE)/LENGTH(text)) AS quality_score
+       |  FROM documents)
+       |SELECT cl.doc_id, cl.cluster_id, cl.cluster_size, q.quality_score,
+       |  (row_number() OVER (PARTITION BY cl.cluster_id
+       |     ORDER BY q.quality_score DESC, cl.doc_id) = 1) AS kept
+       |FROM cl JOIN q USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_keep_best" -> (keepBest _),
     "graph_pagerank" -> (pagerank _),
     "dedup_substring" -> (substringDedup _),
     "dedup_incremental" -> ((s, d) => incremental(s, d)),
@@ -990,6 +1034,7 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
     "dedup_clusters" -> clustersSql,
+    "dedup_keep_best" -> keepBestSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_incremental" -> incrementalSql)
 }

@@ -343,6 +343,22 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $got, want $want")
   }
 
+  test("dedup_keep_best: exactly one survivor per cluster, and it is the best one") {
+    import spark.implicits._
+    val out = dedup.Dedup.keepBest(spark, sf)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.values.forall(_.count(_._5) == 1),
+      "every cluster keeps exactly one doc")
+    byCluster.values.foreach { members =>
+      val kept = members.find(_._5).get
+      val best = members.maxBy(m => (m._4, -m._1))
+      assert(kept == best, s"kept $kept is not the quality argmax $best")
+    }
+    assert(out.length == Tables.documents(spark, sf).count(),
+      "verdict covers every document")
+  }
+
   test("emb_knn_graph_ivf: recall@5 vs the exact graph") {
     import spark.implicits._
     val exact = similarity.Ann.knnGraph(spark, sf)
