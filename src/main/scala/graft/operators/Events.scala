@@ -539,7 +539,53 @@ object Events {
       |       n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS p_ppm
       |FROM c""".stripMargin
 
+  /** Hourly anomaly detection per event type — the monitoring query a log
+    * pipeline runs continuously: flag hours whose event count deviates
+    * from the type's mean by more than 3σ. The z-score test is done
+    * WITHOUT sqrt or float division: (x−μ)² > 9·σ² multiplied through by
+    * n² becomes (x·n − S)² > 9·(Q·n − S²) over exact integer moments
+    * (S=Σx, Q=Σx²) — the q_stats_manual trick, so the verdict column is
+    * engine-exact. The squared terms are compared in decimal(38,0)
+    * (HUGEINT in the oracle): at production scale x·n can pass 2⁶³ long
+    * before the comparison does.
+    *
+    * Scale shape: one corpus-sized shuffle to the (type, hour) counts,
+    * then per-type moments are a TINY aggregate broadcast back onto the
+    * counts — two map-side-combined aggregations, no window over the
+    * series, no second corpus pass.
+    */
+  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      .agg(count(lit(1)).as("x"))
+    val stats = counts.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q"))
+    counts.join(broadcast(stats), "event_type")
+      .filter(expr(
+        """cast(x * n - s as decimal(38, 0)) * cast(x * n - s as decimal(38, 0))
+          |  > 9 * (cast(q as decimal(38, 0)) * n - cast(s as decimal(38, 0)) * s)""".stripMargin))
+      .select(col("event_type"), col("hour_epoch"), col("x").as("n_events"),
+        col("n").as("n_hours"), col("s").as("sum_events"))
+  }
+
+  val anomalySql: String =
+    """WITH counts AS (
+      |  SELECT event_type, CAST(epoch(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,
+      |         COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS q
+      |  FROM counts GROUP BY 1)
+      |SELECT c.event_type, c.hour_epoch, CAST(c.x AS BIGINT) AS n_events,
+      |       CAST(t.n AS BIGINT) AS n_hours, CAST(t.s AS BIGINT) AS sum_events
+      |FROM counts c JOIN stats t USING (event_type)
+      |WHERE CAST(c.x * t.n - t.s AS HUGEINT) * CAST(c.x * t.n - t.s AS HUGEINT)
+      |      > 9 * (CAST(t.q AS HUGEINT) * t.n - CAST(t.s AS HUGEINT) * t.s)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_anomaly" -> (anomaly _),
     "q_attribution" -> (attribution _),
     "q_events_transition" -> (transitions _),
     "q_gapfill" -> (gapFill _),
@@ -561,6 +607,7 @@ object Events {
     "q_attribution" -> attributionSql,
     "q_events_transition" -> transitionsSql,
     "q_gapfill" -> gapFillSql,
+    "q_events_anomaly" -> anomalySql,
     "q_funnel" -> funnelSql,
     "q_cohort" -> cohortSql,
     "q_json_extract" -> jsonExtractSql,
