@@ -117,6 +117,66 @@ object EventStreams {
 
   case class StageAdvance(user_id: Long, stage: String, at_us: Long)
 
+  case class HourMoments(curHourEpoch: Long, curCount: Long,
+      n: Long, s: Long, q: Long)
+
+  case class HourAnomaly(event_type: String, hour_epoch: Long,
+      n_events: Long, n_hours: Long)
+
+  /** Streaming 3σ anomaly detection — the incremental mirror of batch
+    * `Events.anomaly`: per event type, maintain exact integer moments
+    * (n, S=Σx, Q=Σx²) over COMPLETED hours and, the moment a later event
+    * closes an hour bucket, test its count with the same sqrt-free
+    * integer inequality (x·n−S)² > 9·(Q·n−S²) (BigInt, so no magnitude
+    * ceiling) against the moments accumulated so far — an alert fires one
+    * event after the hour ends, not next nightly batch.
+    *
+    * State is ONE tiny record per event type (current bucket + three
+    * moments), keyed by type — the state store is bounded by the type
+    * cardinality forever, no timeout needed. Within a micro-batch rows
+    * sort by event time so buckets close in order; cross-batch lateness
+    * is bounded by the watermark (an event older than the closed bucket
+    * is dropped, the streaming trade the batch op doesn't have). Hours
+    * with zero events contribute nothing to the moments (observed-hours
+    * statistics, matching the batch op).
+    */
+  def anomalyStream(events: Dataset[Event], minHours: Int = 4): Dataset[HourAnomaly] = {
+    import events.sparkSession.implicits._
+
+    def step(tpe: String, rows: Iterator[Event],
+        state: GroupState[HourMoments]): Iterator[HourAnomaly] = {
+      val out = scala.collection.mutable.ListBuffer[HourAnomaly]()
+      var st = state.getOption.getOrElse(HourMoments(-1L, 0L, 0L, 0L, 0L))
+      def close(): Unit = {
+        val x = st.curCount
+        if (st.n >= minHours) {
+          val lhs = (BigInt(x) * st.n - st.s).pow(2)
+          val rhs = BigInt(9) * (BigInt(st.q) * st.n - BigInt(st.s) * st.s)
+          if (lhs > rhs) out += HourAnomaly(tpe, st.curHourEpoch, x, st.n)
+        }
+        st = HourMoments(-1L, 0L, st.n + 1, st.s + x, st.q + x * x)
+      }
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val hourEpoch = (e.ts.getTime / 3600000L) * 3600L
+        if (st.curHourEpoch < 0)
+          st = st.copy(curHourEpoch = hourEpoch, curCount = 1L)
+        else if (hourEpoch == st.curHourEpoch)
+          st = st.copy(curCount = st.curCount + 1L)
+        else if (hourEpoch > st.curHourEpoch) {
+          close()
+          st = st.copy(curHourEpoch = hourEpoch, curCount = 1L)
+        } // else: older than the closed bucket -> watermark-bounded drop
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(step)
+  }
+
   /** Stateful streaming funnel via flatMapGroupsWithState — the incremental
     * mirror of batch `Events.funnel`: per user, the first view opens the
     * funnel, the first click within 24h of that view advances it, the first

@@ -282,4 +282,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == want, s"got $got")
     } finally q.stop()
   }
+
+  test("streaming anomaly flags the burst hour and only it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.anomalyStream(input.toDS())
+      .writeStream.format("memory").queryName("anomaly").outputMode("append").start()
+    try {
+      // 6 steady hours of 2 events each for type "a"
+      var id = 0L
+      def ev(hour: Long, minute: Long): Event = {
+        id += 1; Event(id, ts(hour * 60 + minute), 1, "a", 1.0)
+      }
+      input.addData((0L until 6L).flatMap(h => Seq(ev(h, 5), ev(h, 35))): _*)
+      q.processAllAvailable()
+      // hour 6 bursts to 14 events; hour 7 closes it
+      input.addData((0L until 14L).map(m => ev(6, m)): _*)
+      input.addData(ev(7, 5), ev(7, 35))
+      q.processAllAvailable()
+      val got = spark.table("anomaly").as[EventStreams.HourAnomaly]
+        .collect().map(a => (a.event_type, a.hour_epoch, a.n_events, a.n_hours)).toSet
+      // bucket epoch of test-hour h: (86400000 ms + h*3600000 ms) / 1000
+      val burstEpoch = 86400L + 6L * 3600L
+      // the burst hour closes against moments over hours 0-5 (n=6, all 2s):
+      // (14*6 - 12)^2 = 5184 > 9*(24*6 - 144) = 0 -> flagged; steady hours
+      // never deviate (x=2=mean, lhs=0) and the in-flight hour 7 stays open
+      assert(got == Set(("a", burstEpoch, 14L, 6L)), s"got $got")
+    } finally q.stop()
+  }
 }
