@@ -570,9 +570,13 @@ object Dedup {
 
   private[graft] def connectedComponentsWithRounds(
       vertices: DataFrame, edges: DataFrame, maxRounds: Int = 20): (DataFrame, Int) = {
+    // NO distinct: duplicate or self-loop edges cannot change a min
+    // aggregation (min over a multiset = min over its set), so dedup'ing
+    // the bidirectional edge list would only add a full-edge-set shuffle —
+    // the largest shuffle this routine would have at corpus scale. Both
+    // production callers already feed unique a<b pairs anyway.
     val bidir = edges.select(col("id_a"), col("id_b"))
       .unionAll(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .distinct()
       .localCheckpoint()
     // One round, Shiloach–Vishkin-shaped: (1) PROPAGATE — take the min of
     // self and neighbors' labels; (2) HOOK — every vertex reports its new
