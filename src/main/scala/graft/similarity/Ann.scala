@@ -811,7 +811,69 @@ object Ann {
       |    ORDER BY l2_dist, neighbor_id) AS rank FROM rerank) t
       |WHERE rank <= 3""".stripMargin
 
+  /** Embedding outlier detection — flag vectors whose squared distance to
+    * their OWN label's centroid deviates from that label's mean by more
+    * than 3σ: the mislabeled/noise-vector screen a curation pipeline runs
+    * before training on labeled embeddings. Distances are the exact
+    * integer [[assignCentroids]] BIGINTs; the z-score test reuses the
+    * q_events_anomaly trick — (d·n − S)² > 9·(Q·n − S²) over integer
+    * moments, no sqrt, compared in decimal(38,0)/HUGEINT (d² reaches
+    * ~2⁹⁶ here, far past long). Per-label moments are a k-row broadcast;
+    * one corpus-shaped aggregation each side — no window over the corpus.
+    */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "label", "dim", "v")
+      .select(col("vec_id"), col("label"), col("dim"),
+        expr("cast(round(v * 1000000.0) as bigint)").as("xi"))
+    val cent = x.groupBy(col("label").as("c_label"), col("dim"))
+      .agg(expr("cast(floor(cast(sum(xi) as double) / count(1) + 0.5) as bigint)").as("cq"))
+    val dists = x.join(broadcast(cent),
+        col("label") === col("c_label") && x("dim") === cent("dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(expr("(xi - cq) * (xi - cq)")).as("d"))
+    val stats = dists.groupBy(col("label").as("s_label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d").cast("decimal(38,0)")).as("s"),
+        sum(expr("cast(d as decimal(38,0)) * cast(d as decimal(38,0))")).as("q"))
+    dists.join(broadcast(stats), col("label") === col("s_label"))
+      .filter(expr(
+        """(cast(d as decimal(38,0)) * n - s) * (cast(d as decimal(38,0)) * n - s)
+          |  > 9 * (q * n - s * s)""".stripMargin))
+      .select(col("vec_id"), col("label"), col("d").as("dist_sq"), col("n").as("n_label"))
+  }
+
+  /** DuckDB replay of [[outliers]] — the integer-distance CTEs with the
+    * same HUGEINT moment inequality.
+    */
+  val outliersSql: String =
+    """WITH x AS MATERIALIZED (
+      |  SELECT vec_id, label, i - 1 AS dim,
+      |         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+      |c AS (
+      |  SELECT label AS c_label, dim,
+      |         CAST(floor(CAST(SUM(xi) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
+      |  FROM x GROUP BY 1, 2),
+      |dists AS (
+      |  SELECT x.vec_id, x.label, CAST(SUM((xi - cq) * (xi - cq)) AS BIGINT) AS d
+      |  FROM x JOIN c ON x.label = c.c_label AND x.dim = c.dim
+      |  GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT label AS s_label, COUNT(*) AS n,
+      |         CAST(SUM(d) AS HUGEINT) AS s,
+      |         CAST(SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS HUGEINT) AS q
+      |  FROM dists GROUP BY 1)
+      |SELECT dists.vec_id, dists.label, dists.d AS dist_sq,
+      |       CAST(t.n AS BIGINT) AS n_label
+      |FROM dists JOIN stats t ON dists.label = t.s_label
+      |WHERE (CAST(d AS HUGEINT) * n - s) * (CAST(d AS HUGEINT) * n - s)
+      |      > 9 * (q * n - s * s)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_outliers" -> (outliers _),
     "emb_pq" -> (pq _),
     "emb_semdedup" -> ((s, d) => semDedup(s, d)),
     "emb_assign" -> (assignCentroids _),
@@ -831,6 +893,7 @@ object Ann {
     "emb_semdedup" -> semDedupSql,
     "ann_topk" -> topkSql,
     "emb_knn_graph" -> knnGraphSql,
+    "emb_outliers" -> outliersSql,
     "emb_knn_graph_ivf" -> knnGraphIvfSql,
     "emb_kmeans" -> kmeansSql,
     "ann_topk_lsh" -> topkLshSql,
