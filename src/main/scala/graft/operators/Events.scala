@@ -536,7 +536,7 @@ object Events {
       |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
       |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
       |SELECT from_type, to_type, n,
-      |       n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS p_ppm
+      |       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
       |FROM c""".stripMargin
 
   /** Hourly anomaly detection per event type — the monitoring query a log
@@ -545,9 +545,10 @@ object Events {
     * WITHOUT sqrt or float division: (x−μ)² > 9·σ² multiplied through by
     * n² becomes (x·n − S)² > 9·(Q·n − S²) over exact integer moments
     * (S=Σx, Q=Σx²) — the q_stats_manual trick, so the verdict column is
-    * engine-exact. The squared terms are compared in decimal(38,0)
-    * (HUGEINT in the oracle): at production scale x·n can pass 2⁶³ long
-    * before the comparison does.
+    * engine-exact. x is widened to decimal(38,0) BEFORE the x·n product
+    * (HUGEINT in the oracle), so every multiply happens in 128-bit: at
+    * production scale x·n can pass 2⁶³ long before the comparison does,
+    * and a BIGINT product would wrap silently where DuckDB raises.
     *
     * Scale shape: one corpus-sized shuffle to the (type, hour) counts,
     * then per-type moments are a TINY aggregate broadcast back onto the
@@ -564,7 +565,7 @@ object Events {
         sum(col("x") * col("x")).as("q"))
     counts.join(broadcast(stats), "event_type")
       .filter(expr(
-        """cast(x * n - s as decimal(38, 0)) * cast(x * n - s as decimal(38, 0))
+        """(cast(x as decimal(38, 0)) * n - s) * (cast(x as decimal(38, 0)) * n - s)
           |  > 9 * (cast(q as decimal(38, 0)) * n - cast(s as decimal(38, 0)) * s)""".stripMargin))
       .select(col("event_type"), col("hour_epoch"), col("x").as("n_events"),
         col("n").as("n_hours"), col("s").as("sum_events"))
@@ -581,7 +582,7 @@ object Events {
       |SELECT c.event_type, c.hour_epoch, CAST(c.x AS BIGINT) AS n_events,
       |       CAST(t.n AS BIGINT) AS n_hours, CAST(t.s AS BIGINT) AS sum_events
       |FROM counts c JOIN stats t USING (event_type)
-      |WHERE CAST(c.x * t.n - t.s AS HUGEINT) * CAST(c.x * t.n - t.s AS HUGEINT)
+      |WHERE (CAST(c.x AS HUGEINT) * t.n - t.s) * (CAST(c.x AS HUGEINT) * t.n - t.s)
       |      > 9 * (CAST(t.q AS HUGEINT) * t.n - CAST(t.s AS HUGEINT) * t.s)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

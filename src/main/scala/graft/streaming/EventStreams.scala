@@ -117,8 +117,14 @@ object EventStreams {
 
   case class StageAdvance(user_id: Long, stage: String, at_us: Long)
 
+  /** q (Σx²) is a BigInt kept as its decimal string: x·x overflows Long
+    * once an hour holds ≳3·10⁹ events and Q accumulates across hours, so
+    * the second moment needs true 128-bit+ state. n and s stay Long —
+    * their ceilings (2⁶³ observed hours / total events per type) are
+    * beyond any real stream.
+    */
   case class HourMoments(curHourEpoch: Long, curCount: Long,
-      n: Long, s: Long, q: Long)
+      n: Long, s: Long, q: String)
 
   case class HourAnomaly(event_type: String, hour_epoch: Long,
       n_events: Long, n_hours: Long)
@@ -127,9 +133,10 @@ object EventStreams {
     * `Events.anomaly`: per event type, maintain exact integer moments
     * (n, S=Σx, Q=Σx²) over COMPLETED hours and, the moment a later event
     * closes an hour bucket, test its count with the same sqrt-free
-    * integer inequality (x·n−S)² > 9·(Q·n−S²) (BigInt, so no magnitude
-    * ceiling) against the moments accumulated so far — an alert fires one
-    * event after the hour ends, not next nightly batch.
+    * integer inequality (x·n−S)² > 9·(Q·n−S²) in BigInt — Q is STORED as
+    * a BigInt (decimal string in state), so neither the x·x accumulation
+    * nor the test has a magnitude ceiling — an alert fires one event
+    * after the hour ends, not next nightly batch.
     *
     * State is ONE tiny record per event type (current bucket + three
     * moments), keyed by type — the state store is bounded by the type
@@ -146,15 +153,17 @@ object EventStreams {
     def step(tpe: String, rows: Iterator[Event],
         state: GroupState[HourMoments]): Iterator[HourAnomaly] = {
       val out = scala.collection.mutable.ListBuffer[HourAnomaly]()
-      var st = state.getOption.getOrElse(HourMoments(-1L, 0L, 0L, 0L, 0L))
+      var st = state.getOption.getOrElse(HourMoments(-1L, 0L, 0L, 0L, "0"))
       def close(): Unit = {
         val x = st.curCount
+        val qB = BigInt(st.q)
         if (st.n >= minHours) {
           val lhs = (BigInt(x) * st.n - st.s).pow(2)
-          val rhs = BigInt(9) * (BigInt(st.q) * st.n - BigInt(st.s) * st.s)
+          val rhs = BigInt(9) * (qB * st.n - BigInt(st.s) * st.s)
           if (lhs > rhs) out += HourAnomaly(tpe, st.curHourEpoch, x, st.n)
         }
-        st = HourMoments(-1L, 0L, st.n + 1, st.s + x, st.q + x * x)
+        st = HourMoments(-1L, 0L, st.n + 1, st.s + x,
+          (qB + BigInt(x) * BigInt(x)).toString)
       }
       rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
         val hourEpoch = (e.ts.getTime / 3600000L) * 3600L

@@ -14,6 +14,8 @@ import sys
 import duckdb
 import pandas as pd
 import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -25,6 +27,39 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def norm_type(t: pa.DataType) -> str:
+    """Canonical type label, calibrated to the driver's hash (r6 evidence):
+    int32 vs int64 passed the driver, int64 vs HUGEINT (arrow decimal128)
+    failed — so widths within a kind collapse, but KIND changes (int vs
+    float vs decimal vs string, e.g. DuckDB SUM/AVG widening) stay visible."""
+    if pa.types.is_dictionary(t):
+        return norm_type(t.value_type)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{norm_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct<" + ",".join(
+            f"{f.name}:{norm_type(f.type)}" for f in t) + ">"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    return str(t)
+
+
+def schema_types(schema: pa.Schema) -> dict:
+    return {f.name: norm_type(f.type) for f in schema}
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -40,15 +75,25 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: no spark output")
             n_bad += 1
             continue
+        spark_types = schema_types(pq.read_schema(files[0]))
         got = canon(pd.concat([pd.read_parquet(f) for f in files]))
         try:
-            want = canon(con.execute(sql).fetchdf())
+            want_tbl = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_bad += 1
             continue
+        duck_types = schema_types(want_tbl.schema)
+        want = canon(want_tbl.to_pandas())
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_bad += 1
+            continue
+        type_bad = [c for c in got.columns if spark_types[c] != duck_types[c]]
+        if type_bad:
+            detail = ", ".join(
+                f"{c}: spark={spark_types[c]} duck={duck_types[c]}" for c in type_bad)
+            print(f"FAIL {name}: type mismatch ({detail})")
             n_bad += 1
             continue
         if len(got) != len(want):
