@@ -17,14 +17,6 @@ import graft.functions.native
   */
 object Ann {
 
-  /** IVF coarse-quantizer fit-sample target (absolute rows, NOT a
-    * fraction): the KMeans fit cost is bounded by this constant at any
-    * corpus size — ~625 rows per cell at k=16, far more than centroid
-    * placement needs. Pinned by a DedupAnnSpec test so a regression back
-    * to fraction-based sampling is caught.
-    */
-  private[graft] val FitSampleRows: Long = 10000L
-
   /** Exact top-5 cosine neighbors for each query vector (vec_id < 20),
     * ranked with a unique tie-break. The query side is broadcast; the
     * candidate side streams — one pass over the corpus regardless of scale.
@@ -302,60 +294,94 @@ object Ann {
       |  JOIN embeddings c ON c.vec_id = cand.neighbor_id)
       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3""".stripMargin
 
-  /** IVF-style ANN: a coarse quantizer (MLlib KMeans, fixed seed) assigns
-    * every vector to one of 16 cells; a query probes its `nProbe` nearest
-    * cells (multi-probe — the standard IVF recall dial; nProbe=6 measures
-    * recall@3 ≥ 0.7 on this corpus in DedupAnnSpec). The inverted-file
-    * layout is the persistable scale path (partition or bucket the corpus
-    * by cell id); the centroid table is tiny and rides along as a literal.
-    * Model values are engine/partitioning-specific → rows-only check.
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its
+    * nearest cells; a query probes its `nProbe` nearest cells and each
+    * member is indexed in its `replicas` nearest (multi-probe +
+    * assignment replication — the two standard IVF recall dials; the pair
+    * measures recall@3 ≥ 0.7 on this corpus in DedupAnnSpec). The
+    * inverted-file layout is the persistable scale path (partition or
+    * bucket the corpus by cell id); the centroid table is tiny and
+    * broadcast. Round-7 upgrade: the quantizer is the [[assignCentroids]]
+    * deterministic integer one (exact BIGINT distances over round(x·1e6)
+    * coordinates) instead of a sampled MLlib KMeans fit, so every routing
+    * decision replays in the oracle and the WHOLE approximate path
+    * hash-checks — the same swap that made [[knnGraphIvf]] checkable.
+    * (Label-seeded cells are a stand-in for trained centroids; the
+    * routing/probing shape — the part that must scale — is identical, and
+    * the centroid aggregation is one bounded map-side-combined pass,
+    * cheaper than the KMeans fit it replaces.)
     */
   def topkIvf(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val k = 16
-    val nProbe = 6
+    val nProbe = 3
+    val replicas = 2
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "dim", "v")
+      .select(col("vec_id"), col("dim"),
+        expr("cast(round(v * 1000000.0) as bigint)").as("xi"))
+    val lbl = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val cent = x.join(lbl, "vec_id")
+      .groupBy(col("label").as("c_label"), col("dim"))
+      .agg(expr("cast(floor(cast(sum(xi) as double) / count(1) + 0.5) as bigint)").as("cq"))
+    val cw = Window.partitionBy(col("vec_id")).orderBy(col("dist_sq"), col("c_label"))
+    val cells = x.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("c_label"))
+      .agg(sum(expr("(xi - cq) * (xi - cq)")).as("dist_sq"))
+      .withColumn("rn", row_number().over(cw))
+      .filter(col("rn") <= math.max(nProbe, replicas))
+      .select(col("vec_id"), col("c_label").as("cell"), col("rn"))
+      .localCheckpoint() // feeds both sides of the cell-routed join
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("features", array_to_vector(col("emb")))
-    // The quantizer fits on an ABSOLUTE-SIZE sample (round-4 verdict): a
-    // fraction-based sample still scales linearly with the corpus — 10
-    // KMeans iterations over half of 100 TB is not a bounded fit. The
-    // fraction is derived from a target row count (FitSampleRows) so the
-    // fit cost is CONSTANT in corpus size; recall@3 vs exact is
-    // re-asserted in DedupAnnSpec. The count() is one metadata-cheap pass.
-    // Cache scoped to the fit only: unpersist immediately after so no
-    // blocks leak into the shared session.
-    val corpusRows = e.count()
-    val fitFraction = math.min(1.0, FitSampleRows.toDouble / math.max(corpusRows, 1L))
-    val fitInput = e.sample(withReplacement = false, fraction = fitFraction, seed = 42L)
-    fitInput.persist()
-    val model = try new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(fitInput)
-      finally fitInput.unpersist(blocking = false)
-    val centroids: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
-    val cells = model.transform(e).select(col("vec_id"), col("emb"), col("prediction").as("cell"))
-    // multi-probe: rank the query's distance to every centroid (k rows per
-    // query — driver-free, the centroid list is a broadcast-sized literal)
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
-    val q = cells.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("emb").as("ea"))
-      .withColumn("cents", typedlit(centroids))
-      .withColumn("pc", explode(expr(
-        s"""transform(sequence(0, ${k - 1}), c -> named_struct('cell', c,
-           | 'dist', aggregate(zip_with(ea, cents[c], (x, y) -> (x-y)*(x-y)),
-           |   cast(0 as double), (a, x) -> a + x)))""".stripMargin)))
-      .select(col("query_id"), col("ea"), col("pc.cell").as("cell"), col("pc.dist").as("dist"))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("ea"), col("cell"))
-    val c = cells.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"), col("cell"))
+    val cand = cells.filter(col("vec_id") < 20 && col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+      .join(cells.filter(col("rn") <= replicas)
+        .select(col("vec_id").as("neighbor_id"), col("cell")), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(c, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+    cand
+      .join(e.select(col("vec_id").as("query_id"), col("emb").as("ea")), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb")), "neighbor_id")
       .withColumn("cos", native.cosineSim(col("ea"), col("eb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+
+  /** DuckDB replay of [[topkIvf]] — integer-quantizer CTEs, 3-probe query
+    * routing, 2-replica member indexing, exact cosine top-3 re-rank. */
+  val topkIvfSql: String =
+    """WITH x AS MATERIALIZED (
+      |  SELECT vec_id, label, i - 1 AS dim,
+      |         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+      |c AS (
+      |  SELECT label AS c_label, dim,
+      |         CAST(floor(CAST(SUM(xi) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
+      |  FROM x GROUP BY 1, 2),
+      |d AS (
+      |  SELECT x.vec_id, c.c_label,
+      |         CAST(SUM((xi - cq) * (xi - cq)) AS BIGINT) AS dist_sq
+      |  FROM x JOIN c ON x.dim = c.dim GROUP BY 1, 2),
+      |cells AS MATERIALIZED (
+      |  SELECT vec_id, c_label AS cell, rn FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist_sq, c_label) AS rn FROM d) t
+      |  WHERE rn <= 3),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, m.vec_id AS neighbor_id
+      |  FROM cells q JOIN cells m ON m.cell = q.cell AND m.rn <= 2
+      |  WHERE q.vec_id < 20 AND q.rn <= 3 AND m.vec_id <> q.vec_id)
+      |SELECT query_id, neighbor_id, rank FROM (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY cand.query_id
+      |      ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC,
+      |               cand.neighbor_id) AS rank
+      |  FROM cand
+      |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+      |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id) t
+      |WHERE rank <= 3""".stripMargin
 
   /** Per-label centroid of the embedding space — the class-prototype
     * aggregation behind clustering seeds, label quality audits, and
@@ -888,6 +914,7 @@ object Ann {
     "emb_centroids" -> (labelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "ann_topk_ivf" -> topkIvfSql,
     "emb_pq" -> pqSql,
     "emb_assign" -> assignCentroidsSql,
     "emb_semdedup" -> semDedupSql,

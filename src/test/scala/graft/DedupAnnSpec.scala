@@ -187,14 +187,6 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all == 53)
   }
 
-  test("IVF fit sample is capped by absolute rows, not a fraction") {
-    // The pin: a regression back to fraction-based sampling makes the
-    // KMeans fit cost scale with the corpus (10 iterations over 50 TB at
-    // target scale — round-4 verdict item 3). 10k rows ≈ 625 per cell at
-    // k=16, far beyond what centroid placement needs.
-    assert(similarity.Ann.FitSampleRows == 10000L)
-  }
-
   test("shingles survive sub-3-word docs under ANSI mode (degenerate shingle, no throw)") {
     // Spark 4 defaults spark.sql.ansi.enabled=true, where words[i] on an
     // out-of-range index THROWS — withShingles must use try_element_at so
