@@ -96,11 +96,50 @@ object Ann {
     * direction-random and recall is bounded by the candidate fraction:
     * measured 0.62 @ 50% vs 0.40 without replication, DedupAnnSpec).
     * Scoring still flows through TopKPerKey's partial pass, so only k
-    * rows per query per partition reach the exchange.
+    * rows per query per partition reach the exchange. Member lists are
+    * guarded by [[capCells]] (round-7): a power-law hot cell is trimmed
+    * to its `maxCell` centroid-closest members instead of going quadratic
+    * — the default cap never binds at test SF, so the oracle replay is
+    * unaffected (skew fixture in DedupAnnSpec proves the binding case).
     */
-  def knnGraphIvf(spark: SparkSession, dir: String): DataFrame = {
-    val probes = 2
-    val replicas = 2
+  /** Hot-cell guard for IVF member lists (round-7 — capBuckets' IVF
+    * analog): real embedding corpora cluster power-law, so one coarse
+    * cell can hold a large share of the corpus and the cell-routed
+    * candidate join goes quadratic in that cell. Unlike a degenerate LSH
+    * bucket, a hot IVF cell IS signal, so it is TRIMMED, not dropped: the
+    * `maxCell` members CLOSEST to the centroid keep representing it
+    * (boundary members usually carry a replica in their second cell),
+    * selected by exact integer (dist_sq, vec_id) so the trim is
+    * deterministic and engine-replayable. Cold cells pass through a
+    * broadcast anti-join untouched (hot cells are rare by definition);
+    * the hot slice reduces through TopKPerKey's PARTIAL pass — ≤ maxCell
+    * rows per cell per partition reach the exchange — so no single-task
+    * window sort ever materializes a corpus-sized cell. `observe`
+    * attaches trimmed-row / hot-cell counters to the plan itself (read
+    * them via QueryExecutionListener; zero extra passes beyond the slim
+    * size aggregate that the hot-cell test needs anyway).
+    */
+  private[graft] def capCells(members: DataFrame, maxCell: Int,
+      metricName: String): DataFrame = {
+    val hot = members.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+      .observe(metricName,
+        sum(when(col("csz") > maxCell, col("csz") - maxCell).otherwise(0L)).as("trimmed_rows"),
+        sum(when(col("csz") > maxCell, 1L).otherwise(0L)).as("hot_cells"))
+      .filter(col("csz") > maxCell)
+      .select(col("cell"))
+    val kept = graft.operators.TopK.perKey(
+      members.join(broadcast(hot), Seq("cell")),
+      keys = Seq("cell"),
+      order = Seq("dist_sq" -> false, "vec_id" -> false),
+      k = maxCell)
+    members.join(broadcast(hot), Seq("cell"), "left_anti").unionByName(kept)
+  }
+
+  def knnGraphIvf(spark: SparkSession, dir: String): DataFrame =
+    knnGraphIvfTuned(spark, dir, probes = 2, replicas = 2, maxCell = 100000)
+
+  private[graft] def knnGraphIvfTuned(spark: SparkSession, dir: String,
+      probes: Int, replicas: Int, maxCell: Int): DataFrame = {
     val x = Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
       .toDF("vec_id", "dim", "v")
@@ -116,15 +155,17 @@ object Ann {
       .agg(sum(expr("(xi - cq) * (xi - cq)")).as("dist_sq"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= math.max(probes, replicas))
-      .select(col("vec_id"), col("c_label").as("cell"), col("rn"))
+      .select(col("vec_id"), col("c_label").as("cell"), col("rn"), col("dist_sq"))
       .localCheckpoint() // feeds both sides of the cell-routed join
+    val members = capCells(cells.filter(col("rn") <= replicas),
+      maxCell, "ivf_cell_cap")
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     // a pair can meet in up to min(probes, replicas) shared cells ->
     // dedup the slim id pairs before the vectors are attached
     val scored = cells.filter(col("rn") <= probes)
       .select(col("vec_id").as("query_id"), col("cell"))
-      .join(cells.filter(col("rn") <= replicas)
+      .join(members
         .select(col("vec_id").as("neighbor_id"), col("cell")), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()

@@ -187,6 +187,32 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all == 53)
   }
 
+  test("IVF hot-cell cap trims a skewed cell to its centroid-closest members") {
+    import spark.implicits._
+    // power-law fixture: cell 0 holds 30% of all vectors, 7 cold cells
+    // share the rest evenly — the shape that makes a cell-routed join
+    // quadratic without the cap
+    val members = (1L to 1000L).map { v =>
+      val cell = if (v <= 300) 0L else 1L + v % 7
+      (v, cell, v * 10L, 1)
+    }.toDF("vec_id", "cell", "dist_sq", "rn")
+    val capped = similarity.Ann.capCells(members, maxCell = 150, "test_ivf_cap")
+    val byCell = capped.groupBy("cell").count().as[(Long, Long)].collect().toMap
+    assert(byCell(0L) == 150L, s"hot cell must trim to maxCell: $byCell")
+    (1L to 7L).foreach(c => assert(byCell(c) == 100L,
+      s"cold cell $c must pass through untouched: $byCell"))
+    // the survivors are the centroid-CLOSEST members (exact integer order)
+    val keptHot = capped.filter($"cell" === 0L).select("vec_id").as[Long].collect().toSet
+    assert(keptHot == (1L to 150L).toSet, s"must keep smallest dist_sq: $keptHot")
+    // the trim reduces via TopKPerKey's partial pass — never a
+    // corpus-sized single-partition window sort
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), "hot slice must reduce through TopKPerKey")
+    assert(!plan.contains("Window"), "no window sort in the cap path")
+    // a generous cap is the identity (the committed knnGraphIvf default)
+    assert(similarity.Ann.capCells(members, 100000, "test_ivf_cap2").count() == 1000L)
+  }
+
   test("shingles survive sub-3-word docs under ANSI mode (degenerate shingle, no throw)") {
     // Spark 4 defaults spark.sql.ansi.enabled=true, where words[i] on an
     // out-of-range index THROWS — withShingles must use try_element_at so
