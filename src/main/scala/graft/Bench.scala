@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 
@@ -33,6 +34,8 @@ object Bench {
   private val MaxSamples = 6
   private val ConcurrentStreams = 12
   private val ScanIterations = 5
+  private val StreamRows = 100000
+  private val StreamChunks = 10
 
   /** One query's bench outcome: min/stddev come from `timings`, `attempts`
     * is the true sample count (adaptive), `error` is the first throw seen
@@ -207,7 +210,8 @@ object Bench {
     * numbers; FailureHonestySpec pins the budget against the live query set).
     */
   def stdoutLine(ok: Seq[QueryResult], failed: Seq[String], flaky: Seq[String],
-      cc: String, tp: String, sfDir: String, suspect: Boolean = false): String = {
+      cc: String, tp: String, sfDir: String, suspect: Boolean = false,
+      streaming: String = "{}"): String = {
     val headlineQs = jmap(
       Headline.flatMap(n => ok.find(_.name == n)).map(r => r.name -> jcompact(r.timings.min)))
     jmap(Seq(
@@ -221,8 +225,58 @@ object Bench {
       "suspect_noise" -> suspect.toString,
       s"concurrent_x$ConcurrentStreams" -> cc,
       "throughput" -> tp,
+      "streaming" -> streaming,
       "detail" -> jstr("bench_detail.json"),
       "sf" -> jstr(sfDir)))
+  }
+
+  /** Streaming throughput (round-7 verdict item 7): rows/s + end-to-end
+    * seconds for the sessionize and 3σ-anomaly mirrors, fed the REAL
+    * events table through MemoryStream in [[StreamChunks]] micro-batch
+    * chunks. e2e includes query start-up (state-store init, codegen) —
+    * that IS the latency a restart pays, and it's constant round-over-
+    * round, which is what regression tracking needs. A throwing stream
+    * reports -1 and never takes down the batch bench.
+    */
+  private[graft] def streamingBench(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows =
+      try Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .limit(StreamRows).as[EventStreams.Event].collect()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming input FAILED: ${e.getMessage}")
+        Array.empty[EventStreams.Event]
+      }
+    def run(mk: org.apache.spark.sql.Dataset[EventStreams.Event] =>
+        org.apache.spark.sql.Dataset[_]): Double = {
+      if (rows.isEmpty) return -1.0
+      try {
+        val ms = MemoryStream[EventStreams.Event]
+        val q = mk(ms.toDS()).writeStream.format("noop").outputMode("append").start()
+        val t0 = System.nanoTime()
+        rows.grouped(rows.length / StreamChunks + 1).foreach(ch => ms.addData(ch))
+        q.processAllAvailable()
+        val t = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        t
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        -1.0
+      }
+    }
+    val sessT = run(ds => EventStreams.sessionize(ds))
+    val anomT = run(ds => EventStreams.anomalyStream(ds))
+    def rps(t: Double): String = if (t <= 0) "-1" else f"${rows.length / t}%.0f"
+    jmap(Seq(
+      "rows" -> rows.length.toString,
+      "sessionize_rows_per_sec" -> rps(sessT),
+      "sessionize_sec" -> jcompact(sessT),
+      "anomaly_rows_per_sec" -> rps(anomT),
+      "anomaly_sec" -> jcompact(anomT)))
   }
 
   private def jnum(d: Double): String = if (d.isNaN || d.isInfinite) "0" else d.toString
@@ -274,6 +328,10 @@ object Bench {
     val scanTimes = (1 to ScanIterations).flatMap(_ => runOnceMain("ref_full_scan").toOption)
     val rowsPerSec = if (scanTimes.isEmpty) 0.0 else scanRows / scanTimes.min
 
+    // streaming section runs before the concurrent bursts for the same
+    // heap-pressure reason as the scan throughput above
+    val st = streamingBench(spark, sfDir)
+
     // concurrent streams of the reference's own three plans (pool must be
     // shut down afterwards or its non-daemon threads pin the JVM open)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(ConcurrentStreams)
@@ -323,13 +381,14 @@ object Bench {
       "flaky" -> jmap(flaky.map(r => r.name -> jstr(r.error.get))),
       s"concurrent_x$ConcurrentStreams" -> cc,
       "throughput" -> tp,
+      "streaming" -> st,
       "retimed" -> jarr(retimedNames),
       "sf" -> jstr(sfDir),
       "cpus" -> cpus))
     java.nio.file.Files.writeString(detailPath, detail + "\n")
 
     val suspect = suspectNoise(ok.map(r => r.name -> r.timings.min).toMap, committed)
-    println(stdoutLine(ok, failed.map(_.name), flaky.map(_.name), cc, tp, sfDir, suspect))
+    println(stdoutLine(ok, failed.map(_.name), flaky.map(_.name), cc, tp, sfDir, suspect, st))
     Console.out.flush()
     // shutdown logs route through sbt's logger and could land AFTER the
     // JSON line in a tail-capture — silence them so the line stays last

@@ -506,6 +506,44 @@ object Events {
        |FROM sw WHERE event_type = 'purchase'
        |GROUP BY 1""".stripMargin
 
+  /** Exact rolling active users — DAU and 7-day WAU per observed day, the
+    * product-analytics pair every event pipeline reports. Exact sliding-
+    * window COUNT(DISTINCT) doesn't decompose into window aggregates, so
+    * the plan dedups to the slim (user, day) activity set FIRST (the only
+    * corpus-sized shuffle, map-side combined), then each activity day
+    * contributes itself to the 7 days [day, day+6] via a 7× explode of the
+    * deduped rows — bounded blowup on slim ids, never on raw events — and
+    * one distinct-agg keyed by day closes it. DAU rides the same frame as
+    * a conditional distinct (day = obs_day). The spine is clipped to the
+    * observed [min, max] day from the 1-row bounds aggregate so trailing
+    * part-windows aren't reported.
+    */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val bounds = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    ud.withColumn("obs_day", explode(expr("sequence(day, day + 6)")))
+      .crossJoin(broadcast(bounds))
+      .filter(col("obs_day") <= col("d1"))
+      .groupBy(col("obs_day"))
+      .agg(
+        countDistinct(when(col("day") === col("obs_day"), col("user_id"))).as("dau"),
+        countDistinct(col("user_id")).as("wau"))
+  }
+
+  val activeUsersSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |b AS (SELECT MAX(day) AS d1 FROM ud),
+      |x AS (
+      |  SELECT user_id, day, day + g.range AS obs_day
+      |  FROM ud, range(7) g)
+      |SELECT obs_day, COUNT(DISTINCT CASE WHEN day = obs_day THEN user_id END) AS dau,
+      |       COUNT(DISTINCT user_id) AS wau
+      |FROM x, b WHERE obs_day <= b.d1
+      |GROUP BY 1""".stripMargin
+
   /** Per-user behavioral transition matrix (the Markov-chain view of the
     * event stream): count event_type → next event_type transitions within
     * each user's timeline and report the per-source transition probability
@@ -587,6 +625,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_anomaly" -> (anomaly _),
+    "q_active_users" -> (activeUsers _),
     "q_attribution" -> (attribution _),
     "q_events_transition" -> (transitions _),
     "q_gapfill" -> (gapFill _),
@@ -609,6 +648,7 @@ object Events {
     "q_events_transition" -> transitionsSql,
     "q_gapfill" -> gapFillSql,
     "q_events_anomaly" -> anomalySql,
+    "q_active_users" -> activeUsersSql,
     "q_funnel" -> funnelSql,
     "q_cohort" -> cohortSql,
     "q_json_extract" -> jsonExtractSql,

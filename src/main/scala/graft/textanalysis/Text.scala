@@ -667,7 +667,52 @@ object Text {
       |SELECT a.term, a.df, a.tf_total, top.top_doc, top.top_tf, p.postings_md5
       |FROM a JOIN top USING (term) JOIN p USING (term)""".stripMargin
 
+  /** Per-document top-5 salient terms by integer TF·rarity — TF-IDF with
+    * [[rarity]]'s integer surrogate for IDF (`n_docs div df` instead of
+    * log(N/df): monotone in the same direction for the head of a doc's
+    * term list, and zero libm divergence, so the whole extraction is
+    * engine-exact). The keyword-extraction op behind tagging, routing and
+    * near-dup explanation in a curation pipeline.
+    *
+    * Scale shape: doc frequencies are vocab-bounded → broadcast (the same
+    * top-K-vocab cap as [[rarity]] applies at 100 TB); term counts are one
+    * (doc, word) map-side-combined shuffle; the top-5 cut flows through
+    * TopKPerKey's PARTIAL pass — ≤5 rows/doc/partition reach the exchange,
+    * never a corpus-sized window sort. Same custom physical operator the
+    * ANN family uses, reused for text.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val dfreq = tok.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val tf = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val scored = tf.join(broadcast(dfreq), "word").crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("word"), col("tf"),
+        expr("tf * (n_docs div df)").as("score"))
+    graft.operators.TopK.perKey(scored,
+      keys = Seq("doc_id"),
+      order = Seq("score" -> true, "word" -> false),
+      k = 5)
+  }
+
+  val tfidfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |s AS (
+      |  SELECT doc_id, word, tf, tf * (n_docs // df) AS score
+      |  FROM tf JOIN dfreq USING (word), nd)
+      |SELECT doc_id, word, tf, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, word) AS rn FROM s) t
+      |WHERE rn <= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (tfidf _),
     "text_inverted_index" -> (invertedIndex _),
     "text_perplexity" -> (perplexity _),
     "text_boilerplate" -> (boilerplate _),
@@ -685,6 +730,7 @@ object Text {
     "text_bpe_tokens" -> (bpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" -> tfidfSql,
     "text_inverted_index" -> invertedIndexSql,
     "text_perplexity" -> perplexitySql,
     "text_boilerplate" -> boilerplateSql,

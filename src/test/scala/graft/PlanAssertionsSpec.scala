@@ -97,6 +97,26 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
       s"expected partial top-k BELOW the exchange in: $p")
   }
 
+  test("text_tfidf: df table broadcasts, top-5 heap-reduced before the exchange") {
+    // the vocab-bounded df table must broadcast (never a shuffle join on
+    // word), and the per-doc top-5 must go through TopKPerKey's partial
+    // pass — a window formulation would sort the full scored term stream
+    val p = planOf("text_tfidf").split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TopKPerKeyPartial"), p)
+  }
+
+  test("q_active_users: dedups to slim (user, day) before the 7x explode") {
+    // the explode must run over the DEDUPED activity set: HashAggregate
+    // (the distinct) sits below Generate in the plan, so the 7x blowup
+    // applies to slim ids, never to raw events
+    val p = planOf("q_active_users").split("== Initial Plan ==")(0)
+    val gen = p.indexOf("Generate explode")
+    assert(gen >= 0, p)
+    val aggBelow = p.indexOf("HashAggregate", gen)
+    assert(aggBelow >= 0, s"expected the distinct aggregate below the explode in: $p")
+  }
+
   test("asof join: exactly one hash-partition exchange (union-and-sweep)") {
     // AQE toString prints Final and Initial plan sections; count only final
     val p = planOf("q_asof_join").split("== Initial Plan ==")(0)

@@ -28,12 +28,23 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // window input is the per-source aggregate: rows = |sources| (tiny,
       // bounded by the mixture config), not corpus rows
       "mixture_weights" -> "global-window")
+    // a GLOBAL window is a Window node feeding from Exchange
+    // SinglePartition (possibly through its Sort) — matching the node
+    // STRUCTURE, not bare substrings: a runtime bloom-filter subquery
+    // legitimately builds over Exchange SinglePartition (1-row aggregate)
+    // and must not flag a query whose windows are all key-partitioned
+    def hasGlobalWindow(p: String): Boolean = {
+      val lines = p.split("\n")
+      lines.zipWithIndex.exists { case (l, i) =>
+        l.contains("Window") &&
+          lines.slice(i + 1, i + 4).exists(_.contains("Exchange SinglePartition"))
+      }
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       val flags = Seq(
         if (p.contains("CartesianProduct")) Some("cartesian") else None,
-        if (p.contains("Window") && p.contains("SinglePartition"))
-          Some("global-window") else None).flatten
+        if (hasGlobalWindow(p)) Some("global-window") else None).flatten
       flags.filterNot(f => allow.get(name).contains(f)).map(f => s"$name: $f")
     }
     assert(offenders.isEmpty,
