@@ -310,7 +310,39 @@ object Analytics {
       |WINDOW w AS (PARTITION BY o_orderstatus
       |             ORDER BY o_totalprice, o_orderkey)""".stripMargin
 
+  /** Equi-width histogram of order totals — the distribution profile
+    * behind data-quality dashboards and partition-bound planning. All
+    * bucket math is exact integers: prices go to cents (round(x·100) as
+    * BIGINT), the bucket index is `(cents−min)·20 div (max−min+1)` —
+    * never a float division that could put a boundary value in different
+    * buckets on different engines. The [min,max] bounds are a 1-row
+    * aggregate broadcast back over the scan (two passes, both map-side
+    * combined; no window, no sort — at 100 TB the histogram is still a
+    * 20-row result off one shuffle).
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(spark, dir)
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val bounds = cents.agg(min(col("cents")).as("minc"), max(col("cents")).as("maxc"))
+    cents.crossJoin(broadcast(bounds))
+      .select(expr("(cents - minc) * 20 div (maxc - minc + 1)").as("bucket"),
+        col("cents"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("cast(sum(cents) as double) / 100").as("sum_price"))
+  }
+
+  val histogramSql: String =
+    """WITH c AS (
+      |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |b AS (SELECT MIN(cents) AS minc, MAX(cents) AS maxc FROM c)
+      |SELECT (cents - minc) * 20 // (maxc - minc + 1) AS bucket,
+      |       COUNT(*) AS n_orders,
+      |       CAST(SUM(cents) AS DOUBLE) / 100 AS sum_price
+      |FROM c, b GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram" -> (histogram _),
     "q_unpivot" -> (unpivotMeasures _),
     "q_window_dist" -> (windowDist _),
     "q_window_range" -> (windowRange _),
@@ -324,6 +356,7 @@ object Analytics {
     "q_string_funcs2" -> (stringFuncs2 _))
 
   val oracles: Map[String, String] = Map(
+    "q_histogram" -> histogramSql,
     "q_unpivot" -> unpivotMeasuresSql,
     "q_window_dist" -> windowDistSql,
     "q_window_range" -> windowRangeSql,
