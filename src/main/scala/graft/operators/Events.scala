@@ -165,6 +165,58 @@ object Events {
       |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
       |WHERE rn = 1""".stripMargin
 
+  /** As-of join with a TOLERANCE bound (pandas merge_asof `tolerance`,
+    * completing the direction dials): each event matches its latest
+    * order at-or-before, but only if the order is within the staleness
+    * bound — the freshness guard every feature-join pipeline needs (an
+    * arbitrarily old "latest order" is not a feature, it's a leak). Same
+    * single union-and-sweep plan as [[asofJoinGeneric]] — the sweep also
+    * carries the matched order's timestamp, so the staleness test is a
+    * row-local filter AFTER the one shuffle, not a second join or window.
+    * The bound is 8400 days because this testdata joins TPC-H-dated
+    * orders (1990s) to modern events — the observed gap spans ~8200–8800
+    * days, so 8400 keeps roughly half the matches and the dial provably
+    * bites (a 0-row result would make the oracle check vacuous).
+    */
+  def asofJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val tolUs = 8400L * 86400L * 1000000L
+    val markers = Tables.orders(spark, dir).select(
+      col("o_custkey").as("user_id"),
+      unix_micros(col("o_orderdate")).as("t_us"),
+      lit(0).as("is_event"),
+      lit(null).cast("bigint").as("event_id"),
+      col("o_orderkey"),
+      unix_micros(col("o_orderdate")).as("ord_t_us"))
+    val evs = Tables.events(spark, dir).select(
+      col("user_id"),
+      unix_micros(col("ts")).as("t_us"),
+      lit(1).as("is_event"),
+      col("event_id"),
+      lit(null).cast("bigint").as("o_orderkey"),
+      lit(null).cast("bigint").as("ord_t_us"))
+    val sweep = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("is_event"), col("o_orderkey").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    markers.unionAll(evs)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(sweep))
+      .withColumn("asof_t_us", last(col("ord_t_us"), ignoreNulls = true).over(sweep))
+      .filter(col("is_event") === 1 && col("asof_orderkey").isNotNull &&
+        col("t_us") - col("asof_t_us") <= tolUs)
+      .select(col("event_id"), col("user_id"),
+        col("asof_orderkey").as("o_orderkey"),
+        (col("t_us") - col("asof_t_us")).as("staleness_us"))
+  }
+
+  val asofJoinToleranceSql: String =
+    """SELECT event_id, user_id, o_orderkey, staleness_us FROM (
+      | SELECT e.event_id, e.user_id, o.o_orderkey,
+      |  epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS staleness_us,
+      |  ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      | FROM events e JOIN orders o
+      |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+      |WHERE rn = 1 AND staleness_us <= 725760000000000""".stripMargin
+
   /** FORWARD as-of join — for each order, the EARLIEST event at-or-after
     * its date (the other direction of as-of semantics: "what happened
     * next", used for outcome attribution windows). Same union-and-sweep
@@ -641,7 +693,8 @@ object Events {
     "q_events_sessionize" -> (sessionize _),
     "q_asof_join" -> (asofJoin _),
     "q_asof_fwd" -> (asofJoinForward _),
-    "q_asof_nearest" -> (asofJoinNearest _))
+    "q_asof_nearest" -> (asofJoinNearest _),
+    "q_asof_tolerance" -> (asofJoinTolerance _))
 
   val oracles: Map[String, String] = Map(
     "q_attribution" -> attributionSql,
@@ -660,5 +713,6 @@ object Events {
     "q_events_sessionize" -> sessionizeSql,
     "q_asof_join" -> asofJoinSql,
     "q_asof_fwd" -> asofJoinForwardSql,
-    "q_asof_nearest" -> asofJoinNearestSql)
+    "q_asof_nearest" -> asofJoinNearestSql,
+    "q_asof_tolerance" -> asofJoinToleranceSql)
 }

@@ -17,6 +17,15 @@ object EventStreams {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** Exact epoch MICROS of a Timestamp. `getTime` alone truncates to
+    * milliseconds, which made streaming session boundaries diverge from
+    * the batch operators' `unix_micros` on sub-ms event data (caught by
+    * the batch/stream equivalence test on the real events table); the
+    * sub-second field carries the full precision in `getNanos`.
+    */
+  private def tsUs(t: Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
   case class SessionState(startUs: Long, lastUs: Long, nEvents: Int)
 
   case class Session(user_id: Long, start_us: Long, n_events: Int, duration_us: Long)
@@ -165,8 +174,8 @@ object EventStreams {
         st = HourMoments(-1L, 0L, st.n + 1, st.s + x,
           (qB + BigInt(x) * BigInt(x)).toString)
       }
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-        val hourEpoch = (e.ts.getTime / 3600000L) * 3600L
+      rows.toSeq.sortBy(e => (tsUs(e.ts), e.event_id)).foreach { e =>
+        val hourEpoch = (tsUs(e.ts) / 3600000000L) * 3600L
         if (st.curHourEpoch < 0)
           st = st.copy(curHourEpoch = hourEpoch, curCount = 1L)
         else if (hourEpoch == st.curHourEpoch)
@@ -210,8 +219,8 @@ object EventStreams {
       val out = scala.collection.mutable.ListBuffer[StageAdvance]()
       var s = state.getOption.getOrElse(FunnelState(-1L, -1L))
       var done = false
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-        val tUs = e.ts.getTime * 1000L
+      rows.toSeq.sortBy(e => (tsUs(e.ts), e.event_id)).foreach { e =>
+        val tUs = tsUs(e.ts)
         if (!done) e.event_type match {
           case "view" if s.viewUs < 0 =>
             s = s.copy(viewUs = tUs)
@@ -258,10 +267,10 @@ object EventStreams {
         }
         state.remove()
       } else {
-        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val sorted = rows.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
         var cur = state.getOption
         sorted.foreach { e =>
-          val tUs = e.ts.getTime * 1000L
+          val tUs = tsUs(e.ts)
           cur match {
             case Some(s) if tUs - s.lastUs <= gapUs =>
               cur = Some(s.copy(lastUs = tUs, nEvents = s.nEvents + 1))
@@ -274,7 +283,10 @@ object EventStreams {
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L)
+          // ceil to ms: a floor'd timeout can fire up to 1 ms before the
+          // gap truly elapses on sub-ms data, closing a session the batch
+          // operator would have extended
+          state.setTimeoutTimestamp((s.lastUs + gapUs + 999L) / 1000L)
         }
       }
       closed.iterator

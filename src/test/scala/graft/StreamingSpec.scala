@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -280,6 +281,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         (1L, "view", us(10)), (1L, "click", us(20)), (1L, "purchase", us(50)),
         (2L, "view", us(15)))
       assert(got == want, s"got $got")
+    } finally q.stop()
+  }
+
+  test("streaming sessionize equals batch sessionize on the real events table") {
+    // The "mirror" claim, verified end-to-end: the stateful streaming
+    // sessionizer fed the REAL sf0.001 events (in timestamp order, three
+    // micro-batches) must close exactly the sessions the batch
+    // gaps-and-islands operator computes. A far-future sentinel advances
+    // the global watermark so every in-flight session times out; the
+    // sentinel's own user is excluded from the comparison.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf0 = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val sentinel = EventStreams.Event(-1L,
+      new java.sql.Timestamp(ev.map(_.ts.getTime).max + 30L * 86400000L), -1L, "view", 0.0)
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess_eq").outputMode("append").start()
+    try {
+      ev.grouped(ev.length / 3 + 1).foreach { ch =>
+        input.addData(ch.toSeq); q.processAllAvailable()
+      }
+      input.addData(sentinel); q.processAllAvailable()
+      val got = spark.table("sess_eq").as[EventStreams.Session].collect()
+        .filter(_.user_id >= 0)
+        .map(s => (s.user_id, s.start_us, s.n_events.toLong, s.duration_us)).toSet
+      val want = graft.operators.Events.sessionize(spark, sf0)
+        .select(col("user_id"), col("start_us"), col("n_events"), col("duration_us"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got.nonEmpty && got == want,
+        s"stream/batch diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     } finally q.stop()
   }
 
