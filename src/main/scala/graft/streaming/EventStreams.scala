@@ -255,6 +255,55 @@ object EventStreams {
     * `Events.sessionize`): 30-min inactivity gap, event-time timeout closes
     * sessions once the watermark passes start+gap.
     */
+  case class Burst(user_id: Long, minute_epoch: Long, n_events: Long)
+
+  /** Per-user rate-breach detector on `transformWithState` — Spark 4's
+    * arbitrary-state API (StatefulProcessor + typed ValueState), which
+    * runs only on the RocksDB state store provider, i.e. the production
+    * state backend. Flags a user the moment their event count within a
+    * tumbling minute crosses `maxPerMinute`, emitting exactly ONE row per
+    * (user, minute) breach — the crossing event, not every subsequent one
+    * — so downstream throttling isn't itself flooded. State is a single
+    * (minute, count) pair per user, keyed by user_id (the same
+    * one-shuffle layout as sessionize); a minute rollover overwrites in
+    * place, so the store is bounded by distinct active users regardless
+    * of stream length. Within a micro-batch rows sort by exact event
+    * micros; cross-batch disorder is watermark-bounded like the other
+    * mirrors.
+    */
+  private class BurstDetector(maxPerMinute: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Burst] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("minuteCount",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[Burst] = {
+      val out = scala.collection.mutable.ListBuffer[Burst]()
+      var cur = if (st.exists()) st.get() else (-1L, 0L)
+      rows.toSeq.sortBy(e => (tsUs(e.ts), e.event_id)).foreach { e =>
+        val m = tsUs(e.ts) / 60000000L
+        if (m != cur._1) cur = (m, 0L)
+        cur = (cur._1, cur._2 + 1L)
+        if (cur._2 == maxPerMinute + 1) out += Burst(user, m * 60L, cur._2)
+      }
+      st.update(cur)
+      out.iterator
+    }
+  }
+
+  def burstStream(events: Dataset[Event], maxPerMinute: Long = 10L): Dataset[Burst] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(new BurstDetector(maxPerMinute),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   def sessionize(events: Dataset[Event], gapUs: Long = 1800L * 1000000L): Dataset[Session] = {
     import events.sparkSession.implicits._
 

@@ -318,6 +318,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("transformWithState burst detector flags each breaching (user, minute) once") {
+    // transformWithState runs only on the RocksDB state store provider
+    // (the production backend) — set it for this query, restore after
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = EventStreams.burstStream(input.toDS(), maxPerMinute = 10)
+      .writeStream.format("memory").queryName("bursts").outputMode("append").start()
+    try {
+      var id = 0L
+      def ev(user: Long, minute: Long, second: Long): Event = {
+        id += 1
+        Event(id, new Timestamp(86400000L + minute * 60000L + second * 1000L),
+          user, "view", 1.0)
+      }
+      // user 1: 12 events in minute 0 (burst, flagged at event #11);
+      // user 2: 5 events in minute 0 (quiet);
+      // batch 2 — user 1: 11 events in minute 2 (second burst)
+      input.addData((1L to 12L).map(s => ev(1, 0, s % 60)) ++ (1L to 5L).map(s => ev(2, 0, s)): _*)
+      q.processAllAvailable()
+      input.addData((1L to 11L).map(s => ev(1, 2, s % 60)): _*)
+      q.processAllAvailable()
+      val got = spark.table("bursts").as[EventStreams.Burst]
+        .collect().map(b => (b.user_id, b.minute_epoch, b.n_events)).toSet
+      val base = 86400L
+      assert(got == Set((1L, base, 11L), (1L, base + 120L, 11L)),
+        s"expected exactly the two crossings: $got")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming anomaly flags the burst hour and only it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
