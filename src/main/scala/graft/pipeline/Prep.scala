@@ -243,6 +243,57 @@ object Prep {
        |  CAST(CAST(SUM(src_tokens) OVER () AS BIGINT) AS DOUBLE) / COUNT(*) OVER () / src_tokens AS balance_weight
        |FROM s""".stripMargin
 
+  /** Materialize the balance mixture that [[mixtureWeights]] only
+    * computes: keep each document of source s with probability
+    * min(1, balance_weight(s)) via a deterministic md5 coin, so every
+    * source contributes ~equal tokens downstream. The test is EXACT
+    * integer arithmetic end to end — keep iff h·n_sources·src_tokens <
+    * total_tokens·2⁴⁸, where h is the first 6 md5 bytes (a 48-bit coin;
+    * no float rate, so the sample is engine-, retry- and partitioning-
+    * stable, and a source with balance_weight ≥ 1 passes every h
+    * automatically since n_sources·src_tokens ≤ total_tokens). Products
+    * run in decimal(38,0)/HUGEINT (2⁴⁸·n_sources·src_tokens passes 2⁶³
+    * long before any real corpus does).
+    *
+    * Scale shape: per-source stats are a bounded broadcast; the coin is
+    * row-local — ONE corpus scan, zero shuffles of document rows.
+    */
+  def mixtureApply(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(sum(nTokens).as("src_tokens"))
+    val tot = stats.agg(sum(col("src_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val h48 = expr((0 until 6).map(i =>
+      s"""((instr('0123456789abcdef', substr(md5(cast(doc_id as string)), ${i * 2 + 1}, 1)) - 1) * 16
+         | + instr('0123456789abcdef', substr(md5(cast(doc_id as string)), ${i * 2 + 2}, 1)) - 1)""".stripMargin)
+      .zipWithIndex.map { case (b, i) => s"$b * ${1L << ((5 - i) * 8)}L" }
+      .mkString(" + "))
+    Tables.documents(spark, dir)
+      .join(broadcast(stats), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("h", h48)
+      .filter(expr(
+        "cast(h as decimal(38,0)) * n_sources * src_tokens < cast(total_tokens as decimal(38,0)) * 281474976710656"))
+      .select(col("doc_id"), col("source"), nTokens.as("n_tokens"))
+  }
+
+  val mixtureApplySql: String = {
+    val h48 = (0 until 6).map(i =>
+      s"""((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${i * 2 + 1}, 1)) - 1) * 16
+         | + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${i * 2 + 2}, 1)) - 1)""".stripMargin)
+      .zipWithIndex.map { case (b, i) => s"$b * ${1L << ((5 - i) * 8)}" }
+      .mkString(" + ")
+    s"""WITH s AS (
+       |  SELECT source, CAST(SUM($nTokensSql) AS BIGINT) AS src_tokens
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+       |             COUNT(*) AS n_sources FROM s)
+       |SELECT d.doc_id, d.source, CAST($nTokensSql AS BIGINT) AS n_tokens
+       |FROM documents d JOIN s USING (source), t
+       |WHERE CAST($h48 AS HUGEINT) * n_sources * src_tokens
+       |      < CAST(total_tokens AS HUGEINT) * 281474976710656""".stripMargin
+  }
+
   /** Robust length-outlier trim: keep documents inside the [p01, p99]
     * character-length band. The percentiles are exact (integral input, the
     * q_percentiles trick), computed in one tiny aggregate that broadcasts
@@ -322,6 +373,7 @@ object Prep {
     "doc_split" -> (docSplit _),
     "text_contamination" -> (contamination _),
     "mixture_weights" -> (mixtureWeights _),
+    "mixture_apply" -> (mixtureApply _),
     "doc_length_trim" -> (lengthTrim _))
 
   val oracles: Map[String, String] = Map(
@@ -333,5 +385,6 @@ object Prep {
     "doc_split" -> docSplitSql,
     "text_contamination" -> contaminationSql,
     "mixture_weights" -> mixtureWeightsSql,
+    "mixture_apply" -> mixtureApplySql,
     "doc_length_trim" -> lengthTrimSql)
 }
