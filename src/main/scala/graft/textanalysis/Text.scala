@@ -369,6 +369,68 @@ object Text {
       | FROM tf t JOIN df d USING (term)) x
       |WHERE rnk <= 3""".stripMargin
 
+  /** Vocabulary coverage curve — the tokenizer-design primitive: what
+    * fraction of all corpus tokens does a top-N frequency vocabulary
+    * cover, at each N in a small size panel? (This is the curve you read
+    * before choosing a vocab budget; the knee is where BPE merges stop
+    * paying.) Coverage is reported in exact ppm: products run through
+    * decimal(38,0)/HUGEINT before the integral divide, so there is no
+    * 2⁶³ ceiling on corpus token counts (a 100 TB corpus passes 9.2
+    * trillion tokens, where a BIGINT·1e6 product would wrap).
+    *
+    * Scale shape: ONE corpus-token shuffle (term counts, map-side
+    * partials); the rank window sorts only the DISTINCT vocabulary
+    * (bounded ≪ corpus, same justification as bpe_train); the 3-row
+    * size panel is a broadcast nested-loop; totals are single-row
+    * broadcasts. No corpus-sized row ever crosses a second shuffle.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(spark, dir, VocabSizes)
+
+  /** Size panel for the query entry: the fixture corpus has a 31-term
+    * vocabulary, so {10, 30, 10000} exercises partial coverage, the
+    * knee, and saturation; a real tokenizer sweep passes {2¹⁴..2¹⁷}.
+    */
+  private val VocabSizes = Seq(10L, 30L, 10000L)
+
+  def vocabCoverage(spark: SparkSession, dir: String, sizes: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val ranked = counts.withColumn("rnk",
+      row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("bigint"))
+    val tot = toks.agg(count(lit(1)).as("total_tokens"))
+    val sizesDf = spark.sql(
+      s"SELECT explode(array(${sizes.map(s => s"bigint($s)").mkString(", ")})) AS vocab_size")
+    ranked.join(broadcast(sizesDf), col("rnk") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(sum(col("n")).as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cov_ppm", expr(
+        "cast((cast(covered_tokens as decimal(38,0)) * 1000000) div total_tokens as bigint)"))
+      .orderBy(col("vocab_size"))
+      .select(col("vocab_size"), col("covered_tokens"), col("total_tokens"), col("cov_ppm"))
+  }
+
+  /** DuckDB mirror of [[vocabCoverage]] — same tokenization, the same
+    * (n DESC, term) rank tie-break, and the HUGEINT product before the
+    * integral divide mirroring Spark's decimal(38,0) widening.
+    */
+  val vocabCoverageSql: String =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |counts AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY 1),
+      |ranked AS (SELECT term, n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rnk FROM counts),
+      |tot AS (SELECT COUNT(*) AS total_tokens FROM toks),
+      |sizes AS (SELECT unnest([10, 30, 10000]) AS vocab_size)
+      |SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+      |       CAST(SUM(n) AS BIGINT) AS covered_tokens,
+      |       CAST(total_tokens AS BIGINT) AS total_tokens,
+      |       CAST(CAST(SUM(n) AS HUGEINT) * 1000000 // total_tokens AS BIGINT) AS cov_ppm
+      |FROM ranked JOIN sizes ON rnk <= vocab_size, tot
+      |GROUP BY vocab_size, total_tokens
+      |ORDER BY vocab_size""".stripMargin
+
   /** Corpus-level collocation mining: the 100 strongest bigram
     * collocations by PMI-style lift — the classic phrase-discovery pass a
     * tokenizer-training pipeline runs before merging multi-word units.
@@ -726,6 +788,7 @@ object Text {
     "text_rep" -> (repetition _),
     "text_rarity" -> (rarity _),
     "text_top_terms" -> (topTerms _),
+    "text_vocab_coverage" -> ((s: SparkSession, d: String) => vocabCoverage(s, d)),
     "text_collocations" -> (collocations _),
     "text_stats" -> (stats _),
     "text_quality" -> (quality _),
@@ -747,6 +810,7 @@ object Text {
     "text_bpe_tokens" -> bpeTokensSql,
     "text_rarity" -> raritySql,
     "text_top_terms" -> topTermsSql,
+    "text_vocab_coverage" -> vocabCoverageSql,
     "text_collocations" -> collocationsSql,
     "text_stats" -> statsSql,
     "text_quality" -> qualitySql,
