@@ -27,7 +27,10 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val allow = Map(
       // window input is the per-source aggregate: rows = |sources| (tiny,
       // bounded by the mixture config), not corpus rows
-      "mixture_weights" -> "global-window")
+      "mixture_weights" -> "global-window",
+      // window input is the DISTINCT-term count aggregate: rows = |vocab|
+      // (≪ corpus; the bpe_train justification), not corpus tokens
+      "text_vocab_coverage" -> "global-window")
     // a GLOBAL window is a Window node feeding from Exchange
     // SinglePartition (possibly through its Sort) — matching the node
     // STRUCTURE, not bare substrings: a runtime bloom-filter subquery
