@@ -258,16 +258,34 @@ object Prep {
     * Scale shape: per-source stats are a bounded broadcast; the coin is
     * row-local — ONE corpus scan, zero shuffles of document rows.
     */
-  def mixtureApply(spark: SparkSession, dir: String): DataFrame = {
+  /** First 6 md5(doc_id) bytes as a 48-bit integer — the deterministic
+    * Bernoulli coin shared by [[mixtureApply]] and [[repeatUpsample]]
+    * (Spark expression + DuckDB mirror).
+    */
+  private val coin48: String = (0 until 6).map(i =>
+    s"""((instr('0123456789abcdef', substr(md5(cast(doc_id as string)), ${i * 2 + 1}, 1)) - 1) * 16
+       | + instr('0123456789abcdef', substr(md5(cast(doc_id as string)), ${i * 2 + 2}, 1)) - 1)""".stripMargin)
+    .zipWithIndex.map { case (b, i) => s"$b * ${1L << ((5 - i) * 8)}L" }
+    .mkString(" + ")
+
+  private val coin48Sql: String = (0 until 6).map(i =>
+    s"""((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${i * 2 + 1}, 1)) - 1) * 16
+       | + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${i * 2 + 2}, 1)) - 1)""".stripMargin)
+    .zipWithIndex.map { case (b, i) => s"$b * ${1L << ((5 - i) * 8)}" }
+    .mkString(" + ")
+
+  /** Per-source token sums + corpus totals (bounded: |sources| rows). */
+  private def mixtureStats(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val stats = Tables.documents(spark, dir)
       .groupBy(col("source")).agg(sum(nTokens).as("src_tokens"))
     val tot = stats.agg(sum(col("src_tokens")).as("total_tokens"),
       count(lit(1)).as("n_sources"))
-    val h48 = expr((0 until 6).map(i =>
-      s"""((instr('0123456789abcdef', substr(md5(cast(doc_id as string)), ${i * 2 + 1}, 1)) - 1) * 16
-         | + instr('0123456789abcdef', substr(md5(cast(doc_id as string)), ${i * 2 + 2}, 1)) - 1)""".stripMargin)
-      .zipWithIndex.map { case (b, i) => s"$b * ${1L << ((5 - i) * 8)}L" }
-      .mkString(" + "))
+    (stats, tot)
+  }
+
+  def mixtureApply(spark: SparkSession, dir: String): DataFrame = {
+    val (stats, tot) = mixtureStats(spark, dir)
+    val h48 = expr(coin48)
     Tables.documents(spark, dir)
       .join(broadcast(stats), "source")
       .crossJoin(broadcast(tot))
@@ -277,12 +295,7 @@ object Prep {
       .select(col("doc_id"), col("source"), nTokens.as("n_tokens"))
   }
 
-  val mixtureApplySql: String = {
-    val h48 = (0 until 6).map(i =>
-      s"""((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${i * 2 + 1}, 1)) - 1) * 16
-         | + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${i * 2 + 2}, 1)) - 1)""".stripMargin)
-      .zipWithIndex.map { case (b, i) => s"$b * ${1L << ((5 - i) * 8)}" }
-      .mkString(" + ")
+  val mixtureApplySql: String =
     s"""WITH s AS (
        |  SELECT source, CAST(SUM($nTokensSql) AS BIGINT) AS src_tokens
        |  FROM documents GROUP BY 1),
@@ -290,9 +303,52 @@ object Prep {
        |             COUNT(*) AS n_sources FROM s)
        |SELECT d.doc_id, d.source, CAST($nTokensSql AS BIGINT) AS n_tokens
        |FROM documents d JOIN s USING (source), t
-       |WHERE CAST($h48 AS HUGEINT) * n_sources * src_tokens
+       |WHERE CAST($coin48Sql AS HUGEINT) * n_sources * src_tokens
        |      < CAST(total_tokens AS HUGEINT) * 281474976710656""".stripMargin
+
+  /** Up-sampling counterpart of [[mixtureApply]]: replicate each document
+    * to its source's balance point (DoReMi/epoching shape). With
+    * w = balance_weight = total/(S·src), a doc is emitted floor(w) times
+    * plus one extra epoch with probability frac(w) — so E[epochs] = w
+    * exactly, and under-represented sources are repeated up to parity
+    * while w < 1 sources degenerate to [[mixtureApply]]'s Bernoulli keep.
+    * Same 48-bit md5 coin, same decimal(38,0)/HUGEINT exactness: the
+    * fractional test is h·S·src < (total mod S·src)·2⁴⁸.
+    *
+    * Scale shape: stats are bounded broadcasts; epoch fan-out happens
+    * IN-ROW (explode over sequence — no join against an epoch table), and
+    * output size is ≈ n_docs · 1 token-balanced corpus, by construction.
+    */
+  def repeatUpsample(spark: SparkSession, dir: String): DataFrame = {
+    val (stats, tot) = mixtureStats(spark, dir)
+    Tables.documents(spark, dir)
+      .join(broadcast(stats), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("h", expr(coin48))
+      .withColumn("n_rep", expr(
+        """total_tokens div (n_sources * src_tokens)
+          | + if(cast(h as decimal(38,0)) * n_sources * src_tokens
+          |      < cast(total_tokens % (n_sources * src_tokens) as decimal(38,0)) * 281474976710656, 1, 0)""".stripMargin))
+      .filter(col("n_rep") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(bigint(0), n_rep - 1)")).as("epoch"))
   }
+
+  val repeatUpsampleSql: String =
+    s"""WITH s AS (
+       |  SELECT source, CAST(SUM($nTokensSql) AS BIGINT) AS src_tokens
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+       |             COUNT(*) AS n_sources FROM s),
+       |r AS (
+       |  SELECT d.doc_id, d.source,
+       |    total_tokens // (n_sources * src_tokens)
+       |    + CASE WHEN CAST($coin48Sql AS HUGEINT) * n_sources * src_tokens
+       |           < CAST(total_tokens % (n_sources * src_tokens) AS HUGEINT) * 281474976710656
+       |      THEN 1 ELSE 0 END AS n_rep
+       |  FROM documents d JOIN s USING (source), t)
+       |SELECT doc_id, source, CAST(unnest(generate_series(0, n_rep - 1)) AS BIGINT) AS epoch
+       |FROM r WHERE n_rep > 0""".stripMargin
 
   /** Robust length-outlier trim: keep documents inside the [p01, p99]
     * character-length band. The percentiles are exact (integral input, the
@@ -374,6 +430,7 @@ object Prep {
     "text_contamination" -> (contamination _),
     "mixture_weights" -> (mixtureWeights _),
     "mixture_apply" -> (mixtureApply _),
+    "doc_repeat_upsample" -> (repeatUpsample _),
     "doc_length_trim" -> (lengthTrim _))
 
   val oracles: Map[String, String] = Map(
@@ -386,5 +443,6 @@ object Prep {
     "text_contamination" -> contaminationSql,
     "mixture_weights" -> mixtureWeightsSql,
     "mixture_apply" -> mixtureApplySql,
+    "doc_repeat_upsample" -> repeatUpsampleSql,
     "doc_length_trim" -> lengthTrimSql)
 }
