@@ -675,8 +675,51 @@ object Events {
       |WHERE (CAST(c.x AS HUGEINT) * t.n - t.s) * (CAST(c.x AS HUGEINT) * t.n - t.s)
       |      > 9 * (CAST(t.q AS HUGEINT) * t.n - CAST(t.s AS HUGEINT) * t.s)""".stripMargin
 
+  /** Daily activity streaks per user — the calendar gaps-and-islands
+    * pattern (engagement/retention analytics): consecutive active DAYS
+    * form a streak via the classic dayNumber − row_number anchor, then
+    * per-user streak stats. Distinct from [[sessionize]], which islands
+    * on a 30-minute inactivity gap inside the timestamp stream; this
+    * islands on whole calendar days.
+    *
+    * Scale shape: one shuffle to distinct (user, day) — corpus-sized at
+    * most but usually far smaller; the window and both aggregations are
+    * user-partitioned (no global window); day arithmetic is integral
+    * (days since epoch), so island anchors are engine-exact.
+    */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dn"))
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("datediff(cast(ts as date), date'1970-01-01')").as("dn"))
+      .distinct()
+      .withColumn("anchor", col("dn") - row_number().over(w))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"),
+        sum(col("len")).as("n_active_days"))
+  }
+
+  val activityStreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id, dn,
+      |         dn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dn) AS anchor
+      |  FROM days),
+      |st AS (SELECT user_id, anchor, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_streaks,
+      |       CAST(MAX(len) AS BIGINT) AS max_streak,
+      |       CAST(SUM(len) AS BIGINT) AS n_active_days
+      |FROM st GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_anomaly" -> (anomaly _),
+    "q_islands" -> (activityStreaks _),
     "q_active_users" -> (activeUsers _),
     "q_attribution" -> (attribution _),
     "q_events_transition" -> (transitions _),
@@ -698,6 +741,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "q_attribution" -> attributionSql,
+    "q_islands" -> activityStreaksSql,
     "q_events_transition" -> transitionsSql,
     "q_gapfill" -> gapFillSql,
     "q_events_anomaly" -> anomalySql,

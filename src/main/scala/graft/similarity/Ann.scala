@@ -939,7 +939,43 @@ object Ann {
       |WHERE (CAST(d AS HUGEINT) * n - s) * (CAST(d AS HUGEINT) * n - s)
       |      > 9 * (q * n - s * s)""".stripMargin
 
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss
+    * with a dense ±1 sign matrix): project the 64-d embedding onto 16
+    * output dimensions, y_j = Σ_i x_i·s(i,j). The sign matrix is not
+    * stored anywhere — s(i,j) = ±1 from the parity of the first
+    * md5("i:j") hex digit, recomputed identically in both engines, so
+    * the projection is deterministic with zero model state (the property
+    * that made ann_topk_lsh hash-checkable). Coordinates quantize to
+    * round(x·1e6) longs first (the emb_centroids scheme), so y is an
+    * exact BIGINT sum — no float dot product in the comparison surface.
+    *
+    * Scale shape: pure map stage — signs and sums are computed IN-ROW
+    * (aggregate over the array; no sign-table join, no explode shuffle);
+    * output is corpus × 16 rows. At 100 TB this pipelines through the
+    * scan like emb_quant.
+    */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), posexplode(expr(
+        """transform(sequence(0, 15), j ->
+          |  aggregate(sequence(0, size(emb) - 1), cast(0 as bigint), (acc, i) ->
+          |    acc + cast(round(element_at(emb, i + 1) * 1000000.0) as bigint) *
+          |      (1 - 2 * ((instr('0123456789abcdef',
+          |         substr(md5(concat(cast(i as string), ':', cast(j as string))), 1, 1)) - 1) % 2))))""".stripMargin)))
+      .toDF("vec_id", "out_dim", "y")
+      .select(col("vec_id"), col("out_dim").cast("bigint").as("out_dim"), col("y"))
+
+  val randomProjectionSql: String =
+    """SELECT e.vec_id, CAST(j AS BIGINT) AS out_dim,
+      |  CAST(list_sum(list_transform(range(0, len(embedding)), i ->
+      |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000.0) AS BIGINT) *
+      |    (1 - 2 * ((strpos('0123456789abcdef',
+      |       substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)) - 1) % 2)))) AS BIGINT) AS y
+      |FROM embeddings e, unnest(generate_series(0, 15)) t(j)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_rp" -> (randomProjection _),
     "emb_outliers" -> (outliers _),
     "emb_pq" -> (pq _),
     "emb_semdedup" -> ((s, d) => semDedup(s, d)),
@@ -955,6 +991,7 @@ object Ann {
     "emb_centroids" -> (labelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "emb_rp" -> randomProjectionSql,
     "ann_topk_ivf" -> topkIvfSql,
     "emb_pq" -> pqSql,
     "emb_assign" -> assignCentroidsSql,

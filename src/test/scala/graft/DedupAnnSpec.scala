@@ -310,6 +310,31 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r >= 0.7, f"recall@3 $r%.3f below 0.7")
   }
 
+  test("emb_rp: projection preserves distances in expectation (JL property)") {
+    // For the ±1 sign matrix, E[||y_a − y_b||²] = 16·||x_a − x_b||².
+    // Near-orthogonal gaussian test vectors are almost equidistant, so a
+    // distance CORRELATION test has no signal variance to detect
+    // (measured 0.35 here) — the meaningful check is that the per-pair
+    // ratio ||Δy||²/(16·||Δx||²) is an unbiased estimate of 1 with the
+    // 1/√16-scale spread JL predicts.
+    val proj = similarity.Ann.randomProjection(spark, sf)
+      .groupBy("vec_id").agg(collect_list(struct(col("out_dim"), col("y"))).as("ys"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).sortBy(_.getLong(0)).map(_.getLong(1).toDouble).toArray).toMap
+    val orig = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble * 1e6).toArray).toMap
+    val ids = proj.keys.toSeq.sorted.take(30)
+    def d2(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum
+    val ratios = for (a <- ids; b <- ids if a < b)
+      yield d2(proj(a), proj(b)) / (16.0 * d2(orig(a), orig(b)))
+    val mean = ratios.sum / ratios.size
+    info(f"emb_rp ratio mean=$mean%.3f min=${ratios.min}%.3f max=${ratios.max}%.3f")
+    assert(mean > 0.8 && mean < 1.2, f"JL ratio mean $mean%.3f biased")
+    assert(ratios.min > 0.2 && ratios.max < 3.0,
+      f"JL per-pair spread [${ratios.min}%.3f, ${ratios.max}%.3f] wider than the 1/√16 scale allows")
+  }
+
   test("text_lang_id: 100% on genuine-language fixtures") {
     // The synthetic testdata draws every document from ONE shared 31-word
     // English vocabulary regardless of its lang label (verified: no CJK
