@@ -350,6 +350,31 @@ object Prep {
        |SELECT doc_id, source, CAST(unnest(generate_series(0, n_rep - 1)) AS BIGINT) AS epoch
        |FROM r WHERE n_rep > 0""".stripMargin
 
+  /** Exactly-k uniform sample — the eval-/holdout-set extraction
+    * primitive. [[sampleStratified]] keeps a RATE (size varies with the
+    * corpus); this draws a FIXED k = 200 by ranking on md5(doc_id) and
+    * taking the k smallest — equivalent to a uniform draw without
+    * replacement, deterministic across engines, retries, and partition
+    * layouts (no RNG, no seed drift).
+    *
+    * Scale shape: plans as TakeOrderedAndProject — each partition keeps
+    * its local top-k, the driver merges k·n_partitions hashes, and NO
+    * global sort of the corpus ever materializes. At 100 TB this is one
+    * scan plus a k-row merge.
+    */
+  def sampleExactK(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .orderBy(col("h"))
+      .limit(200)
+
+  val sampleExactKSql: String =
+    """SELECT doc_id, source, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+      |FROM documents
+      |ORDER BY h
+      |LIMIT 200""".stripMargin
+
   /** Robust length-outlier trim: keep documents inside the [p01, p99]
     * character-length band. The percentiles are exact (integral input, the
     * q_percentiles trick), computed in one tiny aggregate that broadcasts
@@ -431,6 +456,7 @@ object Prep {
     "mixture_weights" -> (mixtureWeights _),
     "mixture_apply" -> (mixtureApply _),
     "doc_repeat_upsample" -> (repeatUpsample _),
+    "doc_sample_exact_k" -> (sampleExactK _),
     "doc_length_trim" -> (lengthTrim _))
 
   val oracles: Map[String, String] = Map(
@@ -444,5 +470,6 @@ object Prep {
     "mixture_weights" -> mixtureWeightsSql,
     "mixture_apply" -> mixtureApplySql,
     "doc_repeat_upsample" -> repeatUpsampleSql,
+    "doc_sample_exact_k" -> sampleExactKSql,
     "doc_length_trim" -> lengthTrimSql)
 }

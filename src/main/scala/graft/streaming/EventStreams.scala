@@ -23,7 +23,7 @@ object EventStreams {
     * the batch/stream equivalence test on the real events table); the
     * sub-second field carries the full precision in `getNanos`.
     */
-  private def tsUs(t: Timestamp): Long =
+  private[graft] def tsUs(t: Timestamp): Long =
     t.getTime / 1000L * 1000000L + t.getNanos / 1000L
 
   case class SessionState(startUs: Long, lastUs: Long, nEvents: Int)
@@ -301,6 +301,63 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .transformWithState(new BurstDetector(maxPerMinute),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  case class Milestone(user_id: Long, completed_us: Long, n_tracked_events: Long)
+
+  /** Unordered-completion (cohort-qualification) detector on
+    * `transformWithState` with typed MapState — the API's keyed-map
+    * state primitive, RocksDB-backed. Emits exactly ONE row per user,
+    * the moment the user has performed ALL tracked event types in any
+    * order (the unordered complement of the ordered stateful funnel):
+    * completed_us is the event that supplied the last missing type,
+    * n_tracked_events counts tracked-type events seen up to and
+    * including it. Per-user state is one map entry per tracked type
+    * (bounded by |steps|, not stream length); the already-emitted case
+    * costs one containsKey probe per event. Same one-shuffle user_id
+    * keying and watermark discipline as the other mirrors.
+    *
+    * Batch equivalence (asserted in StreamingSpec): completed_us =
+    * max over steps of the per-step FIRST event time, for users whose
+    * step set is complete.
+    */
+  private class MilestoneDetector(steps: Seq[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Milestone] {
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("typeCounts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[Milestone] = {
+      val out = scala.collection.mutable.ListBuffer[Milestone]()
+      rows.toSeq.sortBy(e => (tsUs(e.ts), e.event_id)).foreach { e =>
+        if (steps.contains(e.event_type) && !counts.containsKey(DoneKey)) {
+          val prev =
+            if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+          counts.updateValue(e.event_type, prev + 1L)
+          if (prev == 0L && steps.forall(counts.containsKey)) {
+            out += Milestone(user, tsUs(e.ts),
+              steps.map(counts.getValue).sum)
+            counts.updateValue(DoneKey, 1L)
+          }
+        }
+      }
+      out.iterator
+    }
+  }
+  private val DoneKey = " done"
+
+  def milestoneStream(events: Dataset[Event],
+      steps: Seq[String] = Seq("signup", "view", "purchase")): Dataset[Milestone] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(new MilestoneDetector(steps),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

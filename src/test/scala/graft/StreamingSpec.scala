@@ -358,6 +358,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("transformWithState MapState milestone detector equals a reference fold on real events") {
+    // Unordered-completion mirror claim: feeding the REAL sf0.001 events
+    // through milestoneStream (MapState, RocksDB provider) must emit
+    // exactly the milestones a sequential reference fold over the same
+    // (ts, event_id)-ordered stream produces — one row per user, at the
+    // event that supplied the last missing step.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sf0 = "/root/testdata/sf0.001"
+    val steps = Seq("signup", "view", "purchase")
+    val ev = Tables.events(spark, sf0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event].collect()
+      .sortBy(e => (EventStreams.tsUs(e.ts), e.event_id))
+    // reference fold with the operator's exact semantics
+    val counts = scala.collection.mutable.Map[Long, Map[String, Long]]()
+    val want = scala.collection.mutable.ListBuffer[(Long, Long, Long)]()
+    ev.foreach { e =>
+      if (steps.contains(e.event_type)) {
+        val m = counts.getOrElse(e.user_id, Map.empty)
+        if (!m.contains("done")) {
+          val m2 = m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+          counts(e.user_id) =
+            if (m.getOrElse(e.event_type, 0L) == 0L && steps.forall(m2.contains)) {
+              want += ((e.user_id, EventStreams.tsUs(e.ts), steps.map(m2).sum))
+              m2.updated("done", 1L)
+            } else m2
+        }
+      }
+    }
+    val input = MemoryStream[Event]
+    val q = EventStreams.milestoneStream(input.toDS(), steps)
+      .writeStream.format("memory").queryName("milestones").outputMode("append").start()
+    try {
+      ev.grouped(ev.length / 3 + 1).foreach { ch =>
+        input.addData(ch.toSeq); q.processAllAvailable()
+      }
+      val got = spark.table("milestones").as[EventStreams.Milestone]
+        .collect().map(m => (m.user_id, m.completed_us, m.n_tracked_events)).toSet
+      assert(got.nonEmpty && got == want.toSet,
+        s"stream/fold diverged: missing=${(want.toSet -- got).take(5)} extra=${(got -- want.toSet).take(5)}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming anomaly flags the burst hour and only it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
