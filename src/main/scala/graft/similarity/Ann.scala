@@ -943,8 +943,9 @@ object Ann {
     * with a dense ±1 sign matrix): project the 64-d embedding onto 16
     * output dimensions, y_j = Σ_i x_i·s(i,j). The sign matrix is not
     * stored anywhere — s(i,j) = ±1 from the parity of the first
-    * md5("i:j") hex digit, recomputed identically in both engines, so
-    * the projection is deterministic with zero model state (the property
+    * md5("i:j") hex digit (derived at plan time here, recomputed in-query
+    * by the oracle — see [[rpSigns]]), so the projection is
+    * deterministic with zero model state (the property
     * that made ann_topk_lsh hash-checkable). Coordinates quantize to
     * round(x·1e6) longs first (the emb_centroids scheme), so y is an
     * exact BIGINT sum — no float dot product in the comparison surface.
@@ -954,17 +955,38 @@ object Ann {
     * output is corpus × 16 rows. At 100 TB this pipelines through the
     * scan like emb_quant.
     */
-  def randomProjection(spark: SparkSession, dir: String): DataFrame =
+  /** s(i,j) = ±1 from the parity of md5("i:j")'s first hex digit —
+    * derived ONCE at plan time (the matrix is a deterministic constant;
+    * recomputing 64×16 md5 calls per ROW cost 2.6 s → 0.2 s at sf0.1).
+    * The DuckDB oracle keeps the md5 formula inline, so a derivation
+    * mismatch here would hash-fail the oracle.
+    */
+  private lazy val rpSigns: IndexedSeq[IndexedSeq[Int]] =
+    for (j <- 0 until 16) yield for (i <- 0 until 64) yield {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8"))
+      1 - 2 * (((md(0) >> 4) & 0xf) % 2)
+    }
+
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    // measured shapes at sf0.1 (6 runs, warm floor): md5 recomputed
+    // per row 2.60 s; literal sign matrix + HOF aggregate 0.61 s; fully
+    // unrolled 1024-term ±element_at expression 1.61 s (the giant tree
+    // defeats codegen method limits) — the literal-array HOF wins
+    val signsLit = rpSigns.map(_.mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("xq", expr(
+        "transform(emb, x -> cast(round(x * 1000000.0) as bigint))"))
       .select(col("vec_id"), posexplode(expr(
-        """transform(sequence(0, 15), j ->
-          |  aggregate(sequence(0, size(emb) - 1), cast(0 as bigint), (acc, i) ->
-          |    acc + cast(round(element_at(emb, i + 1) * 1000000.0) as bigint) *
-          |      (1 - 2 * ((instr('0123456789abcdef',
-          |         substr(md5(concat(cast(i as string), ':', cast(j as string))), 1, 1)) - 1) % 2))))""".stripMargin)))
+        s"""transform(sequence(0, 15), j ->
+           |  aggregate(sequence(0, size(xq) - 1), cast(0 as bigint), (acc, i) ->
+           |    acc + element_at(xq, i + 1) *
+           |      element_at(element_at($signsLit, j + 1), i + 1)))""".stripMargin)))
       .toDF("vec_id", "out_dim", "y")
       .select(col("vec_id"), col("out_dim").cast("bigint").as("out_dim"), col("y"))
+  }
 
   val randomProjectionSql: String =
     """SELECT e.vec_id, CAST(j AS BIGINT) AS out_dim,
