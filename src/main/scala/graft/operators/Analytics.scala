@@ -341,7 +341,60 @@ object Analytics {
       |       CAST(SUM(cents) AS DOUBLE) / 100 AS sum_price
       |FROM c, b GROUP BY 1""".stripMargin
 
+  /** Histogram quantile sketch — the quantile path that actually scales:
+    * exact percentiles buffer whole groups (q_percentiles is the exact
+    * small-group baseline), but at 100 TB a single-group percentile must
+    * stream. A fixed 1024-bin equi-width histogram gives every quantile
+    * with ≤ 1/1024-of-range error in ONE corpus pass: bin counts
+    * aggregate map-side, the cumulative walk runs over AT MOST 1024
+    * rows (bounded — not a corpus window), and each requested quantile
+    * picks the first bin whose cumulative count crosses ⌈q·N⌉.
+    * Everything is integer-exact (cents, integral bin edges), so the
+    * SKETCH ITSELF is oracle-hash-checked, not just its error bound.
+    * Output per q ∈ {50, 90, 99}: the crossing bin, its lower edge in
+    * cents (the quantile estimate), and N.
+    */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(expr("cast(round(value * 100) as bigint)").as("v"))
+    val mm = ev.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+      count(lit(1)).as("n_total"))
+    val binned = ev.crossJoin(broadcast(mm))
+      .withColumn("bin", expr("((v - vmin) * 1024) div (vmax - vmin + 1)"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_bin"))
+    val wcum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned.withColumn("cum_n", sum(col("n_bin")).over(wcum))
+    val qs = spark.sql("SELECT explode(array(bigint(50), bigint(90), bigint(99))) AS q_pct")
+    cum.crossJoin(broadcast(mm)).join(broadcast(qs),
+        col("cum_n") * 100 >= col("q_pct") * col("n_total"))
+      .groupBy(col("q_pct"))
+      .agg(min(col("bin")).as("bin"), max(col("n_total")).as("n_total"),
+        max(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+      .withColumn("est_cents", expr("vmin + (bin * (vmax - vmin + 1)) div 1024"))
+      .select(col("q_pct"), col("bin"), col("est_cents"), col("n_total"))
+  }
+
+  val quantileSketchSql: String =
+    """WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events),
+      |mm AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax, COUNT(*) AS n_total FROM v),
+      |binned AS (
+      |  SELECT ((v - vmin) * 1024) // (vmax - vmin + 1) AS bin, COUNT(*) AS n_bin
+      |  FROM v, mm GROUP BY 1),
+      |cum AS (
+      |  SELECT bin, CAST(SUM(n_bin) OVER (ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+      |  FROM binned),
+      |qs AS (SELECT unnest([50, 90, 99]) AS q_pct)
+      |SELECT CAST(q_pct AS BIGINT) AS q_pct, CAST(MIN(bin) AS BIGINT) AS bin,
+      |       CAST(MAX(vmin) + (MIN(bin) * (MAX(vmax) - MAX(vmin) + 1)) // 1024 AS BIGINT) AS est_cents,
+      |       CAST(MAX(n_total) AS BIGINT) AS n_total
+      |FROM cum, mm, qs
+      |WHERE cum_n * 100 >= q_pct * n_total
+      |GROUP BY q_pct""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_sketch" -> (quantileSketch _),
     "q_histogram" -> (histogram _),
     "q_unpivot" -> (unpivotMeasures _),
     "q_window_dist" -> (windowDist _),
@@ -356,6 +409,7 @@ object Analytics {
     "q_string_funcs2" -> (stringFuncs2 _))
 
   val oracles: Map[String, String] = Map(
+    "q_quantile_sketch" -> quantileSketchSql,
     "q_histogram" -> histogramSql,
     "q_unpivot" -> unpivotMeasuresSql,
     "q_window_dist" -> windowDistSql,

@@ -30,7 +30,10 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "mixture_weights" -> "global-window",
       // window input is the DISTINCT-term count aggregate: rows = |vocab|
       // (≪ corpus; the bpe_train justification), not corpus tokens
-      "text_vocab_coverage" -> "global-window")
+      "text_vocab_coverage" -> "global-window",
+      // cumulative walk over the 1024-bin histogram: rows ≤ 1024 by
+      // construction regardless of corpus size
+      "q_quantile_sketch" -> "global-window")
     // a GLOBAL window is a Window node feeding from Exchange
     // SinglePartition (possibly through its Sort) — matching the node
     // STRUCTURE, not bare substrings: a runtime bloom-filter subquery
