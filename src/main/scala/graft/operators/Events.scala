@@ -717,8 +717,67 @@ object Events {
       |       CAST(SUM(len) AS BIGINT) AS n_active_days
       |FROM st GROUP BY 1""".stripMargin
 
+  /** CUSUM changepoint detection per event type — "when did the level
+    * shift?": the hour T maximizing |Σ_{t≤T}(x_t − μ)| over the hourly
+    * count series. Multiplying through by n keeps it exact: the peak
+    * statistic is |n·cum_T − T·S| with S=Σx, evaluated in decimal(38,0)
+    * /HUGEINT and reported back in count units (div n) so the output
+    * column is BIGINT in both engines. Tie-break: earliest hour.
+    * [[anomaly]] flags outlier HOURS against a stable mean; this finds
+    * the structural break a mean-shift leaves behind.
+    *
+    * Scale shape: one corpus shuffle to (type, hour) counts; the cusum
+    * window and the argmax window are both PARTITIONED by type (series
+    * length per type, never corpus rows); per-type moments broadcast.
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("hour_epoch"))
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      .agg(count(lit(1)).as("x"))
+    val stats = counts.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    counts.join(broadcast(stats), "event_type")
+      .withColumn("cum",
+        sum(col("x")).over(byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", row_number().over(byType))
+      .withColumn("peak", expr(
+        "abs(cast(cum as decimal(38,0)) * n - cast(t as decimal(38,0)) * s) div n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("peak").desc, col("hour_epoch"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("hour_epoch").as("cp_hour_epoch"),
+        col("peak").cast("bigint").as("cusum_peak"), col("n").as("n_hours"))
+  }
+
+  val changepointSql: String =
+    """WITH counts AS (
+      |  SELECT event_type, CAST(epoch(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,
+      |         COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s
+      |          FROM counts GROUP BY 1),
+      |cum AS (
+      |  SELECT c.event_type, c.hour_epoch, t.n, t.s,
+      |    CAST(SUM(c.x) OVER (PARTITION BY c.event_type ORDER BY c.hour_epoch
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    ROW_NUMBER() OVER (PARTITION BY c.event_type ORDER BY c.hour_epoch) AS t
+      |  FROM counts c JOIN stats t USING (event_type)),
+      |peaks AS (
+      |  SELECT event_type, hour_epoch, n,
+      |    abs(CAST(cum AS HUGEINT) * n - CAST(t AS HUGEINT) * s) // n AS peak,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY abs(CAST(cum AS HUGEINT) * n - CAST(t AS HUGEINT) * s) // n DESC,
+      |               hour_epoch) AS rn
+      |  FROM cum)
+      |SELECT event_type, hour_epoch AS cp_hour_epoch,
+      |       CAST(peak AS BIGINT) AS cusum_peak, CAST(n AS BIGINT) AS n_hours
+      |FROM peaks WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_anomaly" -> (anomaly _),
+    "q_changepoint" -> (changepoint _),
     "q_islands" -> (activityStreaks _),
     "q_active_users" -> (activeUsers _),
     "q_attribution" -> (attribution _),
@@ -742,6 +801,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "q_attribution" -> attributionSql,
     "q_islands" -> activityStreaksSql,
+    "q_changepoint" -> changepointSql,
     "q_events_transition" -> transitionsSql,
     "q_gapfill" -> gapFillSql,
     "q_events_anomaly" -> anomalySql,
