@@ -775,9 +775,42 @@ object Events {
       |       CAST(peak AS BIGINT) AS cusum_peak, CAST(n AS BIGINT) AS n_hours
       |FROM peaks WHERE rn = 1""".stripMargin
 
+  /** Unordered-completion milestones (batch mirror of the streaming
+    * MapState detector): a user completes when they have performed ALL
+    * tracked event types in any order; completed_us = the latest of the
+    * per-step FIRST event times — exactly when the streaming detector
+    * emits. The ordered-sequence variant is [[funnel]]; this is the
+    * any-order cohort-qualification cut.
+    *
+    * Scale shape: corpus filters to tracked types at the scan
+    * (PushedFilters), then two map-side-combined aggregations keyed by
+    * (user, type) → user. No window, no join.
+    */
+  def milestones(spark: SparkSession, dir: String): DataFrame = {
+    val steps = Seq("signup", "view", "purchase")
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin(steps: _*))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_steps"), max(col("first_us")).as("completed_us"))
+      .filter(col("n_steps") === steps.size)
+      .select(col("user_id"), col("completed_us"))
+  }
+
+  val milestonesSql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_type, MIN(epoch_us(ts)) AS first_us
+      |  FROM events
+      |  WHERE event_type IN ('signup', 'view', 'purchase')
+      |  GROUP BY 1, 2)
+      |SELECT user_id, CAST(MAX(first_us) AS BIGINT) AS completed_us
+      |FROM f GROUP BY 1 HAVING COUNT(*) = 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_anomaly" -> (anomaly _),
     "q_changepoint" -> (changepoint _),
+    "q_milestone" -> (milestones _),
     "q_islands" -> (activityStreaks _),
     "q_active_users" -> (activeUsers _),
     "q_attribution" -> (attribution _),
@@ -802,6 +835,7 @@ object Events {
     "q_attribution" -> attributionSql,
     "q_islands" -> activityStreaksSql,
     "q_changepoint" -> changepointSql,
+    "q_milestone" -> milestonesSql,
     "q_events_transition" -> transitionsSql,
     "q_gapfill" -> gapFillSql,
     "q_events_anomaly" -> anomalySql,

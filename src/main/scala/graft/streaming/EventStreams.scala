@@ -350,6 +350,63 @@ object EventStreams {
   }
   private val DoneKey = " done"
 
+  case class Dormant(user_id: Long, last_seen_us: Long, alert_at_ms: Long)
+
+  /** Dormancy (churn) alerting on `transformWithState` EVENT-TIME TIMERS
+    * — the third leg of the Spark 4 arbitrary-state API after ValueState
+    * ([[burstStream]]) and MapState ([[milestoneStream]]): a user who
+    * goes quiet for `quietUs` of event time gets exactly one alert, fired
+    * by the state store's timer machinery when the WATERMARK passes
+    * last_seen + quiet — not by polling and not by piggybacking on the
+    * user's own (absent, that's the point) traffic. Each new event
+    * deletes the pending timer and registers the pushed-back one, so a
+    * returning user cancels their alert; state is one (lastSeen) value +
+    * one timer per user.
+    */
+  private class DormancyDetector(quietUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Dormant] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var lastSeen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long]("lastSeen",
+        Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[Dormant] = {
+      val maxUs = rows.map(e => tsUs(e.ts)).max
+      if (lastSeen.exists()) {
+        val prev = lastSeen.get()
+        if (maxUs > prev) {
+          getHandle.deleteTimer((prev + quietUs + 999L) / 1000L)
+          lastSeen.update(maxUs)
+          getHandle.registerTimer((maxUs + quietUs + 999L) / 1000L)
+        }
+      } else {
+        lastSeen.update(maxUs)
+        getHandle.registerTimer((maxUs + quietUs + 999L) / 1000L)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Dormant] = {
+      val out = Iterator.single(
+        Dormant(user, lastSeen.get(), info.getExpiryTimeInMs))
+      lastSeen.clear()
+      out
+    }
+  }
+
+  def dormancyStream(events: Dataset[Event],
+      quietUs: Long = 3600L * 1000000L): Dataset[Dormant] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new DormancyDetector(quietUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   def milestoneStream(events: Dataset[Event],
       steps: Seq[String] = Seq("signup", "view", "purchase")): Dataset[Milestone] = {
     import events.sparkSession.implicits._

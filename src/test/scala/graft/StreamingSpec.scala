@@ -403,6 +403,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(m => (m.user_id, m.completed_us, m.n_tracked_events)).toSet
       assert(got.nonEmpty && got == want.toSet,
         s"stream/fold diverged: missing=${(want.toSet -- got).take(5)} extra=${(got -- want.toSet).take(5)}")
+      // close the triangle: the batch q_milestone operator agrees too
+      val batch = graft.operators.Events.milestones(spark, sf0)
+        .as[(Long, Long)].collect().toSet
+      assert(batch == got.map(m => (m._1, m._2)),
+        s"batch/stream diverged: ${batch.diff(got.map(m => (m._1, m._2))).take(5)}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("transformWithState event-time timer fires the dormancy alert exactly once") {
+    // user 1 goes quiet at t0 (1h quiet window → deadline t0+60m);
+    // user 2 stays active until t0+55m (deadline t0+115m);
+    // a t0+2h event advances the watermark to t0+110m (10m delay), so
+    // exactly user 1's timer fires — by the state store's timer
+    // machinery, with no user-1 traffic in any later batch.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = EventStreams.dormancyStream(input.toDS(), quietUs = 3600L * 1000000L)
+      .writeStream.format("memory").queryName("dormant").outputMode("append").start()
+    try {
+      val t0 = 86400000L
+      def ev(id: Long, user: Long, offsetMin: Long) =
+        Event(id, new Timestamp(t0 + offsetMin * 60000L), user, "view", 1.0)
+      input.addData(ev(1, 1, 0), ev(2, 2, 0))
+      q.processAllAvailable()
+      input.addData(ev(3, 2, 30), ev(4, 2, 55))
+      q.processAllAvailable()
+      input.addData(ev(5, 3, 120))
+      q.processAllAvailable()
+      // one more batch so timers registered before the watermark moved fire
+      input.addData(ev(6, 3, 121))
+      q.processAllAvailable()
+      val got = spark.table("dormant").as[EventStreams.Dormant]
+        .collect().map(d => (d.user_id, d.last_seen_us)).toSet
+      assert(got == Set((1L, t0 * 1000L)),
+        s"expected exactly user 1 dormant at t0: $got")
     } finally {
       q.stop()
       prev match {
