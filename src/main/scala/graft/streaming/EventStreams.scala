@@ -350,6 +350,50 @@ object EventStreams {
   }
   private val DoneKey = " done"
 
+  case class ErrorContext(user_id: Long, error_event_id: Long, error_us: Long,
+      context_ids: Seq[Long])
+
+  /** Error-context capture on `transformWithState` typed ListState — the
+    * fourth state primitive (after ValueState, MapState, timers): when a
+    * user emits an `error` event, attach the event_ids of the ≤ 3
+    * events that PRECEDED it (the replay breadcrumb an on-call debugger
+    * wants), maintained as a bounded ListState ring buffer. `put`
+    * rewrites the trimmed window so state per user is ≤ 3 rows forever —
+    * the pattern for any "last N per key" stream join without keeping
+    * the whole history.
+    */
+  private class ErrorContextCapture
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, ErrorContext] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var recent: ListState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[(Long, Long)]("recent",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[ErrorContext] = {
+      val out = scala.collection.mutable.ListBuffer[ErrorContext]()
+      var buf = if (recent.exists()) recent.get().toList else Nil
+      rows.toSeq.sortBy(e => (tsUs(e.ts), e.event_id)).foreach { e =>
+        if (e.event_type == "error")
+          out += ErrorContext(user, e.event_id, tsUs(e.ts), buf.map(_._1))
+        buf = (buf :+ (e.event_id, tsUs(e.ts))).takeRight(3)
+      }
+      recent.put(buf.toArray)
+      out.iterator
+    }
+  }
+
+  def errorContextStream(events: Dataset[Event]): Dataset[ErrorContext] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .transformWithState(new ErrorContextCapture,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   case class Dormant(user_id: Long, last_seen_us: Long, alert_at_ms: Long)
 
   /** Dormancy (churn) alerting on `transformWithState` EVENT-TIME TIMERS

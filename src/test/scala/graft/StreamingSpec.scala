@@ -417,6 +417,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("transformWithState ListState captures the 3 events preceding each error") {
+    // breadcrumbs survive micro-batch boundaries: the error in batch 2
+    // must see context from batch 1, trimmed to the latest 3
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = EventStreams.errorContextStream(input.toDS())
+      .writeStream.format("memory").queryName("errctx").outputMode("append").start()
+    try {
+      def ev(id: Long, tpe: String) =
+        Event(id, new Timestamp(86400000L + id * 1000L), 1L, tpe, 1.0)
+      input.addData(ev(1, "view"), ev(2, "click"), ev(3, "view"), ev(4, "click"))
+      q.processAllAvailable()
+      input.addData(ev(5, "error"), ev(6, "view"), ev(7, "error"))
+      q.processAllAvailable()
+      val got = spark.table("errctx").as[EventStreams.ErrorContext]
+        .collect().map(c => (c.error_event_id, c.context_ids.toList)).toMap
+      assert(got == Map(5L -> List(2L, 3L, 4L), 7L -> List(4L, 5L, 6L)),
+        s"contexts wrong: $got")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState event-time timer fires the dormancy alert exactly once") {
     // user 1 goes quiet at t0 (1h quiet window → deadline t0+60m);
     // user 2 stays active until t0+55m (deadline t0+115m);
