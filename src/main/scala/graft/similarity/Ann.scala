@@ -996,7 +996,71 @@ object Ann {
       |       substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)) - 1) % 2)))) AS BIGINT) AS y
       |FROM embeddings e, unnest(generate_series(0, 15)) t(j)""".stripMargin
 
+  /** Distributed PCA, top principal component by power iteration — the
+    * spectral sibling of [[kmeans]]: the 64×64 Gram matrix C = XᵀX is
+    * computed ON-CLUSTER in one pass (in-row outer products over a flat
+    * 4096 index, partial-aggregated map-side so the shuffle carries ≤
+    * 4096 rows per partition), then three power iterations v ← C·v run
+    * on the collected 4096-entry C — a bounded model artifact, the
+    * emb_pq-codebook precedent (the corpus never leaves the cluster;
+    * only the dimension-squared summary does). EVERY number is integral:
+    * coordinates quantize to round(x·1e6) (emb_centroids scheme), Gram
+    * sums run in decimal(38,0)/HUGEINT, and each iteration re-normalizes
+    * to ±1e6 by integer division (truncation toward zero — Spark `div`,
+    * DuckDB `//`, and BigInt.`/` all agree), so the eigenvector estimate
+    * is hash-exact across engines with no sqrt/float anywhere.
+    */
+  def pca(spark: SparkSession, dir: String): DataFrame = {
+    val gram = Tables.embeddings(spark, dir)
+      .select(expr(
+        "transform(cast(embedding as array<double>), x -> cast(round(x * 1000000.0) as bigint))").as("xq"))
+      .select(posexplode(expr(
+        """transform(sequence(0, 4095), k ->
+          |  element_at(xq, cast(k div 64 + 1 as int)) * element_at(xq, cast(k % 64 + 1 as int)))""".stripMargin)))
+      .toDF("k", "p")
+      .groupBy(col("k")).agg(sum(expr("cast(p as decimal(38,0))")).as("c"))
+    // 4096-entry Gram = the model artifact (bounded at any corpus size)
+    val c = Array.ofDim[BigInt](4096)
+    gram.collect().foreach(r =>
+      c(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
+    var v = Array.fill(64)(BigInt(1000000))
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(64)(i => (0 until 64).map(j => c(i * 64 + j) * v(j)).sum)
+      val m = w.map(_.abs).max.max(BigInt(1))
+      v = w.map(x => x * 1000000 / m)
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, i) => (i.toLong, x.toLong) }.toSeq
+      .toDF("dim", "v_ppm")
+  }
+
+  val pcaSql: String =
+    """WITH xq AS (
+      |  SELECT list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS xq
+      |  FROM embeddings),
+      |gram AS (
+      |  SELECT k, SUM(CAST(xq[k // 64 + 1] AS HUGEINT) * xq[k % 64 + 1]) AS c
+      |  FROM xq, unnest(generate_series(0, 4095)) t(k)
+      |  GROUP BY k),
+      |v0 AS (SELECT unnest(generate_series(0, 63)) AS d, CAST(1000000 AS HUGEINT) AS v),
+      |w1 AS (SELECT g.k // 64 AS d, SUM(g.c * v0.v) AS w
+      |       FROM gram g JOIN v0 ON g.k % 64 = v0.d GROUP BY 1),
+      |m1 AS (SELECT greatest(MAX(abs(w)), 1) AS m FROM w1),
+      |v1 AS (SELECT d, w * 1000000 // m AS v FROM w1, m1),
+      |w2 AS (SELECT g.k // 64 AS d, SUM(g.c * v1.v) AS w
+      |       FROM gram g JOIN v1 ON g.k % 64 = v1.d GROUP BY 1),
+      |m2 AS (SELECT greatest(MAX(abs(w)), 1) AS m FROM w2),
+      |v2 AS (SELECT d, w * 1000000 // m AS v FROM w2, m2),
+      |w3 AS (SELECT g.k // 64 AS d, SUM(g.c * v2.v) AS w
+      |       FROM gram g JOIN v2 ON g.k % 64 = v2.d GROUP BY 1),
+      |m3 AS (SELECT greatest(MAX(abs(w)), 1) AS m FROM w3),
+      |v3 AS (SELECT d, w * 1000000 // m AS v FROM w3, m3)
+      |SELECT CAST(d AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_ppm
+      |FROM v3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pca" -> (pca _),
     "emb_rp" -> (randomProjection _),
     "emb_outliers" -> (outliers _),
     "emb_pq" -> (pq _),
@@ -1013,6 +1077,7 @@ object Ann {
     "emb_centroids" -> (labelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "emb_pca" -> pcaSql,
     "emb_rp" -> randomProjectionSql,
     "ann_topk_ivf" -> topkIvfSql,
     "emb_pq" -> pqSql,

@@ -335,6 +335,37 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"JL per-pair spread [${ratios.min}%.3f, ${ratios.max}%.3f] wider than the 1/√16 scale allows")
   }
 
+  test("emb_pca: integer power iterations climb the Rayleigh quotient toward λmax") {
+    // The gaussian fixture's Gram spectrum is FLAT (λ1/λ2 ≈ 1.07
+    // measured), so eigenVECTOR alignment after 3 rounds is not a
+    // meaningful target — for ANY method. What power iteration does
+    // guarantee is monotone Rayleigh-quotient ascent; assert the
+    // operator's 3 integer-normalized rounds recover most of λmax
+    // (estimated by 60 double-precision rounds test-side).
+    val vecs = Tables.embeddings(spark, sf).select("embedding")
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = 64
+    val c = Array.ofDim[Double](d, d)
+    for (x <- vecs; i <- 0 until d; j <- 0 until d) c(i)(j) += x(i) * x(j)
+    def rayleigh(v: Array[Double]): Double = {
+      val cv = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      (0 until d).map(i => v(i) * cv(i)).sum / v.map(x => x * x).sum
+    }
+    var ref = Array.fill(d)(1.0)
+    for (_ <- 1 to 60) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * ref(j)).sum)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      ref = w.map(_ / n)
+    }
+    val got = similarity.Ann.pca(spark, sf).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1).toDouble).toMap
+    val v = Array.tabulate(d)(got)
+    val (r0, r3, rMax) = (rayleigh(Array.fill(d)(1.0)), rayleigh(v), rayleigh(ref))
+    info(f"emb_pca rayleigh: start $r0%.2f -> 3 iters $r3%.2f (λmax est $rMax%.2f)")
+    assert(r3 > r0, f"no ascent: $r3%.2f <= $r0%.2f")
+    assert(r3 >= 0.7 * rMax, f"too far from λmax: $r3%.2f vs $rMax%.2f")
+  }
+
   test("text_lang_id: 100% on genuine-language fixtures") {
     // The synthetic testdata draws every document from ONE shared 31-word
     // English vocabulary regardless of its lang label (verified: no CJK
