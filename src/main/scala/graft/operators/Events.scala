@@ -807,9 +807,94 @@ object Events {
       |SELECT user_id, CAST(MAX(first_us) AS BIGINT) AS completed_us
       |FROM f GROUP BY 1 HAVING COUNT(*) = 3""".stripMargin
 
+  /** RFM customer segmentation — recency (days since last event, vs the
+    * corpus anchor day), frequency (events), monetary (exact cents) per
+    * user, each scored 1–4 against the population's exact quartile
+    * thresholds, composed into the classic 3-digit RFM code. Thresholds
+    * come from `percentile` over INTEGRAL inputs (the q_percentiles
+    * exactness trick), so the cuts — and therefore every score — are
+    * engine-exact.
+    *
+    * Scale shape: one shuffle to per-user aggregates; the threshold row
+    * and anchor day are single-row broadcasts; scoring is map-side. At
+    * extreme user counts the exact-percentile threshold aggregate is
+    * the binding constraint — swap in the q_quantile_sketch histogram
+    * thresholds (broadcast-compatible by construction) above ~10⁸ users.
+    */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(expr("unix_micros(ts) div 86400000000")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(graft.functions.Portable.cents(col("value"))).as("monetary_cents"))
+    val anchor = perUser.agg(max(col("last_day")).as("d1"))
+    val base = perUser.crossJoin(broadcast(anchor))
+      .withColumn("recency_days", col("d1") - col("last_day"))
+    val th = base.agg(
+      expr("percentile(recency_days, 0.25)").as("r25"),
+      expr("percentile(recency_days, 0.5)").as("r50"),
+      expr("percentile(recency_days, 0.75)").as("r75"),
+      expr("percentile(frequency, 0.25)").as("f25"),
+      expr("percentile(frequency, 0.5)").as("f50"),
+      expr("percentile(frequency, 0.75)").as("f75"),
+      expr("percentile(monetary_cents, 0.25)").as("m25"),
+      expr("percentile(monetary_cents, 0.5)").as("m50"),
+      expr("percentile(monetary_cents, 0.75)").as("m75"))
+    base.crossJoin(broadcast(th))
+      .withColumn("r_score", expr(
+        "4 - if(recency_days > r25, 1, 0) - if(recency_days > r50, 1, 0) - if(recency_days > r75, 1, 0)").cast("long"))
+      .withColumn("f_score", expr(
+        "1 + if(frequency > f25, 1, 0) + if(frequency > f50, 1, 0) + if(frequency > f75, 1, 0)").cast("long"))
+      .withColumn("m_score", expr(
+        "1 + if(monetary_cents > m25, 1, 0) + if(monetary_cents > m50, 1, 0) + if(monetary_cents > m75, 1, 0)").cast("long"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm_code"))
+  }
+
+  val rfmSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MAX(epoch_us(ts) // 86400000000) AS last_day,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      |  FROM events GROUP BY 1),
+      |a AS (SELECT MAX(last_day) AS d1 FROM u),
+      |b AS (SELECT u.*, d1 - last_day AS recency_days FROM u, a),
+      |t AS (SELECT
+      |    quantile_cont(recency_days, 0.25) AS r25, quantile_cont(recency_days, 0.5) AS r50,
+      |    quantile_cont(recency_days, 0.75) AS r75,
+      |    quantile_cont(frequency, 0.25) AS f25, quantile_cont(frequency, 0.5) AS f50,
+      |    quantile_cont(frequency, 0.75) AS f75,
+      |    quantile_cont(monetary_cents, 0.25) AS m25, quantile_cont(monetary_cents, 0.5) AS m50,
+      |    quantile_cont(monetary_cents, 0.75) AS m75
+      |  FROM b)
+      |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, frequency,
+      |  monetary_cents,
+      |  CAST(4 - CASE WHEN recency_days > r25 THEN 1 ELSE 0 END
+      |         - CASE WHEN recency_days > r50 THEN 1 ELSE 0 END
+      |         - CASE WHEN recency_days > r75 THEN 1 ELSE 0 END AS BIGINT) AS r_score,
+      |  CAST(1 + CASE WHEN frequency > f25 THEN 1 ELSE 0 END
+      |         + CASE WHEN frequency > f50 THEN 1 ELSE 0 END
+      |         + CASE WHEN frequency > f75 THEN 1 ELSE 0 END AS BIGINT) AS f_score,
+      |  CAST(1 + CASE WHEN monetary_cents > m25 THEN 1 ELSE 0 END
+      |         + CASE WHEN monetary_cents > m50 THEN 1 ELSE 0 END
+      |         + CASE WHEN monetary_cents > m75 THEN 1 ELSE 0 END AS BIGINT) AS m_score,
+      |  CAST((4 - CASE WHEN recency_days > r25 THEN 1 ELSE 0 END
+      |          - CASE WHEN recency_days > r50 THEN 1 ELSE 0 END
+      |          - CASE WHEN recency_days > r75 THEN 1 ELSE 0 END) * 100
+      |     + (1 + CASE WHEN frequency > f25 THEN 1 ELSE 0 END
+      |          + CASE WHEN frequency > f50 THEN 1 ELSE 0 END
+      |          + CASE WHEN frequency > f75 THEN 1 ELSE 0 END) * 10
+      |     + (1 + CASE WHEN monetary_cents > m25 THEN 1 ELSE 0 END
+      |          + CASE WHEN monetary_cents > m50 THEN 1 ELSE 0 END
+      |          + CASE WHEN monetary_cents > m75 THEN 1 ELSE 0 END) AS BIGINT) AS rfm_code
+      |FROM b, t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_anomaly" -> (anomaly _),
     "q_changepoint" -> (changepoint _),
+    "q_rfm" -> (rfm _),
     "q_milestone" -> (milestones _),
     "q_islands" -> (activityStreaks _),
     "q_active_users" -> (activeUsers _),
@@ -836,6 +921,7 @@ object Events {
     "q_islands" -> activityStreaksSql,
     "q_changepoint" -> changepointSql,
     "q_milestone" -> milestonesSql,
+    "q_rfm" -> rfmSql,
     "q_events_transition" -> transitionsSql,
     "q_gapfill" -> gapFillSql,
     "q_events_anomaly" -> anomalySql,
