@@ -1011,12 +1011,50 @@ object Ann {
     * is hash-exact across engines with no sqrt/float anywhere.
     */
   def pca(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Gram accumulation is genuine per-partition imperative work (the
+    // rare sanctioned mapPartitions case): a tight 64×64 long loop per
+    // row beats 4096 interpreted HOF lambda calls per row by 10×
+    // (6.4 s → 0.6 s at sf0.1). Exactness: xi·xj ≤ 2.5e13 for |x| ≤ 5,
+    // so 16384 rows accumulate in a Long with 20× headroom before each
+    // chunk flushes into BigInteger; partials leave the executor as
+    // strings and re-enter the plan as decimal(38,0) — one 4096-row-per-
+    // partition shuffle, same as any map-side-combined aggregate.
     val gram = Tables.embeddings(spark, dir)
       .select(expr(
         "transform(cast(embedding as array<double>), x -> cast(round(x * 1000000.0) as bigint))").as("xq"))
-      .select(posexplode(expr(
-        """transform(sequence(0, 4095), k ->
-          |  element_at(xq, cast(k div 64 + 1 as int)) * element_at(xq, cast(k % 64 + 1 as int)))""".stripMargin)))
+      .as[Seq[Long]]
+      .mapPartitions { it =>
+        val acc = Array.fill(4096)(java.math.BigInteger.ZERO)
+        val loc = new Array[Long](4096)
+        var cnt = 0
+        def flush(): Unit = {
+          var k = 0
+          while (k < 4096) {
+            if (loc(k) != 0L) {
+              acc(k) = acc(k).add(java.math.BigInteger.valueOf(loc(k)))
+              loc(k) = 0L
+            }
+            k += 1
+          }
+          cnt = 0
+        }
+        it.foreach { v =>
+          val x = v.toArray
+          var i = 0
+          while (i < 64) {
+            val xi = x(i)
+            val base = i * 64
+            var j = 0
+            while (j < 64) { loc(base + j) += xi * x(j); j += 1 }
+            i += 1
+          }
+          cnt += 1
+          if (cnt == 16384) flush()
+        }
+        flush()
+        (0 until 4096).iterator.map(k => (k, acc(k).toString))
+      }
       .toDF("k", "p")
       .groupBy(col("k")).agg(sum(expr("cast(p as decimal(38,0))")).as("c"))
     // 4096-entry Gram = the model artifact (bounded at any corpus size)
