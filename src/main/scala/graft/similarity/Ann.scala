@@ -1097,7 +1097,47 @@ object Ann {
       |SELECT CAST(d AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_ppm
       |FROM v3""".stripMargin
 
+  /** Triangle counting over the kNN graph — the local-clustering
+    * primitive that completes the graph family (CC, PageRank): a
+    * vector in many triangles sits inside a dense semantic cluster;
+    * triangle-free vectors are hubs or noise. Classic rank-ordered
+    * wedge algorithm: canonical u<v edges, wedges join on the shared
+    * LOW vertex with v<w (each triangle counted exactly once), closed
+    * by one edge-set semi-join; per-vertex counts via an in-row
+    * 3-corner explode.
+    *
+    * Scale shape: edge set is k·n (knn output, NOT all pairs); the
+    * wedge join fans out deg²/2 per vertex — bounded by k² per low
+    * vertex here — and both joins shuffle on small keys. Linear in
+    * n·k² at any corpus size.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val g = knnGraph(spark, dir)
+    val e = g.select(least(col("query_id"), col("neighbor_id")).as("u"),
+        greatest(col("query_id"), col("neighbor_id")).as("v"))
+      .distinct()
+    val wedges = e.as("e1").join(e.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    wedges.join(e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val trianglesSql: String =
+    s"""WITH g AS ($knnGraphSql),
+       |e AS (SELECT DISTINCT least(query_id, neighbor_id) AS u,
+       |             greatest(query_id, neighbor_id) AS v FROM g),
+       |w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |      FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v),
+       |tri AS (SELECT a, b, c FROM w JOIN e ON w.b = e.u AND w.c = e.v)
+       |SELECT vec_id, COUNT(*) AS n_triangles
+       |FROM (SELECT unnest([a, b, c]) AS vec_id FROM tri) t
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_triangles" -> (triangles _),
     "emb_pca" -> (pca _),
     "emb_rp" -> (randomProjection _),
     "emb_outliers" -> (outliers _),
@@ -1115,6 +1155,7 @@ object Ann {
     "emb_centroids" -> (labelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "graph_triangles" -> trianglesSql,
     "emb_pca" -> pcaSql,
     "emb_rp" -> randomProjectionSql,
     "ann_topk_ivf" -> topkIvfSql,

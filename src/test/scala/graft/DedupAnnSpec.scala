@@ -335,6 +335,25 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"JL per-pair spread [${ratios.min}%.3f, ${ratios.max}%.3f] wider than the 1/√16 scale allows")
   }
 
+  test("graph_triangles matches brute-force enumeration on the knn graph") {
+    val edges = similarity.Ann.knnGraph(spark, sf).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+      .withDefaultValue(Set.empty[Long])
+    val neighbors = (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+      .withDefaultValue(Set.empty[Long])
+    val want = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((u, v) <- edges; w <- adj(u) if v < w && neighbors(v).contains(w)) {
+      want(u) += 1; want(v) += 1; want(w) += 1
+    }
+    val got = similarity.Ann.triangles(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got == want.toMap,
+      s"triangle counts diverged: ${(want.toSet -- got.toSet).take(3)} vs ${(got.toSet -- want.toSet).take(3)}")
+  }
+
   test("emb_pca: integer power iterations climb the Rayleigh quotient toward λmax") {
     // The gaussian fixture's Gram spectrum is FLAT (λ1/λ2 ≈ 1.07
     // measured), so eigenVECTOR alignment after 3 rounds is not a
