@@ -1097,7 +1097,7 @@ object Ann {
       |SELECT CAST(d AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_ppm
       |FROM v3""".stripMargin
 
-  /** Triangle counting over the kNN graph — the local-clustering
+  /** Triangle counting over a kNN graph — the local-clustering
     * primitive that completes the graph family (CC, PageRank): a
     * vector in many triangles sits inside a dense semantic cluster;
     * triangle-free vectors are hubs or noise. Classic rank-ordered
@@ -1109,10 +1109,16 @@ object Ann {
     * Scale shape: edge set is k·n (knn output, NOT all pairs); the
     * wedge join fans out deg²/2 per vertex — bounded by k² per low
     * vertex here — and both joins shuffle on small keys. Linear in
-    * n·k² at any corpus size.
+    * n·k² at any corpus size. Parameterized on the edge set so the
+    * substrate scales independently of the wedge algebra: the
+    * REGISTERED query runs on the IVF cell-routed graph
+    * ([[knnGraphIvf]] — no full-corpus broadcast anywhere in the
+    * plan; round-8, was the exact graph), while the exact
+    * full-corpus-broadcast graph stays a test-side cross-check
+    * (DedupAnnSpec) — the same exact/IVF split as
+    * emb_knn_graph / emb_knn_graph_ivf.
     */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val g = knnGraph(spark, dir)
+  private[graft] def trianglesOf(g: DataFrame): DataFrame = {
     val e = g.select(least(col("query_id"), col("neighbor_id")).as("u"),
         greatest(col("query_id"), col("neighbor_id")).as("v"))
       .distinct()
@@ -1125,8 +1131,16 @@ object Ann {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(knnGraphIvf(spark, dir))
+
+  /** DuckDB replay of [[triangles]]: the wedge algebra over the
+    * [[knnGraphIvfSql]] edge set — the ENTIRE path including the IVF
+    * routing hash-checks because the quantizer is exact integer
+    * arithmetic (same mechanical oracle extension as emb_knn_graph_ivf).
+    */
   val trianglesSql: String =
-    s"""WITH g AS ($knnGraphSql),
+    s"""WITH g AS ($knnGraphIvfSql),
        |e AS (SELECT DISTINCT least(query_id, neighbor_id) AS u,
        |             greatest(query_id, neighbor_id) AS v FROM g),
        |w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c

@@ -335,23 +335,53 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"JL per-pair spread [${ratios.min}%.3f, ${ratios.max}%.3f] wider than the 1/√16 scale allows")
   }
 
-  test("graph_triangles matches brute-force enumeration on the knn graph") {
-    val edges = similarity.Ann.knnGraph(spark, sf).collect()
-      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
-      .toSet
-    val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
-      .withDefaultValue(Set.empty[Long])
-    val neighbors = (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
-      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
-      .withDefaultValue(Set.empty[Long])
-    val want = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
-    for ((u, v) <- edges; w <- adj(u) if v < w && neighbors(v).contains(w)) {
-      want(u) += 1; want(v) += 1; want(w) += 1
+  test("graph_triangles matches brute-force enumeration on both knn substrates") {
+    // the wedge algebra is substrate-independent: verify it against a
+    // brute-force enumeration on BOTH the exact graph (the declared
+    // oracle baseline) and the IVF-routed graph (the registered
+    // production substrate, round-8)
+    def bruteForce(g: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val edges = g.collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+        .toSet
+      val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+        .withDefaultValue(Set.empty[Long])
+      val neighbors = (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
+        .groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+        .withDefaultValue(Set.empty[Long])
+      val want = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((u, v) <- edges; w <- adj(u) if v < w && neighbors(v).contains(w)) {
+        want(u) += 1; want(v) += 1; want(w) += 1
+      }
+      want.toMap
     }
-    val got = similarity.Ann.triangles(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.nonEmpty && got == want.toMap,
-      s"triangle counts diverged: ${(want.toSet -- got.toSet).take(3)} vs ${(got.toSet -- want.toSet).take(3)}")
+    for (g <- Seq(similarity.Ann.knnGraph(spark, sf), similarity.Ann.knnGraphIvf(spark, sf))) {
+      val want = bruteForce(g)
+      val got = similarity.Ann.trianglesOf(g).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.nonEmpty && got == want,
+        s"triangle counts diverged: ${(want.toSet -- got.toSet).take(3)} vs ${(got.toSet -- want.toSet).take(3)}")
+    }
+  }
+
+  test("graph_triangles plan: no full-corpus broadcast feeds the wedge join") {
+    // round-7 verdict item 1: the registered triangles query must NOT
+    // inherit the exact graph's full-corpus broadcast. Every broadcast
+    // HINT in its logical plan has to be a declared small side — an
+    // aggregate (centroids, hot-cell list) or a limited panel — never a
+    // raw corpus scan.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LogicalPlan, ResolvedHint}
+    val plan = similarity.Ann.triangles(spark, sf).queryExecution.analyzed
+    val hinted = plan.collect { case h: ResolvedHint if h.hints.strategy.isDefined => h.child }
+    val offenders = hinted.filterNot { sub =>
+      sub.collectFirst {
+        case a: Aggregate => a
+        case l: GlobalLimit => l
+        case l: LocalLimit => l
+      }.isDefined
+    }
+    assert(offenders.isEmpty,
+      s"unbounded broadcast hint feeds graph_triangles:\n${offenders.mkString("\n")}")
   }
 
   test("emb_pca: integer power iterations climb the Rayleigh quotient toward λmax") {

@@ -57,6 +57,59 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scale-killer patterns in:\n${offenders.mkString("\n")}")
   }
 
+  test("no query broadcast-hints an unbounded corpus-sized side") {
+    // Round-7 verdict item 4: the cartesian/global-window guard above let
+    // a FULL-CORPUS broadcast sail through (graph_triangles over the exact
+    // knn graph). This guard closes that class: every broadcast HINT in
+    // every registered query's logical plan must be a declared small side.
+    // "Small" is structural — the hinted subtree either (a) touches no
+    // corpus-sized table at all (dims, bounds rows, model artifacts), or
+    // (b) passes through a cardinality-bounding node (Aggregate, Limit)
+    // between the corpus scan and the broadcast. A raw corpus scan under a
+    // broadcast hint is exactly the pattern that dies at 100 TB no matter
+    // what Catalyst estimates at test SF. Allowlist entries must argue
+    // declared-oracle-baseline status, not convenience.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, GlobalLimit, LocalLimit, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val corpus = Seq("embeddings", "documents", "events", "lineitem", "orders")
+    val allow = Map(
+      // the declared exact-scoring baseline: broadcasts the whole corpus
+      // as the query panel BY DESIGN (Scaladoc: the scale path is
+      // emb_knn_graph_ivf, which routes through coarse cells instead)
+      "emb_knn_graph" -> "exact-baseline corpus panel",
+      // fixed 20-id query panels: the broadcast side is filter(vec_id < 20)
+      // — ≤ 20 rows at ANY corpus size; bounded by the literal key
+      // predicate, which this structural guard can't see
+      "ann_topk" -> "fixed 20-id panel",
+      "emb_pq" -> "fixed 20-id panel",
+      // the declared modulo query panel (vec_id % 100 == 0) — the
+      // small-side oracle variant; a production caller passes an explicit
+      // bounded panel (Scaladoc)
+      "ann_range" -> "declared modulo query panel")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val hinted = fn(spark, sf).queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.isDefined => h.child
+      }
+      val bad = hinted.exists { sub =>
+        val scansCorpus = sub.collect { case l: LogicalRelation => l.relation }.exists {
+          case f: HadoopFsRelation =>
+            corpus.exists(f.location.rootPaths.mkString(",").contains)
+          case _ => false
+        }
+        val bounded = sub.collectFirst {
+          case a: Aggregate => a: Any
+          case d: Deduplicate => d: Any // distinct() pre-optimizer
+          case l: GlobalLimit => l: Any
+          case l: LocalLimit => l: Any
+        }.isDefined
+        scansCorpus && !bounded
+      }
+      if (bad && !allow.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded corpus-sized broadcast hint in: ${offenders.mkString(", ")}")
+  }
+
   test("salted join returns exactly the plain-join rows") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
