@@ -345,7 +345,104 @@ object Relational {
        | COUNT(*) AS n_orders, ${centsSumSql("o_totalprice")} AS total_spend
        |FROM orders GROUP BY 1""".stripMargin
 
+  /** TPC-H Q13 shape — customer order-count distribution: the OUTER-join
+    * decorrelation pattern (reference runs the stock TPC-H deck through
+    * DataFusion, `benches/query.rs:37-47`). A LEFT OUTER join whose
+    * predicate lives in the JOIN condition (not WHERE — that would turn
+    * it inner and drop the zero-order customers that are the query's
+    * point), then two stacked aggregations: per-customer order counts,
+    * then the histogram of those counts. The trimmed testdata schema has
+    * no o_comment, so the join-side predicate filters o_orderpriority
+    * instead — same shape, different literal.
+    *
+    * Scale shape: join shuffles on custkey; the first aggregate is
+    * map-side-combinable on the SAME custkey partitioning (no extra
+    * exchange — the groupBy key equals the join key), and the second
+    * aggregate's input is |customers| rows collapsing to a handful of
+    * count buckets.
+    */
+  def q13CustDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderpriority") =!= "1-URGENT")
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q21 shape — suppliers who kept waiting: the chained
+    * EXISTS / NOT EXISTS self-join pattern on the fact table, expressed
+    * Spark-first as LEFT SEMI then LEFT ANTI joins of lineitem against
+    * itself (Catalyst's own decorrelation target for the subqueries — no
+    * per-row re-scan anywhere). A supplier's returned ('R') line on a
+    * finished ('F') order counts only when ANOTHER supplier participated
+    * in the order (semi join) and NO other supplier's line was also
+    * returned (anti join). The trimmed schema has no
+    * commitdate/receiptdate, so "late" is l_returnflag = 'R' — the
+    * chain shape is identical.
+    *
+    * Scale shape: both self-joins shuffle lineitem on l_orderkey — the
+    * SAME key, so AQE/exchange reuse co-locates all three sides in one
+    * partitioning; supplier and nation are broadcast dims. The anti
+    * side is pre-filtered to returned lines only before the shuffle.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val l1 = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    val f = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("l_orderkey"))
+    val n = Tables.nation(spark, dir).filter(col("n_name") === "NATION_3")
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    l1.join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(f, Seq("l_orderkey"), "left_semi")
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21Sql: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier
+      | JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      | JOIN orders ON o_orderkey = l1.l_orderkey
+      | JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      | AND l1.l_returnflag = 'R'
+      | AND n_name = 'NATION_3'
+      | AND EXISTS (SELECT 1 FROM lineitem l2
+      |             WHERE l2.l_orderkey = l1.l_orderkey
+      |               AND l2.l_suppkey <> l1.l_suppkey)
+      | AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                 WHERE l3.l_orderkey = l1.l_orderkey
+      |                   AND l3.l_suppkey <> l1.l_suppkey
+      |                   AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_cust_distribution" -> (q13CustDistribution _),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -365,6 +462,8 @@ object Relational {
     "q_date_trunc" -> (dateTrunc _))
 
   val oracles: Map[String, String] = Map(
+    "q13_cust_distribution" -> q13Sql,
+    "q21_waiting_suppliers" -> q21Sql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,

@@ -54,6 +54,32 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q13: join-side predicate pushed to scan; outer join survives (no inner collapse)") {
+    // the query's point is customers with ZERO orders: the orderpriority
+    // predicate must stay in the JOIN (pushed to the orders SCAN, not
+    // applied as a post-join WHERE that would silently turn the join
+    // inner), and the count distribution stacks two hash aggregates
+    val p = planOf("q13_cust_distribution")
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"join-side predicate must reach the orders scan:\n$p")
+    assert(p.contains("LeftOuter"), s"outer join must survive optimization:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, "two-level aggregation expected")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q21: EXISTS/NOT EXISTS decorrelate to semi/anti joins — no per-row re-scan") {
+    // the chained-subquery shape must plan as hash semi/anti joins on
+    // l_orderkey (three bounded scans of lineitem total), never a
+    // nested-loop per-row re-scan; the anti side's returned-lines filter
+    // prunes at its scan
+    val p = planOf("q21_waiting_suppliers")
+    assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must become an anti join:\n$p")
+    assert("EqualTo\\(l_returnflag,R\\)".r.findAllIn(p).size >= 2,
+      "returned-lines filter must reach both l1 and l3 scans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_topk_orders: TakeOrderedAndProject, no global sort") {
     val p = planOf("q_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
