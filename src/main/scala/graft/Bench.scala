@@ -37,6 +37,16 @@ object Bench {
   private val StreamRows = 100000
   private val StreamChunks = 10
 
+  /** Queries whose committed floor exceeds this get one UNTIMED warm-up
+    * run before sampling (round-7 verdict item 3): the iterative heavies
+    * (dedup_cc, dedup_clusters, ann_topk_*) pay a 10–19 s first-run
+    * JIT/codegen spike — judge-measured 19.2 s cold vs 5.6 s steady on
+    * dedup_cc — which two driver captures in a row (r6, r7) couldn't
+    * absorb with min-of-3..6 adaptive sampling. Queries with NO committed
+    * floor (new this round) warm up too: their cost is unknown.
+    */
+  private[graft] val WarmupFloorSec = 3.0
+
   /** One query's bench outcome: min/stddev come from `timings`, `attempts`
     * is the true sample count (adaptive), `error` is the first throw seen
     * (a query can be both timed and flaky).
@@ -270,13 +280,38 @@ object Bench {
     }
     val sessT = run(ds => EventStreams.sessionize(ds))
     val anomT = run(ds => EventStreams.anomalyStream(ds))
+    // the transformWithState family (round-7 verdict item 5): all four
+    // arbitrary-state primitives — ValueState (burst), MapState
+    // (milestone), event-time timers (dormancy), ListState (error
+    // context) — timed through the RocksDB provider they require, so
+    // state-backend regressions are measurable, not just spec-covered.
+    // Provider conf is restored afterwards (the other mirrors run on the
+    // default provider, as in production batch/stream parity tests).
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (burstT, milestoneT, dormancyT, errctxT) =
+      try (
+        run(ds => EventStreams.burstStream(ds)),
+        run(ds => EventStreams.milestoneStream(ds)),
+        run(ds => EventStreams.dormancyStream(ds)),
+        run(ds => EventStreams.errorContextStream(ds)))
+      finally prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
     def rps(t: Double): String = if (t <= 0) "-1" else f"${rows.length / t}%.0f"
     jmap(Seq(
       "rows" -> rows.length.toString,
       "sessionize_rows_per_sec" -> rps(sessT),
       "sessionize_sec" -> jcompact(sessT),
       "anomaly_rows_per_sec" -> rps(anomT),
-      "anomaly_sec" -> jcompact(anomT)))
+      "anomaly_sec" -> jcompact(anomT),
+      "tws_burst_rows_per_sec" -> rps(burstT),
+      "tws_milestone_rows_per_sec" -> rps(milestoneT),
+      "tws_dormancy_rows_per_sec" -> rps(dormancyT),
+      "tws_errctx_rows_per_sec" -> rps(errctxT)))
   }
 
   private def jnum(d: Double): String = if (d.isNaN || d.isInfinite) "0" else d.toString
@@ -307,6 +342,10 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     runOnceMain(names.head) // warm-up: first-job/codegen/scan-index init
+    // untimed warm-up pass for the iterative heavies ([[WarmupFloorSec]])
+    // and any query without a committed floor yet
+    names.filter(n => committed.get(n).forall(_ > WarmupFloorSec) && n != names.head)
+      .foreach(runOnceMain)
     val firstPass = timeAll(spark, SparkEntry.queries, sfDir)
     // second-chance pass for queries that sampled inside a noise window
     // (runs BEFORE throughput/concurrent — those leave heap pressure that
@@ -318,6 +357,10 @@ object Bench {
     def stddev(xs: Seq[Double]): Double = {
       val m = xs.sum / xs.size
       math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.size)
+    }
+    def p50(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
     // repeated-scan throughput: rows/s over back-to-back full scans. Runs
@@ -375,6 +418,12 @@ object Bench {
       "value" -> jnum(total),
       "unit" -> jstr("sec"),
       "queries" -> jmap(ok.map(r => r.name -> jnum(r.timings.min))),
+      // p50 alongside min (round-7 verdict item 7): the committed floor is
+      // a min-merge over captures, which harvests lucky tails on the
+      // iterative queries — the median is the steady-state a reader should
+      // expect, so floor-luck and regression are distinguishable without
+      // re-measuring
+      "p50" -> jmap(ok.map(r => r.name -> jnum(p50(r.timings)))),
       "stddev" -> jmap(ok.map(r => r.name -> jnum(stddev(r.timings)))),
       "n_samples" -> jmap(results.map(r => r.name -> r.attempts.toString)),
       "failed" -> jmap(failed.map(r => r.name -> jstr(r.error.get))),
@@ -388,11 +437,19 @@ object Bench {
     java.nio.file.Files.writeString(detailPath, detail + "\n")
 
     val suspect = suspectNoise(ok.map(r => r.name -> r.timings.min).toMap, committed)
-    println(stdoutLine(ok, failed.map(_.name), flaky.map(_.name), cc, tp, sfDir, suspect, st))
+    val line = stdoutLine(ok, failed.map(_.name), flaky.map(_.name), cc, tp, sfDir, suspect, st)
+    println(line)
     Console.out.flush()
     // shutdown logs route through sbt's logger and could land AFTER the
     // JSON line in a tail-capture — silence them so the line stays last
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    // reprint AFTER shutdown (round-7 verdict item 8): every BENCH_r*.json
+    // came back "parsed": null because Spark/sbt shutdown output landed
+    // between the JSON and the end of the driver's 2000-char tail window;
+    // a second copy as the process's final stdout action leaves only
+    // sbt's one-line success trailer after it
+    println(line)
+    Console.out.flush()
   }
 }

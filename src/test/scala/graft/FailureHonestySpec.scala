@@ -121,7 +121,7 @@ class FailureHonestySpec extends AnyFunSuite with BeforeAndAfterAll {
       Bench.QueryResult(n, Seq(99.949), 6, None))
     val cc = """{"ref_aggregation":99.9,"ref_filter":99.9,"ref_full_scan":99.9}"""
     val tp = """{"rows_per_sec":99999999,"scan_rows":999999999,"iterations":5}"""
-    val st = """{"rows":100000,"sessionize_rows_per_sec":99999999,"sessionize_sec":99.9,"anomaly_rows_per_sec":99999999,"anomaly_sec":99.9}"""
+    val st = """{"rows":100000,"sessionize_rows_per_sec":99999999,"sessionize_sec":99.9,"anomaly_rows_per_sec":99999999,"anomaly_sec":99.9,"tws_burst_rows_per_sec":99999999,"tws_milestone_rows_per_sec":99999999,"tws_dormancy_rows_per_sec":99999999,"tws_errctx_rows_per_sec":99999999}"""
     val line = Bench.stdoutLine(worst, Nil, Nil, cc, tp, "/root/testdata/sf0.1",
       suspect = false, streaming = st)
     assert(line.length <= 1500,

@@ -18,14 +18,19 @@ def main(paths):
     caps = [json.load(open(p)) for p in paths]
     base = dict(caps[-1])  # newest capture's metadata (sf, cpus, ...)
     names = sorted({n for c in caps for n in c["queries"]})
-    queries, stddev, n_samples = {}, {}, {}
+    queries, p50, stddev, n_samples = {}, {}, {}, {}
     for n in names:
         best = min((c for c in caps if n in c["queries"]),
                    key=lambda c: c["queries"][n])
         queries[n] = best["queries"][n]
+        # p50 travels with the winning capture: min is the floor, p50 is
+        # the steady-state a reader should expect (floor-luck vs
+        # regression is visible without re-measuring)
+        p50[n] = best.get("p50", {}).get(n, best["queries"][n])
         stddev[n] = best.get("stddev", {}).get(n, 0.0)
         n_samples[n] = best.get("n_samples", {}).get(n, "0")
     base["queries"] = queries
+    base["p50"] = p50
     base["stddev"] = stddev
     base["n_samples"] = n_samples
     base["value"] = sum(queries.values())
