@@ -23,10 +23,12 @@ def main(paths):
         best = min((c for c in caps if n in c["queries"]),
                    key=lambda c: c["queries"][n])
         queries[n] = best["queries"][n]
-        # p50 travels with the winning capture: min is the floor, p50 is
-        # the steady-state a reader should expect (floor-luck vs
-        # regression is visible without re-measuring)
-        p50[n] = best.get("p50", {}).get(n, best["queries"][n])
+        # p50 comes from the NEWEST capture that records one (min is the
+        # min-merge over all captures): the floor documents the best case,
+        # p50 the current steady-state, so floor-luck on the iterative
+        # queries is visible without re-measuring
+        p50[n] = next((c["p50"][n] for c in reversed(caps)
+                       if n in c.get("p50", {})), best["queries"][n])
         stddev[n] = best.get("stddev", {}).get(n, 0.0)
         n_samples[n] = best.get("n_samples", {}).get(n, "0")
     base["queries"] = queries
@@ -44,8 +46,23 @@ def main(paths):
     base["throughput"] = max(tps, key=lambda t: float(t.get("rows_per_sec", 0)))
     sts = [c.get("streaming", {}) for c in caps if c.get("streaming")]
     if sts:
-        base["streaming"] = max(
-            sts, key=lambda s: float(s.get("sessionize_rows_per_sec", -1)))
+        # per-key best observation: rows_per_sec keys take the max, *_sec
+        # companions the min, so a newer capture's added keys (e.g. the
+        # transformWithState family) survive a merge with an older floor
+        merged_st = {}
+        for k in {x for s in sts for x in s}:
+            vs = [float(s[k]) for s in sts if k in s and float(s[k]) > 0]
+            if not vs:
+                merged_st[k] = -1
+            elif k.endswith("_rows_per_sec"):
+                merged_st[k] = max(vs)
+            elif k.endswith("_sec"):
+                merged_st[k] = min(vs)
+            elif k == "rows":
+                merged_st[k] = int(max(vs))
+            else:
+                merged_st[k] = max(vs)
+        base["streaming"] = merged_st
     base["floor_of"] = paths
     # compact separators: Bench.committedMins regex-parses '"queries":{...}'
     json.dump(base, sys.stdout, separators=(",", ":"))
