@@ -440,7 +440,98 @@ object Relational {
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
 
+  /** TPC-H Q18 shape — large-volume customers: IN-subquery against a
+    * HAVING-filtered aggregate of the fact table, decorrelated as a
+    * left-semi join of orders against the per-order quantity aggregate.
+    * Distinct from Q21's row-level EXISTS chain: the semi side here is
+    * itself a full-fact AGGREGATE (group-by l_orderkey, filter on the
+    * sum), so the planner must evaluate the aggregate once, not per row.
+    *
+    * Scale shape: the qualifying-orders aggregate is map-side-combined
+    * on l_orderkey, and its post-HAVING output (big-order keys — a
+    * sliver) is the semi-join build side; the outer
+    * customer⋈orders⋈lineitem star then shuffles on the usual keys with
+    * the final sum re-aggregated per order. TakeOrdered caps the output.
+    */
+  def q18LargeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sq"))
+      .filter(col("sq") > 300)
+      .select(col("l_orderkey").as("o_orderkey"))
+    val o = Tables.orders(spark, dir).join(big, Seq("o_orderkey"), "left_semi")
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice").as("total_price"), col("total_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey,
+       | strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       | o_totalprice AS total_price,
+       | SUM(l_quantity) AS total_qty
+       |FROM customer
+       | JOIN orders ON c_custkey = o_custkey
+       | JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+       |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+       |ORDER BY total_price DESC, o_orderkey
+       |LIMIT 100""".stripMargin
+
+  /** TPC-H Q22 shape — global sales opportunity: the
+    * scalar-subquery + anti-join combination. Customers in a country
+    * set (nationkey bucket — the trimmed schema's analog of the phone
+    * country code) with above-average positive balance and no URGENT
+    * order (the synthetic orders table gives every customer ~10 orders,
+    * so the stock "never ordered" predicate is empty at every test SF —
+    * the priority filter keeps the identical shape non-degenerate). The
+    * average is an UNCORRELATED scalar aggregate (one row, broadcast
+    * into the filter); the "no urgent order" test is a left-anti join
+    * against the filtered orders — two different decorrelations in one
+    * query, neither of which may re-scan per row.
+    *
+    * Money sums are cents-exact on both engines (centsSum / the same
+    * CAST chain in DuckDB — the Portable discipline).
+    */
+  def q22SalesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .withColumn("cntrycode", col("c_nationkey") % 10)
+      .filter(col("cntrycode").isin(1, 2, 3, 4, 5))
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(centsAvg(col("c_acctbal")).as("ab"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), centsSum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
+  val q22Sql: String =
+    s"""WITH c AS (SELECT c_custkey, c_nationkey % 10 AS cntrycode, c_acctbal
+       |           FROM customer WHERE c_nationkey % 10 IN (1,2,3,4,5))
+       |SELECT cntrycode, COUNT(*) AS numcust,
+       | ${centsSumSql("c_acctbal")} AS totacctbal
+       |FROM c
+       |WHERE c_acctbal > (SELECT ${centsAvgSql("c_acctbal")} FROM c WHERE c_acctbal > 0)
+       | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |                 AND o_orderpriority = '1-URGENT')
+       |GROUP BY cntrycode
+       |ORDER BY cntrycode""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_large_volume" -> (q18LargeVolume _),
+    "q22_sales_opportunity" -> (q22SalesOpportunity _),
     "q13_cust_distribution" -> (q13CustDistribution _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -462,6 +553,8 @@ object Relational {
     "q_date_trunc" -> (dateTrunc _))
 
   val oracles: Map[String, String] = Map(
+    "q18_large_volume" -> q18Sql,
+    "q22_sales_opportunity" -> q22Sql,
     "q13_cust_distribution" -> q13Sql,
     "q21_waiting_suppliers" -> q21Sql,
     "q1_pricing_summary" -> q1Sql,

@@ -80,6 +80,26 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q18: IN-subquery plans as semi join against the HAVING aggregate") {
+    // the qualifying-orders aggregate must be evaluated ONCE (hash
+    // aggregate feeding the semi-join build side), never per outer row
+    val p = planOf("q18_large_volume")
+    assert(p.contains("LeftSemi"), s"IN must become a semi join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "per-order qty aggregate + final group-by expected")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must not global-sort")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q22: scalar avg broadcasts once; never-ordered test is an anti join") {
+    // two decorrelations in one plan: the uncorrelated average is a 1-row
+    // broadcast (BNLJ against a single-row side — the sanctioned scalar
+    // pattern), and NOT EXISTS is a hash anti join on c_custkey
+    val p = planOf("q22_sales_opportunity")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must become an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_topk_orders: TakeOrderedAndProject, no global sort") {
     val p = planOf("q_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
