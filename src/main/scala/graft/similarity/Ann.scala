@@ -878,6 +878,172 @@ object Ann {
       |    ORDER BY l2_dist, neighbor_id) AS rank FROM rerank) t
       |WHERE rank <= 3""".stripMargin
 
+  /** IVFADC ANN — the production composition of [[topkIvf]] and [[pq]]
+    * (Jégou et al. 2011 §IV: inverted file for pruning + asymmetric
+    * distance on codes for ranking + exact re-rank of the shortlist; the
+    * FAISS `IVFx,PQy` index shape). The coarse integer quantizer routes
+    * each query to its 3 nearest cells and each member into its 2
+    * nearest; ONLY the cell-local candidates are then ranked by ADC
+    * against the 16-nibble PQ codes — never a raw vector — and the
+    * top-32 shortlist re-ranks by exact integer L2.
+    *
+    * Both stages are the deterministic integer constructions their
+    * standalone operators use (label-seeded cells, md5-seeded codebook),
+    * so the ENTIRE path — routing, codes, ADC sums, re-rank —
+    * hash-checks against the oracle.
+    *
+    * Scale shape: the only corpus-sized work is the one map-stage encode
+    * (codebook literal, zero shuffle) and the cell-routed candidate join
+    * (the IVF sliver — probes·replicas/cells of the corpus per query);
+    * ADC reads codes (16 B/vector, not 512 B), the shortlist heap-
+    * reduces through TopKPerKey's PARTIAL pass, and the exact re-rank
+    * touches 32 raw vectors per query. At 100 TB the inverted file is
+    * the bucketed/partitioned layout and codes ride in their own slim
+    * column — nothing here shuffles raw vectors.
+    */
+  def topkIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val nProbe = 3; val replicas = 2
+    val m = 16; val dsub = 4; val ks = 16; val shortlistK = 32
+    // --- coarse stage: integer cell routing (the topkIvf quantizer) ---
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .toDF("vec_id", "dim", "v")
+      .select(col("vec_id"), col("dim"),
+        expr("cast(round(v * 1000000.0) as bigint)").as("xi"))
+    val lbl = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val cent = x.join(lbl, "vec_id")
+      .groupBy(col("label").as("c_label"), col("dim"))
+      .agg(expr("cast(floor(cast(sum(xi) as double) / count(1) + 0.5) as bigint)").as("cq"))
+    val cw = Window.partitionBy(col("vec_id")).orderBy(col("dist_sq"), col("c_label"))
+    val cells = x.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("c_label"))
+      .agg(sum(expr("(xi - cq) * (xi - cq)")).as("dist_sq"))
+      .withColumn("rn", row_number().over(cw))
+      .filter(col("rn") <= math.max(nProbe, replicas))
+      .select(col("vec_id"), col("c_label").as("cell"), col("rn"))
+      .localCheckpoint() // feeds both sides of the cell-routed join
+    val cand = cells.filter(col("vec_id") < 20 && col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+      .join(cells.filter(col("rn") <= replicas)
+        .select(col("vec_id").as("neighbor_id"), col("cell")), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    // --- fine stage: PQ codes + per-query ADC tables (the pq machinery) ---
+    val ei = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        "transform(cast(embedding as array<double>), v -> cast(round(v * 1000000.0D) as bigint))")
+        .as("xi"))
+    val cbArr: Seq[Seq[Long]] = Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast("long").as("vid"),
+        md5(col("vec_id").cast("string")).as("h"),
+        expr("transform(cast(embedding as array<double>), v -> cast(round(v * 1000000.0D) as bigint))")
+          .as("xi"))
+      .orderBy(col("h"), col("vid")).limit(ks)
+      .collect().map(_.getSeq[Long](2).toSeq).toSeq
+    def subD2(s: String, j: String): String =
+      s"""aggregate(sequence(0, ${dsub - 1}), cast(0 as bigint), (acc, d) ->
+         |  acc + (element_at(xi, $s * $dsub + d + 1) - element_at(element_at(cb, $j + 1), $s * $dsub + d + 1))
+         |      * (element_at(xi, $s * $dsub + d + 1) - element_at(element_at(cb, $j + 1), $s * $dsub + d + 1)))""".stripMargin
+    val withCb = ei.withColumn("cb", typedlit(cbArr))
+    val coded = withCb.withColumn("codes", expr(
+      s"""transform(sequence(0, ${m - 1}), s ->
+         |  array_min(transform(sequence(0, ${ks - 1}), j ->
+         |    struct(${subD2("s", "j")} as d2, j as j))).j)""".stripMargin))
+      .select(col("vec_id").as("neighbor_id"), col("xi"), col("codes"))
+    val panel = withCb.filter(col("vec_id") < 20)
+      .withColumn("qd2", expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+           |  transform(sequence(0, ${ks - 1}), j -> ${subD2("s", "j")}))""".stripMargin))
+      .select(col("vec_id").as("query_id"), col("xi").as("qxi"), col("qd2"))
+    // ADC ranks ONLY the IVF candidates (codes attach by one slim-pair
+    // join), shortlist heap-reduces before any exchange
+    val adc = cand
+      .join(coded, "neighbor_id")
+      .join(broadcast(panel), "query_id")
+      .withColumn("adc_dist", expr(
+        """aggregate(zip_with(codes, qd2, (c, row) -> element_at(row, c + 1)),
+          |  cast(0 as bigint), (a, v) -> a + v)""".stripMargin))
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("qxi"), col("xi"))
+    val short = graft.operators.TopK.perKey(adc,
+      keys = Seq("query_id"),
+      order = Seq("adc_dist" -> false, "neighbor_id" -> false),
+      k = shortlistK)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("l2_dist"), col("neighbor_id"))
+    short
+      .withColumn("l2_dist", expr(
+        """aggregate(zip_with(qxi, xi, (a, b) -> (a - b) * (a - b)),
+          |  cast(0 as bigint), (a, v) -> a + v)""".stripMargin))
+      .select(col("query_id"), col("neighbor_id"), col("l2_dist"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("l2_dist"))
+  }
+
+  /** DuckDB replay of [[topkIvfPq]]: the [[topkIvfSql]] routing CTEs
+    * feeding the [[pqSql]] code/ADC CTEs — candidates from cells, ADC
+    * over candidates only, top-32 shortlist, exact integer re-rank.
+    */
+  val topkIvfPqSql: String =
+    """WITH x AS MATERIALIZED (
+      |  SELECT vec_id, label, i - 1 AS dim,
+      |         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+      |c AS (
+      |  SELECT label AS c_label, dim,
+      |         CAST(floor(CAST(SUM(xi) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
+      |  FROM x GROUP BY 1, 2),
+      |d AS (
+      |  SELECT x.vec_id, c.c_label,
+      |         CAST(SUM((xi - cq) * (xi - cq)) AS BIGINT) AS dist_sq
+      |  FROM x JOIN c ON x.dim = c.dim GROUP BY 1, 2),
+      |cells AS MATERIALIZED (
+      |  SELECT vec_id, c_label AS cell, rn FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist_sq, c_label) AS rn FROM d) t
+      |  WHERE rn <= 3),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, m.vec_id AS neighbor_id
+      |  FROM cells q JOIN cells m ON m.cell = q.cell AND m.rn <= 2
+      |  WHERE q.vec_id < 20 AND q.rn <= 3 AND m.vec_id <> q.vec_id),
+      |seeds AS (
+      |  SELECT vec_id,
+      |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+      |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |cb AS (SELECT s.j, x.dim, x.xi AS c FROM seeds s JOIN x ON x.vec_id = s.vec_id),
+      |enc AS (
+      |  SELECT x.vec_id, x.dim // 4 AS s, cb.j, SUM((x.xi - cb.c) * (x.xi - cb.c)) AS d2
+      |  FROM x JOIN cb ON cb.dim = x.dim GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, s, j AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+      |    FROM enc) t
+      |  WHERE rn = 1),
+      |qd2 AS (
+      |  SELECT x.vec_id AS query_id, x.dim // 4 AS s, cb.j,
+      |         SUM((x.xi - cb.c) * (x.xi - cb.c)) AS d2
+      |  FROM x JOIN cb ON cb.dim = x.dim WHERE x.vec_id < 20 GROUP BY 1, 2, 3),
+      |adc AS (
+      |  SELECT cand.query_id, cand.neighbor_id, CAST(SUM(qd2.d2) AS BIGINT) AS adc_dist
+      |  FROM cand
+      |  JOIN codes cd ON cd.vec_id = cand.neighbor_id
+      |  JOIN qd2 ON qd2.query_id = cand.query_id AND qd2.s = cd.s AND qd2.j = cd.code
+      |  GROUP BY 1, 2),
+      |shortlist AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_dist, neighbor_id) AS sr FROM adc) t
+      |  WHERE sr <= 32),
+      |rerank AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |         CAST(SUM((qx.xi - nx.xi) * (qx.xi - nx.xi)) AS BIGINT) AS l2_dist
+      |  FROM shortlist s
+      |  JOIN x qx ON qx.vec_id = s.query_id
+      |  JOIN x nx ON nx.vec_id = s.neighbor_id AND nx.dim = qx.dim
+      |  GROUP BY 1, 2)
+      |SELECT query_id, neighbor_id, rank, l2_dist FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY l2_dist, neighbor_id) AS rank FROM rerank) t
+      |WHERE rank <= 3""".stripMargin
+
   /** Embedding outlier detection — flag vectors whose squared distance to
     * their OWN label's centroid deviates from that label's mean by more
     * than 3σ: the mislabeled/noise-vector screen a curation pipeline runs
@@ -1159,6 +1325,7 @@ object Ann {
     "emb_semdedup" -> ((s, d) => semDedup(s, d)),
     "emb_assign" -> (assignCentroids _),
     "ann_topk_ivf" -> (topkIvf _),
+    "ann_topk_ivfpq" -> (topkIvfPq _),
     "ann_topk" -> (topk _),
     "emb_knn_graph" -> (knnGraph _),
     "emb_knn_graph_ivf" -> (knnGraphIvf _),
@@ -1173,6 +1340,7 @@ object Ann {
     "emb_pca" -> pcaSql,
     "emb_rp" -> randomProjectionSql,
     "ann_topk_ivf" -> topkIvfSql,
+    "ann_topk_ivfpq" -> topkIvfPqSql,
     "emb_pq" -> pqSql,
     "emb_assign" -> assignCentroidsSql,
     "emb_semdedup" -> semDedupSql,

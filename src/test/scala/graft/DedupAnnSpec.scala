@@ -79,6 +79,31 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.4, f"PQ ADC recall@3 $recall%.3f below floor 0.4")
   }
 
+  test("ann_topk_ivfpq: IVF+ADC composition holds a measured recall@3 floor vs exact integer L2") {
+    // the composed path loses recall at TWO stages (cell pruning, then
+    // the ADC shortlist cut) — gate the product, not the parts, against
+    // the exact integer-L2 ranking, same protocol as the emb_pq gate
+    import spark.implicits._
+    val got = similarity.Ann.topkIvfPq(spark, sf)
+      .select($"query_id".cast("long"), $"neighbor_id".cast("long")).as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.map(x => math.round(x * 1e6)) }.toMap
+    def l2(a: Seq[Long], b: Seq[Long]): Long = a.zip(b).map { case (p, q) => (p - q) * (p - q) }.sum
+    val queries = emb.keys.filter(_ < 20).toSeq
+    val hits = queries.map { q =>
+      val exact = emb.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2(emb(q), emb(n)), n)).take(3).toSet
+      (exact intersect got.getOrElse(q, Set.empty)).size
+    }.sum
+    val recall = hits.toDouble / (queries.size * 3)
+    info(f"ann_topk_ivfpq recall@3 vs exact integer L2: $recall%.3f")
+    println(f"[recall] ann_topk_ivfpq recall@3 = $recall%.3f")
+    assert(recall >= 0.3, f"IVFADC recall@3 $recall%.3f below floor 0.3")
+  }
+
   test("dedup_substring: planted shared span is removed, unique text survives intact") {
     import spark.implicits._
     // 3 docs: a & b share an 8-word span ("s0 .. s7"), c is fully unique;

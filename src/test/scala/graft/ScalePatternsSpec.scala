@@ -82,6 +82,7 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // predicate, which this structural guard can't see
       "ann_topk" -> "fixed 20-id panel",
       "emb_pq" -> "fixed 20-id panel",
+      "ann_topk_ivfpq" -> "fixed 20-id panel",
       // the declared modulo query panel (vec_id % 100 == 0) — the
       // small-side oracle variant; a production caller passes an explicit
       // bounded panel (Scaladoc)
