@@ -1044,6 +1044,54 @@ object Ann {
       |    ORDER BY l2_dist, neighbor_id) AS rank FROM rerank) t
       |WHERE rank <= 3""".stripMargin
 
+  /** ANN index-quality evaluation — recall@3 of each approximate method
+    * against the exact cosine baseline, as a first-class query: the gate
+    * a production pipeline runs after (re)building an index and before
+    * routing traffic to it, here expressed as one Catalyst plan instead
+    * of a test-side collect. Each branch left-joins the exact top-3
+    * pairs against the method's output and aggregates hit counts;
+    * recall is emitted in exact ppm (integer-valued double arithmetic,
+    * engine-identical).
+    *
+    * Scale shape: both inputs are the k·|panel| result sets (slim id
+    * pairs, NOT corpus-sized), the join keys on (query, neighbor), and
+    * each branch collapses to one row — evaluation cost is dominated by
+    * the two index probes themselves, which scale as documented on
+    * their operators.
+    */
+  def recallEval(spark: SparkSession, dir: String): DataFrame = {
+    // exact top-3 (topk emits top-5) so numerator and denominator use
+    // the same k as the approximate methods' top-3 output
+    val exact = topk(spark, dir).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    def branch(name: String, approx: DataFrame): DataFrame = exact
+      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+      .select(lit(name).as("method"), col("n_pairs"), col("hits"),
+        expr("cast(floor(hits * 1000000.0 / n_pairs) as bigint)").as("recall_ppm"))
+    branch("ivf", topkIvf(spark, dir))
+      .unionByName(branch("lsh", topkLsh(spark, dir)))
+  }
+
+  /** DuckDB replay of [[recallEval]] — the exact/IVF/LSH stacks as CTE
+    * subqueries, same left-join hit counting, same ppm arithmetic.
+    */
+  val recallEvalSql: String =
+    s"""WITH e AS (SELECT query_id, neighbor_id FROM ($topkSql) WHERE rank <= 3),
+       |ivf AS (SELECT query_id, neighbor_id FROM ($topkIvfSql)),
+       |lsh AS (SELECT query_id, neighbor_id FROM ($topkLshSql))
+       |SELECT 'ivf' AS method, COUNT(*) AS n_pairs,
+       |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  CAST(FLOOR(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*)) AS BIGINT) AS recall_ppm
+       |FROM e LEFT JOIN ivf a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |UNION ALL
+       |SELECT 'lsh' AS method, COUNT(*) AS n_pairs,
+       |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  CAST(FLOOR(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*)) AS BIGINT) AS recall_ppm
+       |FROM e LEFT JOIN lsh a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id""".stripMargin
+
   /** Embedding outlier detection — flag vectors whose squared distance to
     * their OWN label's centroid deviates from that label's mean by more
     * than 3σ: the mislabeled/noise-vector screen a curation pipeline runs
@@ -1326,6 +1374,7 @@ object Ann {
     "emb_assign" -> (assignCentroids _),
     "ann_topk_ivf" -> (topkIvf _),
     "ann_topk_ivfpq" -> (topkIvfPq _),
+    "ann_recall_eval" -> (recallEval _),
     "ann_topk" -> (topk _),
     "emb_knn_graph" -> (knnGraph _),
     "emb_knn_graph_ivf" -> (knnGraphIvf _),
@@ -1341,6 +1390,7 @@ object Ann {
     "emb_rp" -> randomProjectionSql,
     "ann_topk_ivf" -> topkIvfSql,
     "ann_topk_ivfpq" -> topkIvfPqSql,
+    "ann_recall_eval" -> recallEvalSql,
     "emb_pq" -> pqSql,
     "emb_assign" -> assignCentroidsSql,
     "emb_semdedup" -> semDedupSql,
