@@ -529,7 +529,44 @@ object Relational {
        |GROUP BY cntrycode
        |ORDER BY cntrycode""".stripMargin
 
+  /** TPC-H Q11 shape — important stock share: a grouped aggregate kept
+    * only when it exceeds a FRACTION of the global aggregate (the
+    * HAVING-vs-scalar-subquery decorrelation; partsupp isn't in the
+    * trimmed schema, so the same shape runs on lineitem revenue by
+    * part). Distinct from Q17's correlated per-group average
+    * (q_subquery_avg) and Q22's row-level scalar filter: here the scalar
+    * gates AGGREGATED groups.
+    *
+    * Scale shape: both aggregates are map-side-combined single passes;
+    * the global total is a 1-row broadcast into the post-aggregation
+    * filter (the sanctioned scalar pattern), so nothing re-scans and
+    * nothing shuffles twice.
+    */
+  def q11ImportantShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    def rev(c: Column): Column = centsSum(c)
+    val byPart = l.groupBy(col("l_partkey"))
+      .agg(rev(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("value"))
+    val total = l.agg(
+      (rev(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 1000.0)
+        .as("threshold"))
+    byPart.crossJoin(broadcast(total))
+      .filter(col("value") > col("threshold"))
+      .select(col("l_partkey"), col("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  val q11Sql: String =
+    s"""SELECT l_partkey, value FROM (
+       |  SELECT l_partkey,
+       |    ${centsSumSql("l_extendedprice*(1-l_discount)")} AS value
+       |  FROM lineitem GROUP BY 1) t
+       |WHERE value > (SELECT (${centsSumSql("l_extendedprice*(1-l_discount)")})/1000.0
+       |               FROM lineitem)
+       |ORDER BY value DESC, l_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_important_share" -> (q11ImportantShare _),
     "q18_large_volume" -> (q18LargeVolume _),
     "q22_sales_opportunity" -> (q22SalesOpportunity _),
     "q13_cust_distribution" -> (q13CustDistribution _),
@@ -553,6 +590,7 @@ object Relational {
     "q_date_trunc" -> (dateTrunc _))
 
   val oracles: Map[String, String] = Map(
+    "q11_important_share" -> q11Sql,
     "q18_large_volume" -> q18Sql,
     "q22_sales_opportunity" -> q22Sql,
     "q13_cust_distribution" -> q13Sql,

@@ -91,6 +91,16 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q11: scalar threshold gates aggregated groups without a re-scan") {
+    // both aggregates are single map-side-combined passes; the global
+    // total reaches the group filter as a 1-row broadcast, never a
+    // per-group subquery re-scan
+    val p = planOf("q11_important_share")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "per-part and global aggregates, each partial+final")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q22: scalar avg broadcasts once; never-ordered test is an anti join") {
     // two decorrelations in one plan: the uncorrelated average is a 1-row
     // broadcast (BNLJ against a single-row side — the sanctioned scalar
