@@ -1084,12 +1084,12 @@ object Ann {
        |lsh AS (SELECT query_id, neighbor_id FROM ($topkLshSql))
        |SELECT 'ivf' AS method, COUNT(*) AS n_pairs,
        |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-       |  CAST(FLOOR(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*)) AS BIGINT) AS recall_ppm
+       |  CAST(FLOOR(CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000.0 / COUNT(*)) AS BIGINT) AS recall_ppm
        |FROM e LEFT JOIN ivf a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
        |UNION ALL
        |SELECT 'lsh' AS method, COUNT(*) AS n_pairs,
        |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-       |  CAST(FLOOR(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*)) AS BIGINT) AS recall_ppm
+       |  CAST(FLOOR(CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000.0 / COUNT(*)) AS BIGINT) AS recall_ppm
        |FROM e LEFT JOIN lsh a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id""".stripMargin
 
   /** Embedding outlier detection — flag vectors whose squared distance to

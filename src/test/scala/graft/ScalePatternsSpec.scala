@@ -83,6 +83,9 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ann_topk" -> "fixed 20-id panel",
       "emb_pq" -> "fixed 20-id panel",
       "ann_topk_ivfpq" -> "fixed 20-id panel",
+      // embeds the ann_topk + ann_topk_lsh branches, so it inherits
+      // their declared fixed-panel broadcasts
+      "ann_recall_eval" -> "fixed 20-id panel (embedded baselines)",
       // the declared modulo query panel (vec_id % 100 == 0) — the
       // small-side oracle variant; a production caller passes an explicit
       // bounded panel (Scaladoc)
