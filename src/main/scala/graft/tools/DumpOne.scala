@@ -17,16 +17,18 @@ object DumpOne {
       sys.exit(2)
     }
     val Array(name, sfDir, outDir) = args
-    val q = SparkEntry.queries.getOrElse(name,
-      sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    val selected = name.split(',').map { n =>
+      n -> SparkEntry.queries.getOrElse(n,
+        sys.error(s"unknown query '$n'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    }.toMap
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.tune(
         SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val failures = Verify.dumpAll(spark, Map(name -> q), sfDir, outDir)
+    val failures = Verify.dumpAll(spark, selected, sfDir, outDir)
     Verify.writeJsonMap(s"$outDir/oracle_sql.json",
-      SparkEntry.oracleSql.view.filterKeys(_ == name).toSeq)
+      SparkEntry.oracleSql.view.filterKeys(selected.contains).toSeq)
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
