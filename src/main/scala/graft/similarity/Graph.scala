@@ -1,0 +1,209 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the IVF-routed kNN similarity graph
+  * ([[Ann.knnGraphIvf]]) — the document/embedding graph a curation
+  * pipeline actually builds at scale (semantic-dup clusters, influence,
+  * community structure). The reference exposes its engine through
+  * arbitrary SQL (`/root/reference/benches/query.rs:37-47`); these are
+  * the graph-shaped analyses that surface re-expressed as Catalyst plans
+  * over the same edge set.
+  *
+  * Every operator is hash-checkable end-to-end because the substrate is
+  * the INTEGER-quantizer IVF graph (routing is exact integer arithmetic,
+  * [[Ann.knnGraphIvfSql]]) and all derived measures are integer counts or
+  * a single terminal IEEE division of exact integers.
+  *
+  * Scale shape: the edge set is corpus × k rows (k=5 neighbors), i.e.
+  * orders of magnitude smaller than the corpus payload — every shuffle
+  * below is edge-sized or vertex-sized, never corpus-payload-sized. The
+  * wedge join is bounded by the max degree (≤ 2k after
+  * canonicalization), so its output is |V|·(2k)² worst case — linear in
+  * the corpus for fixed k.
+  */
+object Graph {
+
+  /** Canonical undirected edge set: u < v, deduped (a pair can be
+    * discovered from either endpoint's top-5).
+    */
+  private def edgesOf(g: DataFrame): DataFrame =
+    g.select(least(col("query_id"), col("neighbor_id")).as("u"),
+        greatest(col("query_id"), col("neighbor_id")).as("v"))
+      .distinct()
+
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(explode(array(col("u"), col("v"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
+
+  /** Shared SQL prelude: the IVF graph as `g`, canonical edges as `e`,
+    * both-direction adjacency as `adj`, undirected degrees as `deg`.
+    */
+  private val edgeCtes: String =
+    s"""WITH g AS (${Ann.knnGraphIvfSql}),
+       |e AS MATERIALIZED (SELECT DISTINCT least(query_id, neighbor_id) AS u,
+       |             greatest(query_id, neighbor_id) AS v FROM g),
+       |adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
+       |        UNION ALL SELECT v AS src, u AS dst FROM e),
+       |deg AS (SELECT src AS vec_id, COUNT(*) AS degree FROM adj GROUP BY 1)""".stripMargin
+
+  // ---------------------------------------------------------------- //
+
+  /** Degree distribution of the similarity graph — the first sanity
+    * report on any corpus graph (a heavy right tail = hub documents =
+    * near-dup families the dedup pass should have caught).
+    *
+    * Scale shape: one vertex-sized aggregation then a |distinct degrees|
+    * aggregation — nothing corpus-sized after the graph itself.
+    */
+  def degreeHist(spark: SparkSession, dir: String): DataFrame =
+    degreesOf(edgesOf(Ann.knnGraphIvf(spark, dir)))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
+      .orderBy(col("degree"))
+
+  val degreeHistSql: String =
+    s"""$edgeCtes
+       |SELECT degree, COUNT(*) AS n_vertices
+       |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin
+
+  /** Local clustering coefficient per vertex: c(v) = 2·T(v) / (d·(d−1))
+    * over vertices with degree ≥ 2. T(v) comes from the same rank-ordered
+    * wedge join as [[Ann.trianglesOf]] (each triangle counted once from
+    * its lowest-id vertex, then exploded to all three corners); the
+    * coefficient is ONE IEEE division of two exact BIGINTs, so it is
+    * bit-identical across engines.
+    */
+  def clusterCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val e = edgesOf(Ann.knnGraphIvf(spark, dir)).localCheckpoint()
+    val tri = Ann.trianglesOf(e.select(col("u").as("query_id"), col("v").as("neighbor_id")))
+      .withColumnRenamed("n_triangles", "n_tri")
+    degreesOf(e).filter(col("degree") >= 2)
+      .join(tri, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"))
+      .withColumn("coeff",
+        (lit(2L) * col("n_triangles")).cast("double")
+          / (col("degree") * (col("degree") - 1)).cast("double"))
+  }
+
+  val clusterCoeffSql: String =
+    s"""$edgeCtes,
+       |w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |      FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v),
+       |tri AS (SELECT vec_id, COUNT(*) AS n_tri
+       |        FROM (SELECT unnest([a, b, c]) AS vec_id
+       |              FROM w JOIN e ON w.b = e.u AND w.c = e.v) t
+       |        GROUP BY 1)
+       |SELECT deg.vec_id, degree,
+       |  COALESCE(n_tri, CAST(0 AS BIGINT)) AS n_triangles,
+       |  CAST(2 * COALESCE(n_tri, CAST(0 AS BIGINT)) AS DOUBLE)
+       |    / CAST(degree * (degree - 1) AS DOUBLE) AS coeff
+       |FROM deg LEFT JOIN tri ON deg.vec_id = tri.vec_id
+       |WHERE degree >= 2""".stripMargin
+
+  /** Neighborhood Jaccard similarity per EDGE — the classic
+    * link-prediction / dup-confidence measure: how much of u's and v's
+    * neighborhoods overlap. Reported as an exact ppm integer
+    * (floor(1e6·|∩| / |∪| + 0.5)) so no float enters the comparison
+    * surface; |∪| = d(u) + d(v) − |∩| (u,v are adjacent and the graph has
+    * no self-loops, so neither endpoint is in the intersection).
+    *
+    * Scale shape: the common-neighbor join is the wedge join keyed on the
+    * shared endpoint — |E|·avg-degree intermediate, never all-pairs.
+    */
+  def jaccard(spark: SparkSession, dir: String): DataFrame = {
+    val e = edgesOf(Ann.knnGraphIvf(spark, dir)).localCheckpoint()
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = adj.groupBy(col("src").as("vec_id")).agg(count(lit(1)).as("degree"))
+    val common = e
+      .join(adj.select(col("src").as("u"), col("dst").as("wa")), Seq("u"))
+      .join(adj.select(col("src").as("v"), col("dst").as("wb")), Seq("v"))
+      .filter(col("wa") === col("wb"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+    e.join(common, Seq("u", "v"), "left")
+      .join(deg.select(col("vec_id").as("u"), col("degree").as("du")), Seq("u"))
+      .join(deg.select(col("vec_id").as("v"), col("degree").as("dv")), Seq("v"))
+      .select(col("u"), col("v"),
+        coalesce(col("cn"), lit(0L)).as("common_neighbors"),
+        (col("du") + col("dv") - coalesce(col("cn"), lit(0L))).as("union_size"))
+      .withColumn("jacc_ppm",
+        floor(lit(1000000L) * col("common_neighbors")
+          / col("union_size") + lit(0.5)).cast("long"))
+  }
+
+  val jaccardSql: String =
+    s"""$edgeCtes,
+       |cn AS (SELECT e.u, e.v, COUNT(*) AS cn
+       |       FROM e JOIN adj a ON a.src = e.u JOIN adj b ON b.src = e.v
+       |       WHERE a.dst = b.dst GROUP BY 1, 2)
+       |SELECT e.u, e.v,
+       |  COALESCE(cn, CAST(0 AS BIGINT)) AS common_neighbors,
+       |  du.degree + dv.degree - COALESCE(cn, CAST(0 AS BIGINT)) AS union_size,
+       |  CAST(floor(1000000 * COALESCE(cn, CAST(0 AS BIGINT))
+       |    / (du.degree + dv.degree - COALESCE(cn, CAST(0 AS BIGINT))) + 0.5) AS BIGINT) AS jacc_ppm
+       |FROM e LEFT JOIN cn ON e.u = cn.u AND e.v = cn.v
+       | JOIN deg du ON du.vec_id = e.u
+       | JOIN deg dv ON dv.vec_id = e.v""".stripMargin
+
+  /** 3-core of the similarity graph by synchronized peeling: 8 rounds of
+    * "drop every vertex with current degree < 3, restrict edges to
+    * survivors". The k-core is where the DENSE near-dup communities live
+    * (tree-ish fringe vertices peel away). Both engines run the SAME
+    * fixed 8 rounds, so the comparison is exact regardless of when the
+    * fixpoint is reached; GraphSpec asserts rounds 7→8 are a no-op at
+    * test SF (i.e. 8 rounds IS the fixpoint there).
+    *
+    * Scale shape: each round is one vertex-sized aggregation plus two
+    * semi joins on an edge set that only SHRINKS; localCheckpoint per
+    * round keeps the plan linear in rounds (the CC loop discipline,
+    * Dedup.connectedComponents).
+    */
+  private[graft] def kcoreOf(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val live = e.select(explode(array(col("u"), col("v"))).as("vec_id"))
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("vec_id"))
+        .localCheckpoint() // feeds BOTH semi joins of the round
+      e = e.join(live.select(col("vec_id").as("u")), Seq("u"), "left_semi")
+        .join(live.select(col("vec_id").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+    degreesOf(e).withColumnRenamed("degree", "core_degree")
+      .orderBy(col("vec_id"))
+  }
+
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOf(edgesOf(Ann.knnGraphIvf(spark, dir)), k = 3, rounds = 8)
+
+  val kcoreSql: String = {
+    val peels = (1 to 8).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT id FROM (SELECT unnest([u, v]) AS id FROM e${i - 1}) t
+         |       GROUP BY 1 HAVING COUNT(*) >= 3),
+         |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+         |        WHERE u IN (SELECT id FROM l$i) AND v IN (SELECT id FROM l$i))""".stripMargin
+    }.mkString(",\n")
+    s"""$edgeCtes,
+       |e0 AS (SELECT u, v FROM e),
+       |$peels
+       |SELECT id AS vec_id, COUNT(*) AS core_degree
+       |FROM (SELECT unnest([u, v]) AS id FROM e8) t
+       |GROUP BY 1 ORDER BY vec_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_hist" -> (degreeHist _),
+    "graph_cluster_coeff" -> (clusterCoeff _),
+    "graph_jaccard" -> (jaccard _),
+    "graph_kcore" -> (kcore _))
+
+  val oracles: Map[String, String] = Map(
+    "graph_degree_hist" -> degreeHistSql,
+    "graph_cluster_coeff" -> clusterCoeffSql,
+    "graph_jaccard" -> jaccardSql,
+    "graph_kcore" -> kcoreSql)
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Structural invariants for the graph-analytics family over the IVF kNN
+  * graph — conservation laws and fixpoint checks that hold regardless of
+  * the data, so they catch algebra bugs the DuckDB hash-match can't
+  * localize.
+  */
+class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val edges = similarity.Ann.knnGraphIvf(spark, sf)
+    .select(least(col("query_id"), col("neighbor_id")).as("u"),
+      greatest(col("query_id"), col("neighbor_id")).as("v"))
+    .distinct().cache()
+
+  test("degree_hist: total degree mass equals 2|E|") {
+    val nEdges = edges.count()
+    val mass = similarity.Graph.degreeHist(spark, sf)
+      .agg(sum(col("degree") * col("n_vertices"))).collect()(0).getLong(0)
+    assert(mass === 2 * nEdges, s"degree mass $mass != 2x$nEdges edges")
+  }
+
+  test("cluster_coeff: coeff in [0,1] and corner counts sum to 3x total triangles") {
+    val cc = similarity.Graph.clusterCoeff(spark, sf).cache()
+    val bad = cc.filter(col("coeff") < 0 || col("coeff") > 1).count()
+    assert(bad === 0, s"$bad vertices with coeff outside [0,1]")
+    val cornerMass = cc.agg(sum(col("n_triangles"))).collect()(0).getLong(0)
+    val total = similarity.Ann.trianglesOf(
+        edges.select(col("u").as("query_id"), col("v").as("neighbor_id")))
+      .agg(sum(col("n_triangles"))).collect()(0).getLong(0)
+    // trianglesOf already explodes each triangle to its 3 corners, so its
+    // total mass IS 3x the triangle count; coeff joins must conserve it
+    assert(cornerMass === total, s"corner mass $cornerMass != trianglesOf mass $total")
+    cc.unpersist()
+  }
+
+  test("jaccard: bounded by min-degree and ppm never exceeds 1e6") {
+    val j = similarity.Graph.jaccard(spark, sf)
+    val bad = j.filter(
+      col("common_neighbors") > col("union_size") ||
+        col("jacc_ppm") > 1000000L || col("jacc_ppm") < 0L ||
+        col("common_neighbors") < 0L).count()
+    assert(bad === 0, s"$bad edges violate jaccard bounds")
+    assert(j.count() === edges.count(), "jaccard must emit one row per edge")
+  }
+
+  test("kcore: 8 peel rounds reach the fixpoint and every survivor keeps degree >= 3") {
+    val r8 = similarity.Graph.kcoreOf(edges, k = 3, rounds = 8)
+    val r9 = similarity.Graph.kcoreOf(edges, k = 3, rounds = 9)
+    assert(r8.exceptAll(r9).count() === 0 && r9.exceptAll(r8).count() === 0,
+      "rounds 8 -> 9 changed the core: fixpoint not reached at test SF")
+    assert(r8.filter(col("core_degree") < 3).count() === 0,
+      "survivor with degree < 3 after peeling")
+  }
+}
