@@ -393,7 +393,75 @@ object Analytics {
       |WHERE cum_n * 100 >= q_pct * n_total
       |GROUP BY q_pct""".stripMargin
 
+  /** Per-group simple linear regression (slope / intercept / r²) of price
+    * on quantity — the grouped-OLS shape (DataFusion exposes regr_slope &
+    * co through its SQL surface; this is the same capability as one
+    * portable plan). All five moments (Σx, Σy, Σxy, Σx², Σy²) are EXACT
+    * integers summed in decimal(38,0) (long would overflow on Σy² at
+    * sf≥0.1: y ≤ 1e7 cents ⇒ y² ≤ 1e14 per row), so every group's closed
+    * forms divide the SAME exact integers in both engines — the terminal
+    * IEEE divisions are the only float ops. r uses sqrt, which IEEE 754
+    * requires correctly rounded, so it is portable too.
+    *
+    * Scale shape: one map-side-combined aggregation over the fact table,
+    * k output rows. Nothing else.
+    */
+  def linreg(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast(d38).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum(expr(s"cast(x * y as $d38)")).as("sxy"),
+        sum(expr(s"cast(x * x as $d38)")).as("sxx"),
+        sum(expr(s"cast(y * y as $d38)")).as("syy"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("denx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("deny"),
+        col("sx"), col("sy"))
+      .select(col("l_returnflag"), col("n"),
+        (col("num").cast("double") / col("denx").cast("double")).as("slope"),
+        col("num"), col("sx"), col("sy"), col("deny"), col("denx"))
+      .select(col("l_returnflag"), col("n"), col("slope"),
+        ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"),
+        ((col("num").cast("double") * col("num").cast("double"))
+          / (col("denx").cast("double") * col("deny").cast("double"))).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val linregSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sx,
+      |    SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sy,
+      |    SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sxy,
+      |    SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sxx,
+      |    SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS syy
+      |  FROM lineitem GROUP BY 1),
+      |d AS (
+      |  SELECT l_returnflag, n,
+      |    n * sxy - sx * sy AS num,
+      |    n * sxx - sx * sx AS denx,
+      |    n * syy - sy * sy AS deny, sx, sy
+      |  FROM m),
+      |s AS (
+      |  SELECT *, CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) AS slope FROM d)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n, slope,
+      |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+      |  (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+      |    / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)) AS r2
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_linreg" -> (linreg _),
     "q_quantile_sketch" -> (quantileSketch _),
     "q_histogram" -> (histogram _),
     "q_unpivot" -> (unpivotMeasures _),
@@ -409,6 +477,7 @@ object Analytics {
     "q_string_funcs2" -> (stringFuncs2 _))
 
   val oracles: Map[String, String] = Map(
+    "q_linreg" -> linregSql,
     "q_quantile_sketch" -> quantileSketchSql,
     "q_histogram" -> histogramSql,
     "q_unpivot" -> unpivotMeasuresSql,

@@ -891,7 +891,90 @@ object Events {
       |          + CASE WHEN monetary_cents > m75 THEN 1 ELSE 0 END) AS BIGINT) AS rfm_code
       |FROM b, t""".stripMargin
 
+  /** Discrete-time survival table of SESSION duration — the Kaplan-Meier
+    * INPUT, kept exact: sessions (30-min-gap sessionization, the
+    * [[sessionize]] convention) "die" when the gap closes them; a user's
+    * session whose last event sits within one gap of the corpus end is
+    * right-CENSORED (it may still be running) — it contributes to at-risk
+    * counts but never to hazards, exactly the KM treatment. Per observed
+    * ending duration t (minutes): at-risk count (duration ≥ t), ended and
+    * censored counts at t, and the discrete hazard d/n as an exact ppm
+    * integer. The float-free formulation is deliberate: the KM product
+    * Π(1−d/n) is a cumulative float product no engine computes
+    * identically, while (t, n_at_risk, d, c, hazard_ppm) IS the
+    * estimator's sufficient statistic and hash-checks.
+    *
+    * Scale shape: sessionization is the per-user-partitioned window (the
+    * q_events_sessionize plan); then a 1-row broadcast bound and a window
+    * over DISTINCT DURATIONS — bounded by the longest session in minutes,
+    * not by corpus rows.
+    */
+  def survival(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val frame = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 1800L * 1000000L
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("new_sess",
+        when(lag(col("ts_us"), 1).over(byUser).isNull
+          || col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(frame).cast("bigint"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(expr("(max(ts_us) - min(ts_us)) div 60000000").as("duration_min"),
+        max(col("ts_us")).as("end_us"))
+    val bounds = sess.agg(max(col("end_us")).as("t1"))
+    val byDur = sess.crossJoin(broadcast(bounds))
+      .select(col("duration_min"),
+        (col("end_us") > col("t1") - gapUs).as("censored"))
+      .groupBy(col("duration_min"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(!col("censored"), 1L).otherwise(0L)).as("n_ended"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+    val w = Window.orderBy(col("duration_min").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur.withColumn("n_at_risk", sum(col("n_total")).over(w))
+      .filter(col("n_ended") > 0)
+      .select(col("duration_min"), col("n_at_risk"), col("n_ended"),
+        col("n_censored"),
+        expr("n_ended * 1000000 div n_at_risk").as("hazard_ppm"))
+      .orderBy(col("duration_min"))
+  }
+
+  val survivalSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) IS NULL
+      |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) > 1800000000
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts_us,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, session_id,
+      |    (MAX(ts_us) - MIN(ts_us)) // 60000000 AS duration_min,
+      |    MAX(ts_us) AS end_us
+      |  FROM s GROUP BY 1, 2),
+      |b AS (SELECT MAX(end_us) AS t1 FROM sess),
+      |by_dur AS (
+      |  SELECT duration_min, COUNT(*) AS n_total,
+      |    CAST(SUM(CASE WHEN NOT (end_us > t1 - 1800000000) THEN 1 ELSE 0 END) AS BIGINT) AS n_ended,
+      |    CAST(SUM(CASE WHEN end_us > t1 - 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+      |  FROM sess, b GROUP BY 1),
+      |r AS (
+      |  SELECT *, CAST(SUM(n_total) OVER (ORDER BY duration_min DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk
+      |  FROM by_dur)
+      |SELECT duration_min, n_at_risk, n_ended, n_censored,
+      |       n_ended * 1000000 // n_at_risk AS hazard_ppm
+      |FROM r WHERE n_ended > 0 ORDER BY duration_min""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_survival" -> (survival _),
     "q_events_anomaly" -> (anomaly _),
     "q_changepoint" -> (changepoint _),
     "q_rfm" -> (rfm _),
@@ -917,6 +1000,7 @@ object Events {
     "q_asof_tolerance" -> (asofJoinTolerance _))
 
   val oracles: Map[String, String] = Map(
+    "q_survival" -> survivalSql,
     "q_attribution" -> attributionSql,
     "q_islands" -> activityStreaksSql,
     "q_changepoint" -> changepointSql,

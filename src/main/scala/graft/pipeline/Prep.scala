@@ -445,7 +445,56 @@ object Prep {
        |FROM (SELECT doc_id, text, n_chunks,
        |        unnest(generate_series(0, n_chunks - 1)) AS i FROM d) t""".stripMargin
 
+  /** Curriculum manifest: the (stage, shard, order_key) triple a training
+    * loader sorts by to realize easy→hard ordering WITHOUT any global
+    * sort. Stage 1–4 = exact token-count quartile (short docs first — the
+    * standard length curriculum; thresholds are ONE broadcast percentile
+    * row, the q_rfm recipe); shard = md5(doc_id) byte 0 mod 8 (the
+    * doc_shard_assign hash, so curriculum sharding and storage sharding
+    * agree); order_key = md5("c:" ‖ doc_id ‖ ":" ‖ stage) prefix — a
+    * deterministic within-(stage, shard) shuffle, so no loader sees docs
+    * in ingestion order, and re-keying per stage decorrelates the
+    * stage-internal orders.
+    *
+    * Scale shape: pure map over the corpus plus a 1-row threshold
+    * broadcast — producing the SORT KEY instead of a global rank is
+    * exactly what keeps this linear at 100 TB (a row_number curriculum
+    * would funnel the corpus through per-stage windows).
+    */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), nTokens.as("n_tokens"))
+    val th = base.agg(
+      expr("percentile(n_tokens, 0.25)").as("t25"),
+      expr("percentile(n_tokens, 0.5)").as("t50"),
+      expr("percentile(n_tokens, 0.75)").as("t75"))
+    base.crossJoin(broadcast(th))
+      .withColumn("stage", expr(
+        "1 + if(n_tokens > t25, 1, 0) + if(n_tokens > t50, 1, 0) + if(n_tokens > t75, 1, 0)").cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("stage"),
+        (md5Byte0 % 8).as("shard"),
+        substring(md5(concat(lit("c:"), col("doc_id").cast("string"),
+          lit(":"), col("stage").cast("string"))), 1, 16).as("order_key"))
+  }
+
+  val curriculumSql: String =
+    s"""WITH b AS (SELECT doc_id, $nTokensSql AS n_tokens FROM documents),
+       |t AS (SELECT quantile_cont(n_tokens, 0.25) AS t25,
+       |             quantile_cont(n_tokens, 0.5) AS t50,
+       |             quantile_cont(n_tokens, 0.75) AS t75 FROM b),
+       |s AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(1 + CASE WHEN n_tokens > t25 THEN 1 ELSE 0 END
+       |           + CASE WHEN n_tokens > t50 THEN 1 ELSE 0 END
+       |           + CASE WHEN n_tokens > t75 THEN 1 ELSE 0 END AS BIGINT) AS stage
+       |  FROM b, t)
+       |SELECT doc_id, n_tokens, stage,
+       |  ($md5Byte0Sql) % 8 AS shard,
+       |  substr(md5('c:' || CAST(doc_id AS VARCHAR) || ':' || CAST(stage AS VARCHAR)), 1, 16) AS order_key
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_curriculum" -> (curriculum _),
     "doc_chunk" -> (docChunk _),
     "pack_sequences" -> (packSequences _),
     "sample_stratified" -> (sampleStratified _),
@@ -460,6 +509,7 @@ object Prep {
     "doc_length_trim" -> (lengthTrim _))
 
   val oracles: Map[String, String] = Map(
+    "doc_curriculum" -> curriculumSql,
     "doc_chunk" -> docChunkSql,
     "pack_sequences" -> packSequencesSql,
     "sample_stratified" -> sampleStratifiedSql,

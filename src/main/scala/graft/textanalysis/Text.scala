@@ -780,7 +780,57 @@ object Text {
       |    ORDER BY score DESC, word) AS rn FROM s) t
       |WHERE rn <= 5""".stripMargin
 
+  /** Domain / distribution shift between two corpus slices (source
+    * 'src13' vs the rest): per-term contribution to TOTAL-VARIATION
+    * distance, TV = ½·Σ|p_t − q_t|. The per-term score |c_a·N_b − c_b·N_a|
+    * is EXACT integer arithmetic (decimal(38,0) — at 100 TB the cross
+    * products pass 2⁶³), so the top-20 ranking is deterministic and
+    * hash-checkable; the only float is the terminal division producing
+    * the reported contribution. KL needs per-term logs (engine-variant
+    * libm) — TV is the drift measure that stays exact, the same reasoning
+    * that made text_perplexity integer-surprise.
+    *
+    * Scale shape: one token aggregation with map-side combine (the
+    * conditional-sum trick makes ONE pass over tokens, not two slice
+    * scans), a 1-row broadcast total, TakeOrdered top-20. No corpus
+    * window, no second corpus pass.
+    */
+  def domainShift(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val cnt = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(sum(when(col("source") === "src13", 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("source") =!= "src13", 1L).otherwise(0L)).as("c_b"))
+    val tot = cnt.agg(sum(col("c_a")).as("na"), sum(col("c_b")).as("nb"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("shift",
+        abs(col("c_a").cast(d38) * col("nb") - col("c_b").cast(d38) * col("na")))
+      .orderBy(col("shift").desc, col("term"))
+      .limit(20)
+      .select(col("term"), col("c_a"), col("c_b"),
+        (col("shift").cast("double")
+          / (lit(2L).cast(d38) * col("na") * col("nb")).cast("double")).as("tv_contrib"))
+  }
+
+  val domainShiftSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+      |cnt AS (
+      |  SELECT term,
+      |    CAST(SUM(CASE WHEN source = 'src13' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+      |    CAST(SUM(CASE WHEN source <> 'src13' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      |  FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c_a) AS HUGEINT) AS na, CAST(SUM(c_b) AS HUGEINT) AS nb FROM cnt)
+      |SELECT term, c_a, c_b,
+      |  CAST(abs(CAST(c_a AS HUGEINT) * nb - CAST(c_b AS HUGEINT) * na) AS DOUBLE)
+      |    / CAST(2 * na * nb AS DOUBLE) AS tv_contrib
+      |FROM cnt, tot
+      |ORDER BY abs(CAST(c_a AS HUGEINT) * nb - CAST(c_b AS HUGEINT) * na) DESC, term
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_domain_shift" -> (domainShift _),
     "text_tfidf" -> (tfidf _),
     "text_inverted_index" -> (invertedIndex _),
     "text_perplexity" -> (perplexity _),
@@ -809,6 +859,7 @@ object Text {
     "text_scrub_pii" -> scrubPiiSql,
     "text_bpe_tokens" -> bpeTokensSql,
     "text_rarity" -> raritySql,
+    "text_domain_shift" -> domainShiftSql,
     "text_top_terms" -> topTermsSql,
     "text_vocab_coverage" -> vocabCoverageSql,
     "text_collocations" -> collocationsSql,

@@ -33,7 +33,10 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "text_vocab_coverage" -> "global-window",
       // cumulative walk over the 1024-bin histogram: rows ≤ 1024 by
       // construction regardless of corpus size
-      "q_quantile_sketch" -> "global-window")
+      "q_quantile_sketch" -> "global-window",
+      // at-risk cumulative runs over DISTINCT LIFETIMES (≤ corpus day
+      // span), after the per-user aggregation — not corpus rows
+      "q_survival" -> "global-window")
     // a GLOBAL window is a Window node feeding from Exchange
     // SinglePartition (possibly through its Sort) — matching the node
     // STRUCTURE, not bare substrings: a runtime bloom-filter subquery
