@@ -41,6 +41,52 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Native session-window aggregation — the DECLARATIVE counterpart of
+    * [[sessionize]] (flatMapGroupsWithState): `session_window` lets the
+    * state store merge/extend windows itself, so the operator gets
+    * watermark-driven eviction, AQE-planned shuffles, and RocksDB state
+    * without custom state code. Same 30-min gap; StreamingSpec proves the
+    * two formulations emit identical sessions on the same data. Prefer
+    * this form unless per-event custom state is genuinely needed — it is
+    * the one Catalyst can reason about.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("start_ts"),
+        col("session_window.end").as("end_ts"),
+        col("n_events"))
+
+  /** Sliding (hopping) window aggregation: 10-minute windows every 5
+    * minutes — each event contributes to exactly windowDuration/slide
+    * windows (2 here; conservation spec-asserted). The smoothing view a
+    * rate dashboard reads.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n_events"))
+
+  /** Chained time-window aggregation (Spark 3.4+): a second windowed
+    * aggregate over `window_time()` of the first — hourly counts re-rolled
+    * to a daily MAX hourly rate, both tiers incremental and
+    * watermark-correct in ONE streaming query. Before window_time this
+    * needed two queries glued by a sink.
+    */
+  def chainedWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(window(window_time(col("window")), "1 day"), col("event_type"))
+      .agg(max(col("n_events")).as("max_hourly"))
+      .select(col("window.start").as("day_start"), col("event_type"), col("max_hourly"))
+
   /** Streaming dedup — drops replayed events (same event_id) with bounded
     * state: the watermark ages keys out of the state store, so memory stays
     * proportional to the lateness bound, not the stream history. The

@@ -284,6 +284,89 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("native session_window agg equals the flatMapGroupsWithState sessionizer") {
+    // Two formulations of the same semantics — the declarative
+    // session_window operator and the custom-state sessionizer — must
+    // close identical sessions on the real sf0.001 events. Checked on
+    // (user, start, n_events): the declarative window's `end` includes
+    // the gap padding, the custom one reports last-event time, so
+    // duration is compared via start+n only.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf0 = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val sentinel = EventStreams.Event(-1L,
+      new java.sql.Timestamp(ev.map(_.ts.getTime).max + 30L * 86400000L), -1L, "view", 0.0)
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionWindowAgg(input.toDF())
+      .writeStream.format("memory").queryName("sess_native").outputMode("append").start()
+    try {
+      input.addData(ev.toSeq); q.processAllAvailable()
+      input.addData(sentinel); q.processAllAvailable()
+      val got = spark.table("sess_native").filter($"user_id" >= 0)
+        .select($"user_id", $"start_ts", $"n_events")
+        .as[(Long, Timestamp, Long)].collect()
+        .map { case (u, st, n) => (u, EventStreams.tsUs(st), n) }.toSet
+      val want = graft.operators.Events.sessionize(spark, sf0)
+        .select(col("user_id"), col("start_us"), col("n_events"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got.nonEmpty && got == want,
+        s"native/custom diverged: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    } finally q.stop()
+  }
+
+  test("sliding windows: every event lands in exactly windowDuration/slide windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(7), 1, "click", 1.0),
+      Event(3, ts(12), 2, "view", 1.0),
+      Event(4, ts(31), 2, "click", 1.0))
+    input.addData(events: _*)
+    val q = EventStreams.slidingAgg(input.toDF())
+      .writeStream.format("memory").queryName("sliding").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sliding")
+        .select($"win_start", $"event_type", $"n_events")
+        .as[(Timestamp, String, Long)].collect()
+      // 10-min windows hopping every 5: each event is counted twice
+      assert(rows.map(_._3).sum == 2L * events.length,
+        s"conservation broken: ${rows.mkString(", ")}")
+      // window starts align to the 5-minute grid
+      assert(rows.forall(_._1.getTime % 300000L == 0))
+    } finally q.stop()
+  }
+
+  test("chained window agg rolls hourly counts into a daily max in one query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // hour 0: 3 clicks; hour 1: 1 click; next day hour 0: 2 clicks
+    val events = Seq(
+      Event(1, ts(5), 1, "click", 1.0), Event(2, ts(10), 1, "click", 1.0),
+      Event(3, ts(20), 2, "click", 1.0), Event(4, ts(70), 2, "click", 1.0),
+      Event(5, ts(1445), 3, "click", 1.0), Event(6, ts(1450), 3, "click", 1.0))
+    input.addData(events: _*)
+    // sentinel far past the watermark so both tiers finalize
+    input.addData(Event(9, ts(10000), 9, "view", 0.0))
+    val q = EventStreams.chainedWindowAgg(input.toDF())
+      .writeStream.format("memory").queryName("chained").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("chained").filter($"event_type" === "click")
+        .select($"day_start", $"max_hourly").as[(Timestamp, Long)].collect().toMap
+      val day0 = new Timestamp(86400000L)
+      val day1 = new Timestamp(2 * 86400000L)
+      assert(got.get(day0).contains(3L) && got.get(day1).contains(2L),
+        s"expected day0 max 3, day1 max 2; got $got")
+    } finally q.stop()
+  }
+
   test("streaming sessionize equals batch sessionize on the real events table") {
     // The "mirror" claim, verified end-to-end: the stateful streaming
     // sessionizer fed the REAL sf0.001 events (in timestamp order, three
