@@ -374,7 +374,81 @@ object Blobs {
        |FROM h""".stripMargin
   }
 
+  /** Video scene-cut detection over the sampled frame stream: per frame a
+    * 16-bit signature (byte-vs-frame-mean threshold — the [[phashDedup]]
+    * scheme at frame granularity, but in PURE codegen SQL: bytes decode
+    * from hex-string windows, no mapPartitions), then a per-video lag
+    * compares consecutive signatures and flags a cut when the Hamming
+    * distance ≥ 6 of 16 bits. Real plumbing, stub pixels: swapping the
+    * hex-byte signature for a real frame histogram touches ONE expression.
+    * Output: per-video frame count, cut count, max inter-frame distance.
+    *
+    * Scale shape: explode is bounded (≤ 16 frames/video), the window
+    * partitions by doc_id (bounded frames per partition key), one
+    * aggregation back to videos — linear in corpus, no corpus window.
+    */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b: Int => String = k =>
+      s"coalesce(cast(conv(substring(hx, frame_idx*32 + ${2 * k + 1}, 2), 16, 10) as bigint), 0L)"
+    val totalExpr = (0 until 16).map(b).mkString(" + ")
+    val sigExpr = (0 until 16)
+      .map(k => s"if(${b(k)} * 16 > total, ${1L << k}L, 0L)").mkString(" + ")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"),
+        greatest((length(col("text").cast("binary")) / 16).cast("int"), lit(1)).as("n_frames"))
+      .select(col("doc_id"), col("hx"),
+        explode(expr("sequence(0, least(n_frames - 1, 15))")).as("frame_idx"))
+      .withColumn("total", expr(totalExpr))
+      .withColumn("sig", expr(sigExpr))
+      .withColumn("prev_sig", lag(col("sig"), 1).over(w))
+      .withColumn("hamming",
+        when(col("prev_sig").isNull, lit(null))
+          .otherwise(expr("bit_count(sig ^ prev_sig)").cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames_sampled"),
+        sum(when(col("hamming") >= 6, 1L).otherwise(0L)).as("n_cuts"),
+        max(col("hamming")).as("max_hamming"))
+  }
+
+  /** DuckDB replay of [[sceneCuts]] — bytes via the uppercase-hex strpos
+    * walk (substr past the payload end is guarded to 0, matching Spark's
+    * conv('') → NULL → coalesce 0).
+    */
+  val sceneCutsSql: String = {
+    val hex = "'0123456789ABCDEF'"
+    val b: Int => String = k => {
+      val sub = s"substr(hx, frame_idx*32 + ${2 * k + 1}, 2)"
+      s"(CASE WHEN length($sub) = 2 THEN (strpos($hex, substr($sub, 1, 1)) - 1) * 16" +
+        s" + strpos($hex, substr($sub, 2, 1)) - 1 ELSE 0 END)"
+    }
+    val totalExpr = (0 until 16).map(b).mkString(" + ")
+    val sigExpr = (0 until 16)
+      .map(k => s"(CASE WHEN ${b(k)} * 16 > total THEN ${1L << k} ELSE 0 END)").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |         greatest(CAST(octet_length(encode(text)) // 16 AS INT), 1) AS n_frames
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, hx, CAST(unnest(generate_series(0, least(n_frames - 1, 15))) AS INT) AS frame_idx
+       |  FROM d),
+       |t AS (SELECT doc_id, frame_idx, $totalExpr AS total, hx FROM f),
+       |s AS (SELECT doc_id, frame_idx, $sigExpr AS sig FROM t),
+       |l AS (
+       |  SELECT doc_id, sig,
+       |    lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_sig
+       |  FROM s)
+       |SELECT doc_id, COUNT(*) AS n_frames_sampled,
+       |  CAST(SUM(CASE WHEN prev_sig IS NOT NULL AND bit_count(CAST(xor(sig, prev_sig) AS BIGINT)) >= 6
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       |  CAST(MAX(CASE WHEN prev_sig IS NULL THEN NULL
+       |       ELSE bit_count(CAST(xor(sig, prev_sig) AS BIGINT)) END) AS BIGINT) AS max_hamming
+       |FROM l GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_scene_cuts" -> (sceneCuts _),
     "mm_embed" -> (embedExploded _),
     "mm_decode_stats" -> (decodeStats _),
     "mm_phash" -> ((s, d) => phashDedup(s, d)),
@@ -382,6 +456,7 @@ object Blobs {
     "mm_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
+    "mm_scene_cuts" -> sceneCutsSql,
     "mm_embed" -> embedExplodedSql,
     "mm_decode_stats" -> decodeStatsSql,
     "mm_phash" -> phashDedupSql,

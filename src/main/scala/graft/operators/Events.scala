@@ -973,7 +973,88 @@ object Events {
       |       n_ended * 1000000 // n_at_risk AS hazard_ppm
       |FROM r WHERE n_ended > 0 ORDER BY duration_min""".stripMargin
 
+  /** KMV (k-minimum-values) distinct sketch — the MERGEABLE distinct
+    * estimator built from deterministic md5 hashes, so unlike HLL++
+    * object state (q_approx_agg's declared rows-only case) the ENTIRE
+    * sketch is oracle-hash-checkable: per event_type keep the k=32
+    * smallest 48-bit hash values of the member users; the k-th smallest
+    * h_k estimates distinct ≈ (k−1)·2⁴⁸/h_k (uniform order statistics),
+    * all in exact integer arithmetic. When a group has fewer than k
+    * members the sketch IS the exact count. The exact distinct count and
+    * the error in ppm ride along in-query, so the estimator's quality is
+    * a measured column, not a claim.
+    *
+    * Scale shape: slim (type, user) dedup first, then the k minima flow
+    * through the custom TopKPerKey operator — PARTIAL per partition →
+    * exchange of ≤ k rows per key per partition → FINAL, never a
+    * per-key sort of the corpus. This is exactly how a 100 TB distinct
+    * profile is shipped: k·|groups| rows, mergeable downstream.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val pow48 = 281474976710656L // 2^48
+    val du = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h48",
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 12), 16, 10) as bigint)"))
+    val mins = graft.operators.TopK.perKey(du,
+      keys = Seq("event_type"),
+      order = Seq("h48" -> false, "user_id" -> false), k = k)
+    val sk = mins.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h48")).as("hk"))
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    sk.join(exact, Seq("event_type"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"${k - 1}L * ${pow48}L div greatest(hk, 1L)")))
+      .select(col("event_type"), col("n_kept"), col("est_distinct"),
+        col("exact_distinct"),
+        expr("abs(est_distinct - exact_distinct) * 1000000 div exact_distinct")
+          .as("err_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB replay of [[kmvDistinct]] — the 48-bit hash rebuilt from six
+    * strpos byte-pairs of the md5 hex (the md5Byte0 walk generalized),
+    * k minima via ROW_NUMBER, same integer estimate.
+    */
+  val kmvDistinctSql: String = {
+    val hex = "'0123456789abcdef'"
+    def byteAt(i: Int): String =
+      s"((strpos($hex, substr(h, ${2 * i + 1}, 1)) - 1) * 16" +
+        s" + strpos($hex, substr(h, ${2 * i + 2}, 1)) - 1)"
+    val h48 = (1 to 5).foldLeft(byteAt(0)) { (acc, i) => s"($acc * 256 + ${byteAt(i)})" }
+    s"""WITH du AS (
+       |  SELECT DISTINCT event_type, user_id FROM events),
+       |hh AS (
+       |  SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS h FROM du),
+       |hv AS (
+       |  SELECT event_type, user_id, CAST($h48 AS BIGINT) AS h48 FROM hh),
+       |mins AS (
+       |  SELECT event_type, h48,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h48, user_id) AS rn
+       |  FROM hv),
+       |sk AS (
+       |  SELECT event_type, COUNT(*) AS n_kept, MAX(h48) AS hk
+       |  FROM mins WHERE rn <= 32 GROUP BY 1),
+       |ex AS (
+       |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+       |  FROM events GROUP BY 1),
+       |est AS (
+       |  SELECT sk.event_type, n_kept,
+       |    CASE WHEN n_kept < 32 THEN n_kept
+       |         ELSE 31 * 281474976710656 // greatest(hk, 1) END AS est_distinct,
+       |    exact_distinct
+       |  FROM sk JOIN ex ON sk.event_type = ex.event_type)
+       |SELECT event_type, n_kept, est_distinct, exact_distinct,
+       |  abs(est_distinct - exact_distinct) * 1000000 // exact_distinct AS err_ppm
+       |FROM est ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_distinct" -> (kmvDistinct _),
     "q_survival" -> (survival _),
     "q_events_anomaly" -> (anomaly _),
     "q_changepoint" -> (changepoint _),
@@ -1000,6 +1081,7 @@ object Events {
     "q_asof_tolerance" -> (asofJoinTolerance _))
 
   val oracles: Map[String, String] = Map(
+    "q_kmv_distinct" -> kmvDistinctSql,
     "q_survival" -> survivalSql,
     "q_attribution" -> attributionSql,
     "q_islands" -> activityStreaksSql,
