@@ -364,7 +364,40 @@ object RelationalExt {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
+  /** Per-group MODE with a deterministic tie-break (smallest value wins).
+    * Spark 3.4's builtin `mode()` is explicitly non-deterministic on ties,
+    * so this is the portable formulation: count per (group, value), then
+    * a struct-max argmax — max(struct(cnt, −value)) compares count first
+    * and PREFERS the smaller value on equal counts. Two map-side-combined
+    * aggregations, no window, k output rows.
+    */
+  def modeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("l_returnflag"), col("qty"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(struct(col("cnt"), (-col("qty")).as("negq"))).as("m"),
+        sum(col("cnt")).as("n_rows"))
+      .select(col("l_returnflag"), (-col("m.negq")).as("mode_qty"),
+        col("m.cnt").as("mode_cnt"), col("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val modeAggSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT l_returnflag, qty, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY cnt DESC, qty ASC) AS rn,
+      |    CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n_rows
+      |  FROM c)
+      |SELECT l_returnflag, qty AS mode_qty, cnt AS mode_cnt, n_rows
+      |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mode" -> (modeAgg _),
     "q_scd2" -> (scd2 _),
     "q_lateral" -> (lateralTop _),
     "q_exists" -> (existsSubquery _),
@@ -385,6 +418,7 @@ object RelationalExt {
     "q_null_handling" -> (nullHandling _))
 
   val oracles: Map[String, String] = Map(
+    "q_mode" -> modeAggSql,
     "q_scd2" -> scd2Sql,
     "q_lateral" -> lateralTopSql,
     "q_exists" -> existsSubquerySql,

@@ -195,13 +195,57 @@ object Graph {
        |GROUP BY 1 ORDER BY vec_id""".stripMargin
   }
 
+  /** Eigenvector-style centrality by 3 UNNORMALIZED power-iteration steps
+    * over the similarity graph: c₀ = 1, cᵢ₊₁(v) = Σ_{u∈N(v)} cᵢ(u). On an
+    * undirected graph this is truncated eigenvector/Katz centrality (and
+    * what HITS degenerates to); three integer steps already separate hub
+    * documents from fringe ones. No normalization ⇒ every score is an
+    * EXACT integer (max degree ~2k, so c₃ ≤ (2k)³ ≈ 10³ — far from
+    * overflow), which is what makes this hash-checkable where normalized
+    * HITS (per-step float division) would not be. All three step scores
+    * are emitted so the convergence trajectory is inspectable.
+    *
+    * Scale shape: each step is ONE dst-keyed aggregation of the edge list
+    * joined to a vertex-sized score table (the PageRank loop shape,
+    * Dedup.pagerank) — 3 bounded rounds, lazy-chained (each step feeds
+    * exactly one consumer; the CC-loop measurement showed checkpointing
+    * only pays when a round fans out).
+    */
+  def centrality(spark: SparkSession, dir: String): DataFrame = {
+    val e = edgesOf(Ann.knnGraphIvf(spark, dir)).localCheckpoint()
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    // c1 = degree
+    val c1 = adj.groupBy(col("dst").as("vec_id")).agg(count(lit(1)).as("c1"))
+    val c2 = adj.join(c1.withColumnRenamed("vec_id", "src"), Seq("src"))
+      .groupBy(col("dst").as("vec_id")).agg(sum(col("c1")).as("c2"))
+    val c3 = adj.join(c2.withColumnRenamed("vec_id", "src"), Seq("src"))
+      .groupBy(col("dst").as("vec_id")).agg(sum(col("c2")).as("c3"))
+    c1.join(c2, Seq("vec_id")).join(c3, Seq("vec_id"))
+      .orderBy(col("c3").desc, col("vec_id"))
+      .limit(100)
+  }
+
+  val centralitySql: String =
+    s"""$edgeCtes,
+       |c1 AS (SELECT dst AS vec_id, COUNT(*) AS c1 FROM adj GROUP BY 1),
+       |c2 AS (SELECT a.dst AS vec_id, CAST(SUM(c1.c1) AS BIGINT) AS c2
+       |       FROM adj a JOIN c1 ON a.src = c1.vec_id GROUP BY 1),
+       |c3 AS (SELECT a.dst AS vec_id, CAST(SUM(c2.c2) AS BIGINT) AS c3
+       |       FROM adj a JOIN c2 ON a.src = c2.vec_id GROUP BY 1)
+       |SELECT c1.vec_id, c1.c1, c2.c2, c3.c3
+       |FROM c1 JOIN c2 ON c1.vec_id = c2.vec_id JOIN c3 ON c1.vec_id = c3.vec_id
+       |ORDER BY c3.c3 DESC, c1.vec_id LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_centrality" -> (centrality _),
     "graph_degree_hist" -> (degreeHist _),
     "graph_cluster_coeff" -> (clusterCoeff _),
     "graph_jaccard" -> (jaccard _),
     "graph_kcore" -> (kcore _))
 
   val oracles: Map[String, String] = Map(
+    "graph_centrality" -> centralitySql,
     "graph_degree_hist" -> degreeHistSql,
     "graph_cluster_coeff" -> clusterCoeffSql,
     "graph_jaccard" -> jaccardSql,
