@@ -1053,7 +1053,194 @@ object Events {
        |FROM est ORDER BY event_type""".stripMargin
   }
 
+  /** Top-100 behavioral trigram paths — the "what do users actually do"
+    * path-analysis report (the 3-step generalization of
+    * [[transitions]]'s Markov matrix): count every event_type→…→… window
+    * of 3 consecutive events inside a user's timeline, with the distinct
+    * users travelling each path riding along.
+    *
+    * Scale shape: ONE user-keyed shuffle (both leads share the same
+    * window frame, so Catalyst plans a single Window over a single
+    * Exchange), then a bounded aggregate — the path space is |types|³
+    * (125 here), so the final agg and the top-100 cut are constant-sized
+    * at any corpus scale. Ordering ties are fully broken (n desc, then
+    * the three steps) so the LIMIT cut is deterministic.
+    */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+        col("e3").as("step3"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(100)
+  }
+
+  val eventPathsSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_type AS step1,
+      |         lead(event_type, 1) OVER (PARTITION BY user_id
+      |             ORDER BY epoch_us(ts), event_id) AS step2,
+      |         lead(event_type, 2) OVER (PARTITION BY user_id
+      |             ORDER BY epoch_us(ts), event_id) AS step3
+      |  FROM events)
+      |SELECT step1, step2, step3, COUNT(*) AS n,
+      |       COUNT(DISTINCT user_id) AS n_users
+      |FROM p WHERE step3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, step1, step2, step3 LIMIT 100""".stripMargin
+
+  /** Sequence-pattern detection (the MATCH_RECOGNIZE shape Spark lacks as
+    * a native operator): compress each user-day's ordered event stream to
+    * a string of type initials and regex-match the business pattern
+    * "view, later a click, later a purchase — with no error anywhere
+    * between the view and the purchase" (`v[^e]*c[^e]*p`). Composing
+    * existing ops (sorted collect + one regex) beats a custom physical
+    * operator here: the per-key sequence is the natural unit and the
+    * regex engine is the pattern automaton.
+    *
+    * Determinism: collect_list order is engine state, so the struct list
+    * is array_sort'ed on (ts, event_id) BEFORE the initials are joined —
+    * the same total order the oracle's `ORDER BY` inside string_agg uses.
+    *
+    * Scale shape: one (user, day) shuffle with the sequence bounded by a
+    * user-day's event count (naturally small; a production run would cap
+    * it with a slice() guard), then per-row regex — no second shuffle.
+    */
+  def seqPattern(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("named_struct('ts_us', unix_micros(ts), 'event_id', event_id," +
+          " 'ini', left(event_type, 1))").as("ev"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(expr("array_join(transform(array_sort(collect_list(ev)), x -> x.ini), '')")
+        .as("seq"))
+      .withColumn("n_events", length(col("seq")))
+      .withColumn("matched", col("seq").rlike("v[^e]*c[^e]*p"))
+
+  val seqPatternSql: String =
+    """SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |       string_agg(substr(event_type, 1, 1), ''
+      |                  ORDER BY epoch_us(ts), event_id) AS seq,
+      |       CAST(length(string_agg(substr(event_type, 1, 1), ''
+      |                  ORDER BY epoch_us(ts), event_id)) AS INT) AS n_events,
+      |       regexp_matches(string_agg(substr(event_type, 1, 1), ''
+      |                  ORDER BY epoch_us(ts), event_id),
+      |                      'v[^e]*c[^e]*p') AS matched
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Two-proportion A/B z-test per event_type, from exact integer counts
+    * only. Variant = user_id mod 2 (the hash-split every experiment
+    * framework uses); per metric m, s_a/s_b = distinct users in each arm
+    * who performed m, n_a/n_b = arm sizes. Clearing the four divisions in
+    * z² = (p_a−p_b)² / (p̂(1−p̂)(1/n_a+1/n_b)) gives the all-integer form
+    *   z² = (s_a·n_b − s_b·n_a)²·(n_a+n_b)
+    *        / (n_a·n_b·(s_a+s_b)·(n_a+n_b−s_a−s_b))
+    * reported as exact ppm via decimal(38,0) div (HUGEINT // in the
+    * oracle) — no sqrt, no float ratio, engine-exact. `significant` is
+    * z² > 1.96², i.e. z2_ppm > 3_841_600. The numerator peaks at
+    * s²n²·2n·10⁶ — 128-bit math holds to ~10⁷ users per arm; beyond that
+    * a production run pre-scales counts (same cap note as [[anomaly]]).
+    *
+    * Scale shape: two slim distinct-aggregates over (user) and
+    * (user, type) ids — map-side combined, never payload-sized — then a
+    * |types|-row join against a broadcast 1-row arm-size aggregate.
+    */
+  def abtest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val arms = ev.select(col("user_id")).distinct()
+      .agg(
+        sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"))
+    ev.select(col("user_id"), col("event_type")).distinct()
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L)).as("s_a"),
+        sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L)).as("s_b"))
+      .crossJoin(broadcast(arms))
+      .withColumn("z2_ppm", expr(
+        // degenerate arms (no conversions, or everyone converted) have
+        // zero pooled variance — no signal, z² := 0, not a divide-by-zero
+        """case when s_a + s_b = 0 or s_a + s_b = n_a + n_b then 0L
+          |else cast(s_a * n_b - s_b * n_a as decimal(38, 0))
+          |  * (s_a * n_b - s_b * n_a) * (n_a + n_b) * 1000000
+          |  div (cast(n_a as decimal(38, 0)) * n_b * (s_a + s_b)
+          |       * (n_a + n_b - s_a - s_b)) end""".stripMargin))
+      .withColumn("significant", col("z2_ppm") > 3841600L)
+      .select(col("event_type"), col("s_a"), col("n_a"), col("s_b"),
+        col("n_b"), col("z2_ppm"), col("significant"))
+  }
+
+  val abtestSql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |arms AS (
+      |  SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM u),
+      |conv AS (
+      |  SELECT event_type,
+      |         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS s_a,
+      |         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS s_b
+      |  FROM (SELECT DISTINCT user_id, event_type FROM events)
+      |  GROUP BY 1),
+      |z AS (
+      |  SELECT event_type, s_a, n_a, s_b, n_b,
+      |    CASE WHEN s_a + s_b = 0 OR s_a + s_b = n_a + n_b THEN 0
+      |      ELSE CAST(CAST(s_a * n_b - s_b * n_a AS HUGEINT)
+      |        * (s_a * n_b - s_b * n_a) * (n_a + n_b) * 1000000
+      |        // (CAST(n_a AS HUGEINT) * n_b * (s_a + s_b)
+      |            * (n_a + n_b - s_a - s_b)) AS BIGINT) END AS z2_ppm
+      |  FROM conv, arms)
+      |SELECT event_type, CAST(s_a AS BIGINT) AS s_a, CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(s_b AS BIGINT) AS s_b, CAST(n_b AS BIGINT) AS n_b,
+      |  z2_ppm, z2_ppm > 3841600 AS significant
+      |FROM z""".stripMargin
+
+  /** Per-day event-mix diversity — the Gini–Simpson index
+    * 1 − Σ(cᵢ/N)² = (N² − Σcᵢ²)/N², the float-free substitute for
+    * Shannon entropy (ln is libm state; this is exact integers + one ppm
+    * integer division) that a corpus-health dashboard tracks to catch
+    * collapse onto a single event type. decimal(38,0) widening before the
+    * squares: a day at production scale can hold >3·10⁹ events, where N²
+    * passes 2⁶³.
+    *
+    * Scale shape: corpus → (day, type) counts with map-side combine, then
+    * a days-sized aggregate — the same two-level shape as [[anomaly]].
+    */
+  def diversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("day"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        expr("sum(cast(c as decimal(38, 0)) * c)").as("sum_sq"))
+      .withColumn("simpson_ppm", expr(
+        """(cast(n_events as decimal(38, 0)) * n_events - sum_sq) * 1000000
+          |  div (cast(n_events as decimal(38, 0)) * n_events)""".stripMargin))
+      .select(col("day"), col("n_events"), col("n_types"), col("simpson_ppm"))
+
+  val diversitySql: String =
+    """WITH c AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, event_type, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, CAST(SUM(c) AS BIGINT) AS n_events,
+      |  COUNT(*) AS n_types,
+      |  CAST((CAST(SUM(c) AS HUGEINT) * SUM(c) - SUM(CAST(c AS HUGEINT) * c))
+      |    * 1000000 // (CAST(SUM(c) AS HUGEINT) * SUM(c)) AS BIGINT)
+      |    AS simpson_ppm
+      |FROM c GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_paths" -> (eventPaths _),
+    "q_seq_pattern" -> (seqPattern _),
+    "q_abtest" -> (abtest _),
+    "q_diversity" -> (diversity _),
     "q_kmv_distinct" -> (kmvDistinct _),
     "q_survival" -> (survival _),
     "q_events_anomaly" -> (anomaly _),
@@ -1081,6 +1268,10 @@ object Events {
     "q_asof_tolerance" -> (asofJoinTolerance _))
 
   val oracles: Map[String, String] = Map(
+    "q_event_paths" -> eventPathsSql,
+    "q_seq_pattern" -> seqPatternSql,
+    "q_abtest" -> abtestSql,
+    "q_diversity" -> diversitySql,
     "q_kmv_distinct" -> kmvDistinctSql,
     "q_survival" -> survivalSql,
     "q_attribution" -> attributionSql,

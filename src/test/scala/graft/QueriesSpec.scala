@@ -160,4 +160,54 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"ppm sum $s out of range for ${r.getAs[String]("from_type")}")
     }
   }
+
+  test("eventPaths: trigram total conserves (n_events - 2 per user) and cut holds") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Events.eventPaths(spark, sf).collect()
+    assert(out.length <= 100)
+    val e = Tables.events(spark, sf)
+    val expect = e.groupBy("user_id").agg(greatest(count(lit(1)) - 2, lit(0L)).as("t"))
+      .agg(sum("t")).head.getLong(0)
+    // paths space is 5^3 = 125 > 100, so only assert when nothing was cut
+    if (out.length < 100) assert(out.map(_.getAs[Long]("n")).sum == expect)
+    else assert(out.map(_.getAs[Long]("n")).sum <= expect)
+  }
+
+  test("seqPattern: initials conserve events; matched agrees with a local regex") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Events.seqPattern(spark, sf)
+    val total = out.agg(sum("n_events")).head.getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+    val re = "v[^e]*c[^e]*p".r
+    out.collect().foreach { r =>
+      val seq = r.getAs[String]("seq")
+      assert(re.findFirstIn(seq).isDefined == r.getAs[Boolean]("matched"),
+        s"regex disagreement on '$seq'")
+    }
+  }
+
+  test("abtest: arm sizes partition the user universe and z2 is non-negative") {
+    val out = operators.Events.abtest(spark, sf).collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == users)
+      assert(r.getAs[Long]("s_a") <= r.getAs[Long]("n_a"))
+      assert(r.getAs[Long]("s_b") <= r.getAs[Long]("n_b"))
+      assert(r.getAs[Long]("z2_ppm") >= 0L)
+    }
+  }
+
+  test("diversity: simpson ppm bounded by the uniform-mix maximum") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Events.diversity(spark, sf)
+    assert(out.agg(sum("n_events")).head.getLong(0)
+      == Tables.events(spark, sf).count())
+    out.collect().foreach { r =>
+      val k = r.getAs[Long]("n_types")
+      val ppm = r.getAs[Long]("simpson_ppm")
+      assert(k >= 1 && k <= 5)
+      // Gini-Simpson peaks at 1 - 1/k for k equally-likely types
+      assert(ppm >= 0 && ppm <= 1000000L - 1000000L / k)
+    }
+  }
 }
