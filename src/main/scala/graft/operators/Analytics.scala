@@ -460,7 +460,157 @@ object Analytics {
       |    / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)) AS r2
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  /** Skyline (Pareto frontier) of customers over (total spend, order
+    * count) — the multi-criteria "best customers" operator relational
+    * engines bolt on as SKYLINE OF. A point survives iff no other point
+    * is ≥ in both dimensions and > in one.
+    *
+    * Scale shape — banded two-phase, NO global window and NO pairwise
+    * self-join over the point set:
+    *   1. points = one customer-keyed aggregate (spend in exact cents).
+    *   2. band = (x−min)·64 div (max−min+1) off a broadcast 1-row bounds
+    *      row (the q_histogram index — integer, boundary-exact). Banding
+    *      is monotone in x, so band' > band ⟹ x' > x strictly.
+    *   3. cross-band dominance: per-band max(y) (≤64 rows) self-joined on
+    *      band' > band — a 64×64 broadcast nested loop, constant at any
+    *      corpus size — gives hb = max y in any strictly-higher band.
+    *   4. in-band dominance: windows PARTITIONED by band (order by x desc,
+    *      RANGE ≥1 preceding for x' > x; partition (band, x) for ties).
+    * dominated ⟺ max(y' : x' > x) ≥ y ∨ max(y' : x' = x) > y; the x'>x
+    * max splits exactly into greatest(in-band window, hb).
+    */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(expr("sum(cast(round(o_totalprice * 100) as bigint))").as("spend_cents"),
+        count(lit(1)).as("n_orders"))
+    val bounds = pts.agg(min(col("spend_cents")).as("xmin"),
+      max(col("spend_cents")).as("xmax"))
+    val banded = pts.crossJoin(broadcast(bounds))
+      .withColumn("band", expr("(spend_cents - xmin) * 64 div (xmax - xmin + 1)"))
+    val bandMax = banded.groupBy(col("band")).agg(max(col("n_orders")).as("bmax"))
+    val hb = bandMax.as("a").join(broadcast(bandMax.as("b")), col("b.band") > col("a.band"))
+      .groupBy(col("a.band").as("band")).agg(max(col("b.bmax")).as("hb"))
+    val wGt = Window.partitionBy(col("band")).orderBy(col("spend_cents").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy(col("band"), col("spend_cents"))
+    banded.join(broadcast(hb), Seq("band"), "left")
+      .withColumn("m_gt", max(col("n_orders")).over(wGt))
+      .withColumn("m_eq", max(col("n_orders")).over(wEq))
+      .filter(coalesce(greatest(col("m_gt"), col("hb")), lit(-1L)) < col("n_orders")
+        && !(col("m_eq") > col("n_orders")))
+      .select(col("o_custkey"), col("spend_cents"), col("n_orders"))
+      .orderBy(col("spend_cents").desc)
+  }
+
+  /** Oracle states the DEFINITION (NOT EXISTS dominance) rather than the
+    * banded plan — correctness of the decomposition is exactly what the
+    * cross-engine compare should witness.
+    */
+  val skylineSql: String =
+    """WITH p AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT o_custkey, spend_cents, n_orders
+      |FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.spend_cents >= a.spend_cents AND b.n_orders >= a.n_orders
+      |    AND (b.spend_cents > a.spend_cents OR b.n_orders > a.n_orders))
+      |ORDER BY spend_cents DESC""".stripMargin
+
+  /** Median absolute deviation per return flag — the robust outlier
+    * screen (3σ breaks on heavy tails; 3·MAD doesn't). Both medians run
+    * on VALUE HISTOGRAMS, not sorted rows: l_quantity has ≤50 distinct
+    * integer values, so the plan is corpus → (flag, value) counts with
+    * map-side combine, then cumulative walks over ≤50-row per-group
+    * histograms — the q_quantile_sketch shape; no corpus-sized sort or
+    * window at any scale.
+    *
+    * Everything stays integral: median·2 = v₁+v₂ (the two middle values,
+    * equal when n is odd), deviations in ×2 units |2v − med_x2|, MAD·4 =
+    * e₁+e₂ over the deviation histogram, and the outlier test
+    * |v−med| > 3·MAD clears denominators to 2·dev_x2 > 3·mad_x4 — exact
+    * BIGINTs end-to-end, no float division anywhere.
+    */
+  def mad(spark: SparkSession, dir: String): DataFrame = {
+    val vc = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), expr("cast(l_quantity as bigint)").as("v"))
+      .agg(count(lit(1)).as("c"))
+    def medianX2(hist: DataFrame, grp: String, v: String): DataFrame = {
+      val w = Window.partitionBy(col(grp)).orderBy(col(v))
+      val cum = hist.withColumn("cum", sum(col("c")).over(w))
+        .join(hist.groupBy(col(grp)).agg(sum(col("c")).as("n")), Seq(grp))
+      val lo = cum.filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy(col(grp)).agg(min(col(v)).as("v1"))
+      val hi = cum.filter(col("cum") >= expr("(n + 2) div 2"))
+        .groupBy(col(grp)).agg(min(col(v)).as("v2"), max(col("n")).as("n"))
+      lo.join(hi, Seq(grp)).select(col(grp), (col("v1") + col("v2")).as("mx2"),
+        col("n"))
+    }
+    val med = medianX2(vc, "l_returnflag", "v")
+      .withColumnRenamed("mx2", "med_x2")
+    val dev = vc.join(med, Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), expr("abs(2 * v - med_x2)").as("v"))
+      .agg(sum(col("c")).as("c"))
+    val madx4 = medianX2(dev, "l_returnflag", "v")
+      .select(col("l_returnflag"), col("mx2").as("mad_x4"))
+    vc.join(med, Seq("l_returnflag")).join(madx4, Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("n"), max(col("med_x2")).as("med_x2"),
+        max(col("mad_x4")).as("mad_x4"),
+        sum(when(expr("2 * abs(2 * v - med_x2) > 3 * mad_x4"), col("c"))
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val madSql: String =
+    """WITH vc AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT l_returnflag, v, c,
+      |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+      |    SUM(c) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM vc),
+      |med AS (
+      |  SELECT lo.l_returnflag, lo.v1 + hi.v2 AS med_x2, hi.n FROM
+      |    (SELECT l_returnflag, MIN(v) AS v1 FROM cum
+      |     WHERE cum >= (n + 1) // 2 GROUP BY 1) lo
+      |    JOIN
+      |    (SELECT l_returnflag, MIN(v) AS v2, MAX(n) AS n FROM cum
+      |     WHERE cum >= (n + 2) // 2 GROUP BY 1) hi
+      |    USING (l_returnflag)),
+      |dv AS (
+      |  SELECT vc.l_returnflag, abs(2 * vc.v - med.med_x2) AS v,
+      |         CAST(SUM(vc.c) AS BIGINT) AS c
+      |  FROM vc JOIN med USING (l_returnflag) GROUP BY 1, 2),
+      |dcum AS (
+      |  SELECT l_returnflag, v, c,
+      |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+      |    SUM(c) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM dv),
+      |madx AS (
+      |  SELECT lo.l_returnflag, lo.v1 + hi.v2 AS mad_x4 FROM
+      |    (SELECT l_returnflag, MIN(v) AS v1 FROM dcum
+      |     WHERE cum >= (n + 1) // 2 GROUP BY 1) lo
+      |    JOIN
+      |    (SELECT l_returnflag, MIN(v) AS v2 FROM dcum
+      |     WHERE cum >= (n + 2) // 2 GROUP BY 1) hi
+      |    USING (l_returnflag))
+      |SELECT vc.l_returnflag, CAST(MAX(med.n) AS BIGINT) AS n,
+      |  CAST(MAX(med.med_x2) AS BIGINT) AS med_x2,
+      |  CAST(MAX(madx.mad_x4) AS BIGINT) AS mad_x4,
+      |  CAST(SUM(CASE WHEN 2 * abs(2 * vc.v - med.med_x2) > 3 * madx.mad_x4
+      |       THEN vc.c ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM vc JOIN med USING (l_returnflag) JOIN madx USING (l_returnflag)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> (skyline _),
+    "q_mad" -> (mad _),
     "q_linreg" -> (linreg _),
     "q_quantile_sketch" -> (quantileSketch _),
     "q_histogram" -> (histogram _),
@@ -477,6 +627,8 @@ object Analytics {
     "q_string_funcs2" -> (stringFuncs2 _))
 
   val oracles: Map[String, String] = Map(
+    "q_skyline" -> skylineSql,
+    "q_mad" -> madSql,
     "q_linreg" -> linregSql,
     "q_quantile_sketch" -> quantileSketchSql,
     "q_histogram" -> histogramSql,

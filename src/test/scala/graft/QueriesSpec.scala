@@ -210,4 +210,39 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ppm >= 0 && ppm <= 1000000L - 1000000L / k)
     }
   }
+
+  test("skyline: banded plan equals the brute-force dominance definition") {
+    import org.apache.spark.sql.functions._
+    val got = operators.Analytics.skyline(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pts = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(expr("sum(cast(round(o_totalprice * 100) as bigint))").as("x"),
+        count(lit(1)).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.toSet
+    assert(got == expect)
+  }
+
+  test("mad: histogram medians equal sort-based medians") {
+    val out = operators.Analytics.mad(spark, sf).collect()
+    val byFlag = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1).toLong).sorted).toMap
+    out.foreach { r =>
+      val vs = byFlag(r.getAs[String]("l_returnflag"))
+      val n = vs.length
+      def medX2(xs: Seq[Long]): Long = xs((n + 1) / 2 - 1) + xs((n + 2) / 2 - 1)
+      val m2 = medX2(vs)
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("med_x2") == m2)
+      val devs = vs.map(v => math.abs(2 * v - m2)).sorted
+      val m4 = devs((n + 1) / 2 - 1) + devs((n + 2) / 2 - 1)
+      assert(r.getAs[Long]("mad_x4") == m4)
+      assert(r.getAs[Long]("n_outliers") == vs.count(v => 2 * math.abs(2 * v - m2) > 3 * m4))
+    }
+  }
 }
