@@ -1364,7 +1364,107 @@ object Ann {
        |FROM (SELECT unnest([a, b, c]) AS vec_id FROM tri) t
        |GROUP BY 1""".stripMargin
 
+  /** Hybrid retrieval with reciprocal-rank fusion — the RAG-era default:
+    * a lexical leg (rare-term overlap) and a vector leg (cosine top-k)
+    * are ranked independently per query, then fused by
+    * RRF(d) = Σ_legs 1/(60+rank_leg(d)), computed in exact integer ppm
+    * (10⁶ div (60+rank)) so the fused score is hash-exact — float
+    * reciprocal sums would be libm-ordering state.
+    *
+    * Lexical leg: distinct (doc, term) ids for terms with length ≥ 4 AND
+    * document frequency ≤ 50 — the rarity filter every retrieval system
+    * applies, and what BOUNDS the term join at corpus scale (each panel
+    * term touches ≤ 50 postings; no stopword blow-up). Panel terms are
+    * broadcast; overlap is one term-keyed join + (query, cand) count.
+    * Vector leg: the [[topk]] shape (broadcast panel, one corpus pass) cut
+    * at rank ≤ 20. Fusion is a slim (query, cand) full outer join of two
+    * ≤ 20-row-per-query lists — constant-sized at any corpus scale.
+    */
+  def rrfHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) >= 4)
+      .distinct()
+    val rare = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select(col("term"))
+    val rtoks = toks.join(rare, Seq("term"))
+    val qt = rtoks.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val overlap = rtoks.join(broadcast(qt), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id").as("cand_id"))
+      .agg(count(lit(1)).as("overlap"))
+    val wLex = Window.partitionBy(col("query_id"))
+      .orderBy(col("overlap").desc, col("cand_id"))
+    val lex = overlap.withColumn("r_lex", row_number().over(wLex))
+      .filter(col("r_lex") <= 20)
+      .select(col("query_id"), col("cand_id"), col("r_lex"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("emb").as("ea"))
+    val wVec = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val vec = broadcast(q)
+      .join(e.select(col("vec_id").as("cand_id"), col("emb").as("eb")),
+        col("query_id") =!= col("cand_id"))
+      .withColumn("cos", native.cosineSim(col("ea"), col("eb")))
+      .withColumn("r_vec", row_number().over(wVec))
+      .filter(col("r_vec") <= 20)
+      .select(col("query_id"), col("cand_id"), col("r_vec"))
+    val fused = lex.join(vec, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr("1000000 div (60 + r_lex)"), lit(0L))
+          + coalesce(expr("1000000 div (60 + r_vec)"), lit(0L)))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_ppm").desc, col("cand_id"))
+    fused.withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("rrf_ppm"))
+  }
+
+  val rrfHybridSql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, term FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents) t
+      |  WHERE length(term) >= 4),
+      |rare AS (SELECT term FROM toks GROUP BY 1 HAVING COUNT(*) <= 50),
+      |rt AS (SELECT toks.doc_id, toks.term FROM toks JOIN rare USING (term)),
+      |ov AS (
+      |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id, COUNT(*) AS overlap
+      |  FROM rt q JOIN rt c ON q.term = c.term
+      |  WHERE q.doc_id < 20 AND c.doc_id <> q.doc_id
+      |  GROUP BY 1, 2),
+      |lex AS (
+      |  SELECT query_id, cand_id, r_lex FROM (
+      |    SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY overlap DESC, cand_id) AS r_lex FROM ov) t
+      |  WHERE r_lex <= 20),
+      |vec AS (
+      |  SELECT query_id, cand_id, r_vec FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+      |                 c.vec_id) AS r_vec
+      |    FROM embeddings q, embeddings c
+      |    WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id) t
+      |  WHERE r_vec <= 20),
+      |f AS (
+      |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+      |         coalesce(l.cand_id, v.cand_id) AS cand_id,
+      |         coalesce(1000000 // (60 + l.r_lex), 0)
+      |           + coalesce(1000000 // (60 + v.r_vec), 0) AS rrf_ppm
+      |  FROM lex l FULL OUTER JOIN vec v
+      |    ON l.query_id = v.query_id AND l.cand_id = v.cand_id)
+      |SELECT query_id, cand_id, CAST(rank AS INT) AS rank,
+      |       CAST(rrf_ppm AS BIGINT) AS rrf_ppm
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY rrf_ppm DESC, cand_id) AS rank FROM f) t
+      |WHERE rank <= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_rrf" -> (rrfHybrid _),
     "graph_triangles" -> (triangles _),
     "emb_pca" -> (pca _),
     "emb_rp" -> (randomProjection _),
@@ -1385,6 +1485,7 @@ object Ann {
     "emb_centroids" -> (labelCentroids _))
 
   val oracles: Map[String, String] = Map(
+    "ann_rrf" -> rrfHybridSql,
     "graph_triangles" -> trianglesSql,
     "emb_pca" -> pcaSql,
     "emb_rp" -> randomProjectionSql,

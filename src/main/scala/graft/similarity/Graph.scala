@@ -237,7 +237,63 @@ object Graph {
        |FROM c1 JOIN c2 ON c1.vec_id = c2.vec_id JOIN c3 ON c1.vec_id = c3.vec_id
        |ORDER BY c3.c3 DESC, c1.vec_id LIMIT 100""".stripMargin
 
+  /** Community detection by synchronized label propagation (Raghavan et
+    * al. 2007) over the similarity graph: labels start as vertex ids;
+    * each of 3 fixed rounds every vertex adopts the most frequent label
+    * among its neighbors, ties broken to the SMALLEST label — the
+    * deterministic variant (asynchronous/random-tie LPA is engine state
+    * and would never hash-match). 3 rounds suffice for k-NN-graph-sized
+    * diameters of near-dup communities; both engines run the same fixed
+    * count (the kcore convention). Output: each vertex's community plus
+    * the community size.
+    *
+    * Scale shape: per round ONE edge-keyed join of the (vertex, label)
+    * table onto the adjacency list and one (dst, label)-keyed count —
+    * the PageRank loop shape, bounded rounds, checkpoint per round
+    * because each round's labels feed both the join and the next round.
+    * The argmax is a struct-max (cnt, −label), not a window: map-side
+    * combinable, no per-vertex sort.
+    */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val e = edgesOf(Ann.knnGraphIvf(spark, dir)).localCheckpoint()
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    var lab = adj.select(col("dst").as("vec_id")).distinct()
+      .withColumn("label", col("vec_id"))
+    for (_ <- 1 to 3) {
+      lab = adj.join(lab.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst").as("vec_id"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("vec_id"), (-col("m.nl")).as("label"))
+        .localCheckpoint()
+    }
+    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+    lab.join(sizes, Seq("label"))
+      .select(col("vec_id"), col("label").as("community"), col("community_size"))
+      .orderBy(col("vec_id"))
+  }
+
+  val labelPropSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""m$i AS (SELECT a.dst, l.label, COUNT(*) AS cnt
+         |      FROM adj a JOIN l${i - 1} l ON a.src = l.vec_id GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT dst AS vec_id, label FROM (
+         |        SELECT dst, label, ROW_NUMBER() OVER (PARTITION BY dst
+         |          ORDER BY cnt DESC, label) AS rn FROM m$i) t
+         |      WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgeCtes,
+       |l0 AS (SELECT DISTINCT dst AS vec_id, dst AS label FROM adj),
+       |$rounds,
+       |s AS (SELECT label, COUNT(*) AS community_size FROM l3 GROUP BY 1)
+       |SELECT l3.vec_id, l3.label AS community, s.community_size
+       |FROM l3 JOIN s USING (label) ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_label_prop" -> (labelProp _),
     "graph_centrality" -> (centrality _),
     "graph_degree_hist" -> (degreeHist _),
     "graph_cluster_coeff" -> (clusterCoeff _),
@@ -245,6 +301,7 @@ object Graph {
     "graph_kcore" -> (kcore _))
 
   val oracles: Map[String, String] = Map(
+    "graph_label_prop" -> labelPropSql,
     "graph_centrality" -> centralitySql,
     "graph_degree_hist" -> degreeHistSql,
     "graph_cluster_coeff" -> clusterCoeffSql,

@@ -61,4 +61,40 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r8.filter(col("core_degree") < 3).count() === 0,
       "survivor with degree < 3 after peeling")
   }
+
+  test("label_prop: communities partition the vertex set and labels are member ids") {
+    val lp = similarity.Graph.labelProp(spark, sf).cache()
+    val nVerts = edges.select(explode(array(col("u"), col("v"))).as("v"))
+      .distinct().count()
+    assert(lp.count() === nVerts, "every vertex with an edge gets a community")
+    // sizes are consistent: sum of distinct (community, size) rows = |V|
+    val mass = lp.select(col("community"), col("community_size")).distinct()
+      .agg(sum(col("community_size"))).collect()(0).getLong(0)
+    assert(mass === nVerts)
+    // a community label must itself be a vertex id (labels only ever
+    // propagate from initial vertex-id seeds)
+    val vertIds = lp.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val badLabels = lp.select(col("community")).distinct()
+      .collect().map(_.getLong(0)).filterNot(vertIds.contains)
+    assert(badLabels.isEmpty, s"labels that are not vertex ids: ${badLabels.take(5).toSeq}")
+    // propagation coarsens: strictly fewer communities than vertices
+    assert(lp.select(col("community")).distinct().count() < nVerts)
+  }
+
+  test("ann_rrf: exactly 5 fused results per query, scores bounded and sorted") {
+    val out = similarity.Ann.rrfHybrid(spark, sf).cache()
+    val perQ = out.groupBy(col("query_id")).count().collect()
+    perQ.foreach(r => assert(r.getLong(1) === 5L, s"query ${r.get(0)} has ${r.get(1)} results"))
+    // max possible: rank 1 in both legs = 2 * (1000000 div 61) = 32786
+    out.collect().foreach { r =>
+      val ppm = r.getAs[Long]("rrf_ppm")
+      assert(ppm > 0 && ppm <= 2 * (1000000 / 61), s"rrf_ppm $ppm out of range")
+    }
+    // rank order agrees with score order within each query
+    out.collect().groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      val scores = sorted.map(_.getAs[Long]("rrf_ppm"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
