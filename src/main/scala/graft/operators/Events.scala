@@ -1053,6 +1053,172 @@ object Events {
        |FROM est ORDER BY event_type""".stripMargin
   }
 
+  /** Peak concurrent sessions per day — the capacity-planning readout
+    * (license seats, connection pools, GPU slots). Sessions come from the
+    * [[sessionize]] 30-min-gap definition; each contributes a +1 marker at
+    * its start and a −1 at end+1 µs (inclusive-interval semantics: a
+    * session ending exactly when another starts DOES overlap it), and the
+    * peak is the max of the running delta sum. Markers sort by (t, delta)
+    * so the −1 of an interval ending at t processes before a +1 starting
+    * at t — the tie rule that makes the sweep deterministic; equal-delta
+    * ties at one instant are order-free (the sum is commutative there).
+    * A session is attributed to its START day (spans are ≪ a day by the
+    * 30-min gap construction).
+    *
+    * Scale shape: one user-keyed shuffle to sessionize, then one
+    * day-keyed window over SESSION-sized (not event-sized) markers —
+    * 2 rows per session.
+    */
+  def concurrency(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionize(spark, dir)
+      .select(col("start_us"), (col("start_us") + col("duration_us")).as("end_us"))
+      .withColumn("day", expr("start_us div 86400000000"))
+    val deltas = sess.select(col("day"), col("start_us").as("t"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("day"), (col("end_us") + 1).as("t"),
+        lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("running", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg(expr("count(1) div 2").as("n_sessions"),
+        max(col("running")).as("max_concurrent"))
+  }
+
+  val concurrencySql: String =
+    """WITH raw AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN LAG(ts_us) OVER w IS NULL
+      |         OR ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM raw
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |iv AS (
+      |  SELECT MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+      |  FROM sess GROUP BY user_id, session_id),
+      |d AS (
+      |  SELECT start_us // 86400000000 AS day, start_us AS t, 1 AS delta FROM iv
+      |  UNION ALL
+      |  SELECT start_us // 86400000000, end_us + 1, -1 FROM iv),
+      |r AS (
+      |  SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      |  FROM d)
+      |SELECT day, CAST(COUNT(*) // 2 AS BIGINT) AS n_sessions,
+      |       CAST(MAX(running) AS BIGINT) AS max_concurrent
+      |FROM r GROUP BY 1""".stripMargin
+
+  /** KMV sketch MERGE — the property that makes sketches worth shipping:
+    * per-(type, week) KMV sketches (k smallest distinct 48-bit hashes)
+    * union-merged per type must equal the sketch built directly on the
+    * full corpus, EXACTLY — any global k-minimum is also a k-minimum of
+    * its own slice, so re-taking the k smallest over the union of slice
+    * minima loses nothing. `merge_lossless` witnesses est_merged =
+    * est_direct per type; err_ppm compares against the exact distinct.
+    * This is the shape a 100 TB pipeline actually runs: tiny per-shard
+    * sketch states merged on the driver-sized reduce, never a global
+    * distinct.
+    *
+    * Scale shape: slim distinct-ids shuffles; both sketch reductions go
+    * through TopKPerKey's PARTIAL pass (≤ k rows per key leave each map
+    * partition); the merge input is |types|·|weeks|·k rows — trivial.
+    */
+  def kmvMerge(spark: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val pow48 = 281474976710656L // 2^48
+    val hashed = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 604800000000").as("week"),
+        col("user_id"))
+      .withColumn("h48",
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 12), 16, 10) as bigint)"))
+    val weekly = hashed.select(col("event_type"), col("week"), col("h48")).distinct()
+    val weeklyMins = graft.operators.TopK.perKey(weekly,
+      keys = Seq("event_type", "week"), order = Seq("h48" -> false), k = k)
+    def sketch(df: DataFrame, kept: String, hk: String): DataFrame =
+      graft.operators.TopK.perKey(df, keys = Seq("event_type"),
+          order = Seq("h48" -> false), k = k)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as(kept), max(col("h48")).as(hk))
+    val merged = sketch(weeklyMins.select(col("event_type"), col("h48")).distinct(),
+      "n_kept_m", "hk_m")
+    val direct = sketch(hashed.select(col("event_type"), col("h48")).distinct(),
+      "n_kept_d", "hk_d")
+    val weeks = weekly.groupBy(col("event_type"))
+      .agg(countDistinct(col("week")).as("n_weeks"))
+    val exact = Tables.events(spark, dir).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    def est(kept: String, hk: String): org.apache.spark.sql.Column =
+      when(col(kept) < k, col(kept))
+        .otherwise(expr(s"${k - 1}L * ${pow48}L div greatest($hk, 1L)"))
+    merged.join(direct, Seq("event_type")).join(weeks, Seq("event_type"))
+      .join(exact, Seq("event_type"))
+      .withColumn("est_merged", est("n_kept_m", "hk_m"))
+      .withColumn("est_direct", est("n_kept_d", "hk_d"))
+      .select(col("event_type"), col("n_weeks"),
+        col("est_merged"), col("est_direct"),
+        (col("est_merged") === col("est_direct")).as("merge_lossless"),
+        col("exact_distinct"),
+        expr("abs(est_merged - exact_distinct) * 1000000 div exact_distinct")
+          .as("err_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB replay of [[kmvMerge]] — the kmvDistinctSql h48 builder, two
+    * ROW_NUMBER sketch reductions (weekly and direct), and the merged
+    * re-reduction over the union of weekly minima.
+    */
+  val kmvMergeSql: String = {
+    val hex = "'0123456789abcdef'"
+    def byteAt(i: Int): String =
+      s"((strpos($hex, substr(h, ${2 * i + 1}, 1)) - 1) * 16" +
+        s" + strpos($hex, substr(h, ${2 * i + 2}, 1)) - 1)"
+    val h48 = (1 to 5).foldLeft(byteAt(0)) { (acc, i) => s"($acc * 256 + ${byteAt(i)})" }
+    s"""WITH hv AS (
+       |  SELECT DISTINCT event_type, epoch_us(ts) // 604800000000 AS week,
+       |    CAST($h48 AS BIGINT) AS h48
+       |  FROM (SELECT event_type, ts, md5(CAST(user_id AS VARCHAR)) AS h
+       |        FROM events) t),
+       |wm AS (
+       |  SELECT event_type, week, h48 FROM (
+       |    SELECT event_type, week, h48, ROW_NUMBER() OVER (
+       |      PARTITION BY event_type, week ORDER BY h48) AS rn
+       |    FROM hv) t WHERE rn <= 32),
+       |mrg AS (
+       |  SELECT event_type, COUNT(*) AS n_kept_m, MAX(h48) AS hk_m FROM (
+       |    SELECT event_type, h48, ROW_NUMBER() OVER (
+       |      PARTITION BY event_type ORDER BY h48) AS rn
+       |    FROM (SELECT DISTINCT event_type, h48 FROM wm) u) t
+       |  WHERE rn <= 32 GROUP BY 1),
+       |drt AS (
+       |  SELECT event_type, COUNT(*) AS n_kept_d, MAX(h48) AS hk_d FROM (
+       |    SELECT event_type, h48, ROW_NUMBER() OVER (
+       |      PARTITION BY event_type ORDER BY h48) AS rn
+       |    FROM (SELECT DISTINCT event_type, h48 FROM hv) u) t
+       |  WHERE rn <= 32 GROUP BY 1),
+       |wk AS (SELECT event_type, COUNT(DISTINCT week) AS n_weeks FROM hv GROUP BY 1),
+       |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+       |       FROM events GROUP BY 1),
+       |est AS (
+       |  SELECT mrg.event_type, wk.n_weeks,
+       |    CASE WHEN n_kept_m < 32 THEN n_kept_m
+       |         ELSE 31 * 281474976710656 // greatest(hk_m, 1) END AS est_merged,
+       |    CASE WHEN n_kept_d < 32 THEN n_kept_d
+       |         ELSE 31 * 281474976710656 // greatest(hk_d, 1) END AS est_direct,
+       |    ex.exact_distinct
+       |  FROM mrg JOIN drt ON mrg.event_type = drt.event_type
+       |  JOIN wk ON mrg.event_type = wk.event_type
+       |  JOIN ex ON mrg.event_type = ex.event_type)
+       |SELECT event_type, n_weeks, est_merged, est_direct,
+       |  est_merged = est_direct AS merge_lossless, exact_distinct,
+       |  abs(est_merged - exact_distinct) * 1000000 // exact_distinct AS err_ppm
+       |FROM est ORDER BY event_type""".stripMargin
+  }
+
   /** Top-100 behavioral trigram paths — the "what do users actually do"
     * path-analysis report (the 3-step generalization of
     * [[transitions]]'s Markov matrix): count every event_type→…→… window
@@ -1237,6 +1403,8 @@ object Events {
       |FROM c GROUP BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_concurrency" -> (concurrency _),
+    "q_kmv_merge" -> (kmvMerge _),
     "q_event_paths" -> (eventPaths _),
     "q_seq_pattern" -> (seqPattern _),
     "q_abtest" -> (abtest _),
@@ -1268,6 +1436,8 @@ object Events {
     "q_asof_tolerance" -> (asofJoinTolerance _))
 
   val oracles: Map[String, String] = Map(
+    "q_concurrency" -> concurrencySql,
+    "q_kmv_merge" -> kmvMergeSql,
     "q_event_paths" -> eventPathsSql,
     "q_seq_pattern" -> seqPatternSql,
     "q_abtest" -> abtestSql,

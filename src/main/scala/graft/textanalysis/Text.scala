@@ -829,7 +829,84 @@ object Text {
       |ORDER BY abs(CAST(c_a AS HUGEINT) * nb - CAST(c_b AS HUGEINT) * na) DESC, term
       |LIMIT 20""".stripMargin
 
+  /** Shingle-containment detection — the ASYMMETRIC near-dup relation
+    * Jaccard misses: C(A→B) = |S(A)∩S(B)| / |S(A)| is high when A's
+    * content sits INSIDE a larger B (quote farms, wrapper pages,
+    * concatenated dumps) even though their Jaccard is low. S = distinct
+    * word-5-gram shingles, keyed by a 16-hex-char md5 prefix (identical
+    * string key on both engines — no numeric conversion at all).
+    *
+    * Scale shape: slim (doc, shingle-key) ids; the candidate join is an
+    * inverted join on the shingle key with document frequency capped at
+    * 20 ([[graft.dedup.Dedup.capBuckets]] would observe drops — here the
+    * df filter IS the cap, and it's also the rarity semantics: a shingle
+    * shared by >20 docs is boilerplate, not containment evidence). Each
+    * unordered pair is counted once, emitted in both directions with the
+    * direction's own denominator, thresholded at 50%, then one best
+    * container per doc (max ppm, min container id).
+    */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documents(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 4),
+          |  i -> substring(md5(concat_ws(' ', slice(w, i, 5))), 1, 16))""".stripMargin))
+        .as("sk"))
+      .distinct()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val rare = sh.groupBy(col("sk")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20).select(col("sk"))
+    val rsh = sh.join(rare, Seq("sk"))
+    val inter = rsh.as("a").join(rsh.as("b"),
+        col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("ninter"))
+    val directed = inter
+      .select(col("id_a").as("doc_id"), col("id_b").as("container_id"), col("ninter"))
+      .unionAll(inter.select(col("id_b").as("doc_id"), col("id_a").as("container_id"),
+        col("ninter")))
+    val scored = directed.join(counts, Seq("doc_id"))
+      .withColumn("containment_ppm", expr("ninter * 1000000 div n_sh"))
+      .filter(col("containment_ppm") >= 500000L)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("containment_ppm").desc, col("container_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("container_id"), col("containment_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val containmentSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    substr(md5(array_to_string(w[i:i+4], ' ')), 1, 16) AS sk
+      |  FROM w, unnest(generate_series(1, len(w) - 4)) t(i)
+      |  WHERE len(w) >= 5),
+      |c AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |rare AS (SELECT sk FROM sh GROUP BY 1 HAVING COUNT(*) <= 20),
+      |rs AS (SELECT sh.doc_id, sh.sk FROM sh JOIN rare USING (sk)),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+      |  FROM rs a JOIN rs b ON a.sk = b.sk AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |directed AS (
+      |  SELECT id_a AS doc_id, id_b AS container_id, ninter FROM inter
+      |  UNION ALL
+      |  SELECT id_b AS doc_id, id_a AS container_id, ninter FROM inter),
+      |scored AS (
+      |  SELECT d.doc_id, d.container_id, d.ninter * 1000000 // c.n_sh AS containment_ppm
+      |  FROM directed d JOIN c ON d.doc_id = c.doc_id
+      |  WHERE d.ninter * 1000000 // c.n_sh >= 500000)
+      |SELECT doc_id, container_id, CAST(containment_ppm AS BIGINT) AS containment_ppm
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY containment_ppm DESC, container_id) AS rn FROM scored) t
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_containment" -> (containment _),
     "text_domain_shift" -> (domainShift _),
     "text_tfidf" -> (tfidf _),
     "text_inverted_index" -> (invertedIndex _),
@@ -850,6 +927,7 @@ object Text {
     "text_bpe_tokens" -> (bpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "text_containment" -> containmentSql,
     "text_tfidf" -> tfidfSql,
     "text_inverted_index" -> invertedIndexSql,
     "text_perplexity" -> perplexitySql,

@@ -211,6 +211,55 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("concurrency: peak bounded by session count and positive on active days") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Events.concurrency(spark, sf).collect()
+    val sessByDay = operators.Events.sessionize(spark, sf)
+      .groupBy(expr("start_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("n")).toMap
+    out.foreach { r =>
+      val day = r.getAs[Long]("day")
+      val peak = r.getAs[Long]("max_concurrent")
+      assert(r.getAs[Long]("n_sessions") == sessByDay(day))
+      assert(peak >= 1 && peak <= sessByDay(day),
+        s"day $day peak $peak outside [1, ${sessByDay(day)}]")
+    }
+  }
+
+  test("kmv_merge: weekly-sketch union is lossless vs the direct sketch") {
+    val out = operators.Events.kmvMerge(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("merge_lossless"),
+        s"${r.getAs[String]("event_type")}: merged ${r.getAs[Long]("est_merged")}" +
+          s" != direct ${r.getAs[Long]("est_direct")}")
+      // KMV with k=32 should land within ~35% at test scale
+      assert(r.getAs[Long]("err_ppm") < 350000L)
+    }
+  }
+
+  test("containment: ppm bounded and exact duplicates contain each other fully") {
+    import org.apache.spark.sql.functions._
+    val out = textanalysis.Text.containment(spark, sf).cache()
+    out.collect().foreach { r =>
+      val ppm = r.getAs[Long]("containment_ppm")
+      assert(ppm >= 500000L && ppm <= 1000000L)
+    }
+    // doc pairs with identical text must appear with full containment —
+    // unless every one of their shingles is boilerplate (df > 20 cap)
+    val dupPair = Tables.documents(spark, sf)
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) === 2 && length(col("text")) > 200)
+      .select(col("ids")).collect().headOption
+    dupPair.foreach { row =>
+      val ids = row.getSeq[Long](0).sorted
+      val hit = out.filter(col("doc_id") === ids(1)
+        && col("containment_ppm") === 1000000L).count()
+      assert(hit == 1L, s"exact dup pair $ids not fully contained")
+    }
+  }
+
   test("skyline: banded plan equals the brute-force dominance definition") {
     import org.apache.spark.sql.functions._
     val got = operators.Analytics.skyline(spark, sf)
