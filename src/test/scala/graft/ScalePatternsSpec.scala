@@ -89,6 +89,10 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // embeds the ann_topk + ann_topk_lsh branches, so it inherits
       // their declared fixed-panel broadcasts
       "ann_recall_eval" -> "fixed 20-id panel (embedded baselines)",
+      // the dense branch broadcasts the same filter(vec_id < 20) panel as
+      // ann_topk — ≤ 20 rows at ANY corpus size (the lexical branch's
+      // broadcast side is Aggregate-bounded and passes structurally)
+      "ann_rrf" -> "fixed 20-id panel (dense branch)",
       // the declared modulo query panel (vec_id % 100 == 0) — the
       // small-side oracle variant; a production caller passes an explicit
       // bounded panel (Scaladoc)
