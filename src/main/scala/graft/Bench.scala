@@ -363,93 +363,135 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
-    // repeated-scan throughput: rows/s over back-to-back full scans. Runs
-    // BEFORE the concurrent section — 12-stream bursts leave the JVM with
-    // heap pressure that drags subsequent scans >10× (measured), which
-    // would corrupt this figure.
-    val scanRows = SparkEntry.queries("ref_full_scan")(spark, sfDir).count()
-    val scanTimes = (1 to ScanIterations).flatMap(_ => runOnceMain("ref_full_scan").toOption)
-    val rowsPerSec = if (scanTimes.isEmpty) 0.0 else scanRows / scanTimes.min
+    // Post-pass sections are each failure-isolated (round-8 postmortem: one
+    // bare count() in the scan section threw, the process died, and 26
+    // minutes of per-query timings were discarded unprinted — BENCH_r08
+    // landed rc:1/parsed:null). A failed section records an "error" key in
+    // its own JSON object; the timed pass above is never forfeited. The
+    // JSON emission itself runs from `finally`, so even an unforeseen throw
+    // still prints whatever was captured.
+    def sectionError(e: Throwable): String =
+      jstr(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
 
-    // streaming section runs before the concurrent bursts for the same
-    // heap-pressure reason as the scan throughput above
-    val st = streamingBench(spark, sfDir)
+    // fallbacks keep every key the driver/judge reads present even when a
+    // section never ran
+    var tp = jmap(Seq("rows_per_sec" -> "0", "scan_rows" -> "0",
+      "iterations" -> "0", "error" -> jstr("section did not run")))
+    var st = jmap(Seq("rows" -> "0", "error" -> jstr("section did not run")))
+    var cc = jmap(Seq("error" -> jstr("section did not run")))
 
-    // concurrent streams of the reference's own three plans (pool must be
-    // shut down afterwards or its non-daemon threads pin the JVM open)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(ConcurrentStreams)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    def runConcurrent(name: String): Either[String, Double] = {
-      val t0 = System.nanoTime()
-      val fs = (1 to ConcurrentStreams).map { i =>
-        Future {
-          spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"bench-$i")
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-        }
-      }
+    try {
+      // repeated-scan throughput: rows/s over back-to-back full scans. Runs
+      // BEFORE the concurrent section — 12-stream bursts leave the JVM with
+      // heap pressure that drags subsequent scans >10× (measured), which
+      // would corrupt this figure.
       try {
-        Await.result(Future.sequence(fs), Duration.Inf)
-        Right((System.nanoTime() - t0) / 1e9)
+        val scanRows = SparkEntry.queries("ref_full_scan")(spark, sfDir).count()
+        val scanTimes = (1 to ScanIterations).flatMap(_ => runOnceMain("ref_full_scan").toOption)
+        val rowsPerSec = if (scanTimes.isEmpty) 0.0 else scanRows / scanTimes.min
+        tp = jmap(Seq(
+          "rows_per_sec" -> f"$rowsPerSec%.0f",
+          "scan_rows" -> scanRows.toString,
+          "iterations" -> ScanIterations.toString))
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] concurrent $name FAILED: ${e.getMessage}")
-        Left(String.valueOf(e.getMessage).take(160))
-      } finally spark.catalog.clearCache()
+        System.err.println(s"[bench] throughput section FAILED: $e")
+        tp = jmap(Seq("rows_per_sec" -> "0", "scan_rows" -> "0",
+          "iterations" -> "0", "error" -> sectionError(e)))
+      }
+
+      // streaming section runs before the concurrent bursts for the same
+      // heap-pressure reason as the scan throughput above
+      try st = streamingBench(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming section FAILED: $e")
+        st = jmap(Seq("rows" -> "0", "error" -> sectionError(e)))
+      }
+
+      // concurrent streams of the reference's own three plans (pool must be
+      // shut down afterwards or its non-daemon threads pin the JVM open)
+      try {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(ConcurrentStreams)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        def runConcurrent(name: String): Either[String, Double] = {
+          val t0 = System.nanoTime()
+          val fs = (1 to ConcurrentStreams).map { i =>
+            Future {
+              spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"bench-$i")
+              SparkEntry.queries(name)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save()
+            }
+          }
+          try {
+            Await.result(Future.sequence(fs), Duration.Inf)
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] concurrent $name FAILED: ${e.getMessage}")
+            Left(String.valueOf(e.getMessage).take(160))
+          } finally spark.catalog.clearCache()
+        }
+        val refNames = names.filter(_.startsWith("ref_"))
+        val concurrent =
+          try refNames.map(n => n -> runConcurrent(n))
+          finally pool.shutdown()
+        cc = jmap(concurrent.map {
+          case (n, Right(t)) => n -> jcompact(t)
+          case (n, Left(_))  => n -> "-1"
+        })
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] concurrent section FAILED: $e")
+        cc = jmap(Seq("error" -> sectionError(e)))
+      }
+    } finally {
+      val total = ok.map(_.timings.min).sum
+
+      // Full-precision sidecar: EVERY query, stddev, true per-query attempt
+      // counts, flaky/failed error text. Committed to the repo so the judge
+      // (and future rounds) get exact numbers even though stdout is compact.
+      val detail = jmap(Seq(
+        "metric" -> jstr("total"),
+        "value" -> jnum(total),
+        "unit" -> jstr("sec"),
+        "queries" -> jmap(ok.map(r => r.name -> jnum(r.timings.min))),
+        // p50 alongside min (round-7 verdict item 7): the committed floor is
+        // a min-merge over captures, which harvests lucky tails on the
+        // iterative queries — the median is the steady-state a reader should
+        // expect, so floor-luck and regression are distinguishable without
+        // re-measuring
+        "p50" -> jmap(ok.map(r => r.name -> jnum(p50(r.timings)))),
+        "stddev" -> jmap(ok.map(r => r.name -> jnum(stddev(r.timings)))),
+        "n_samples" -> jmap(results.map(r => r.name -> r.attempts.toString)),
+        "failed" -> jmap(failed.map(r => r.name -> jstr(r.error.get))),
+        "flaky" -> jmap(flaky.map(r => r.name -> jstr(r.error.get))),
+        s"concurrent_x$ConcurrentStreams" -> cc,
+        "throughput" -> tp,
+        "streaming" -> st,
+        "retimed" -> jarr(retimedNames),
+        "sf" -> jstr(sfDir),
+        "cpus" -> cpus))
+      try java.nio.file.Files.writeString(detailPath, detail + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] detail write FAILED: $e")
+      }
+
+      val suspect = suspectNoise(ok.map(r => r.name -> r.timings.min).toMap, committed)
+      val line = stdoutLine(ok, failed.map(_.name), flaky.map(_.name), cc, tp, sfDir, suspect, st)
+      println(line)
+      Console.out.flush()
+      // shutdown logs route through sbt's logger and could land AFTER the
+      // JSON line in a tail-capture — silence them so the line stays last
+      try {
+        spark.sparkContext.setLogLevel("OFF")
+        spark.stop()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] spark.stop FAILED: $e")
+      }
+      // reprint AFTER shutdown (round-7 verdict item 8): every BENCH_r*.json
+      // came back "parsed": null because Spark/sbt shutdown output landed
+      // between the JSON and the end of the driver's 2000-char tail window;
+      // a second copy as the process's final stdout action leaves only
+      // sbt's one-line success trailer after it
+      println(line)
+      Console.out.flush()
     }
-    val refNames = names.filter(_.startsWith("ref_"))
-    val concurrent = refNames.map(n => n -> runConcurrent(n))
-    pool.shutdown()
-
-    val cc = jmap(concurrent.map {
-      case (n, Right(t)) => n -> jcompact(t)
-      case (n, Left(_))  => n -> "-1"
-    })
-    val tp = jmap(Seq(
-      "rows_per_sec" -> f"$rowsPerSec%.0f",
-      "scan_rows" -> scanRows.toString,
-      "iterations" -> ScanIterations.toString))
-    val total = ok.map(_.timings.min).sum
-
-    // Full-precision sidecar: EVERY query, stddev, true per-query attempt
-    // counts, flaky/failed error text. Committed to the repo so the judge
-    // (and future rounds) get exact numbers even though stdout is compact.
-    val detail = jmap(Seq(
-      "metric" -> jstr("total"),
-      "value" -> jnum(total),
-      "unit" -> jstr("sec"),
-      "queries" -> jmap(ok.map(r => r.name -> jnum(r.timings.min))),
-      // p50 alongside min (round-7 verdict item 7): the committed floor is
-      // a min-merge over captures, which harvests lucky tails on the
-      // iterative queries — the median is the steady-state a reader should
-      // expect, so floor-luck and regression are distinguishable without
-      // re-measuring
-      "p50" -> jmap(ok.map(r => r.name -> jnum(p50(r.timings)))),
-      "stddev" -> jmap(ok.map(r => r.name -> jnum(stddev(r.timings)))),
-      "n_samples" -> jmap(results.map(r => r.name -> r.attempts.toString)),
-      "failed" -> jmap(failed.map(r => r.name -> jstr(r.error.get))),
-      "flaky" -> jmap(flaky.map(r => r.name -> jstr(r.error.get))),
-      s"concurrent_x$ConcurrentStreams" -> cc,
-      "throughput" -> tp,
-      "streaming" -> st,
-      "retimed" -> jarr(retimedNames),
-      "sf" -> jstr(sfDir),
-      "cpus" -> cpus))
-    java.nio.file.Files.writeString(detailPath, detail + "\n")
-
-    val suspect = suspectNoise(ok.map(r => r.name -> r.timings.min).toMap, committed)
-    val line = stdoutLine(ok, failed.map(_.name), flaky.map(_.name), cc, tp, sfDir, suspect, st)
-    println(line)
-    Console.out.flush()
-    // shutdown logs route through sbt's logger and could land AFTER the
-    // JSON line in a tail-capture — silence them so the line stays last
-    spark.sparkContext.setLogLevel("OFF")
-    spark.stop()
-    // reprint AFTER shutdown (round-7 verdict item 8): every BENCH_r*.json
-    // came back "parsed": null because Spark/sbt shutdown output landed
-    // between the JSON and the end of the driver's 2000-char tail window;
-    // a second copy as the process's final stdout action leaves only
-    // sbt's one-line success trailer after it
-    println(line)
-    Console.out.flush()
   }
 }

@@ -23,14 +23,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS): read as long nanos (see
-    * GraftSession's nanosAsLong) and converted to a micros TIMESTAMP with
-    * integral division (floor), matching DuckDB's ns→us truncation.
+  /** events.ts arrives in either of two physical encodings depending on how
+    * the generator wrote it, so the loader branches on the dtype Spark
+    * surfaces rather than assuming one:
+    *   - parquet TIMESTAMP(NANOS): Spark's reader can't decode nanos, so
+    *     GraftSession sets `nanosAsLong` and the column reads as BIGINT
+    *     nanos → convert with integral division (floor), matching DuckDB's
+    *     ns→us truncation;
+    *   - parquet TIMESTAMP(MICROS) (or millis): reads natively as a
+    *     TIMESTAMP — pass through untouched (session tz is UTC, so the
+    *     instant matches the oracle's naive reading).
+    * Downstream operators and the DuckDB oracle are agnostic to which
+    * branch ran; both yield a micros-precision TIMESTAMP column.
     */
   def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventsTs(load(s, d, "events"))
+
+  /** The ts-normalization branch shared by [[events]] and the mixed-schema
+    * lake loader (`Sources.eventsLake`): whatever the physical encoding,
+    * the caller sees a micros-precision TIMESTAMP `ts`.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case TimestampNTZType => df.withColumn("ts", expr("cast(ts as timestamp)"))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet dtype $other (expected BIGINT nanos or TIMESTAMP)")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
@@ -50,5 +73,13 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     loaders.foreach { case (name, fn) =>
       fn(spark, dir).createOrReplaceTempView(name)
+    }
+
+  /** registerAll for a subset of tables — lets fixture dirs that carry only
+    * some tables (e.g. an events-only drift fixture) register just those.
+    */
+  def registerAllSubset(spark: SparkSession, dir: String, names: Seq[String]): Unit =
+    names.foreach { name =>
+      loaders(name)(spark, dir).createOrReplaceTempView(name)
     }
 }

@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.CheckpointOps
 
 import graft.Tables
 import graft.functions.native
@@ -577,7 +578,7 @@ object Dedup {
     // production callers already feed unique a<b pairs anyway.
     val bidir = edges.select(col("id_a"), col("id_b"))
       .unionAll(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint()
+      .cutLineage()
     // One round, Shiloach–Vishkin-shaped: (1) PROPAGATE — take the min of
     // self and neighbors' labels; (2) HOOK — every vertex reports its new
     // candidate to its round-start root (its old label), and roots adopt
@@ -612,14 +613,14 @@ object Dedup {
           least(col("hk"), coalesce(col("j_lab"), col("hk"))).as("label"))
     }
     var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
+      .cutLineage()
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
       val obs = new org.apache.spark.sql.Observation()
       val next = oneRound(labels)
         .observe(obs, sum(when(col("label") < col("prev"), 1L).otherwise(0L)).as("changed"))
-        .localCheckpoint() // eager: materializes the round once, firing obs
+        .cutLineage() // eager: materializes the round once, firing obs
       changed = Option(obs.get("changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next.select(col("doc_id"), col("label"))
       round += 1
@@ -702,7 +703,7 @@ object Dedup {
     // cold 4-thread session before this checkpoint)
     val pairs = embedding(spark, dir)
       .select(col("vec_a").as("id_a"), col("vec_b").as("id_b"))
-      .localCheckpoint()
+      .cutLineage()
     val verts = pairs.select(col("id_a").as("doc_id"))
       .unionAll(pairs.select(col("id_b").as("doc_id"))).distinct()
     connectedComponents(verts, pairs)
@@ -753,18 +754,18 @@ object Dedup {
     val iters = 6
     val pairs = embedding(spark, dir)
       .select(col("vec_a").as("id_a"), col("vec_b").as("id_b"))
-      .localCheckpoint()
+      .cutLineage()
     val edges = pairs.unionAll(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val deg = edges.groupBy(col("id_a").as("v")).agg(count(lit(1)).as("deg"))
     val verts = Tables.embeddings(spark, dir).select(col("vec_id").as("v"))
     val degAll = verts.join(deg, Seq("v"), "left")
       .select(col("v"), coalesce(col("deg"), lit(0L)).as("deg"))
-      .localCheckpoint()
+      .cutLineage()
     // source degree rides on the edge once; the loop only ever joins ranks
     val edgesDeg = edges
       .join(degAll.select(col("v").as("id_a"), col("deg").as("src_deg")), "id_a")
-      .localCheckpoint()
+      .cutLineage()
     // No per-round checkpoint: unlike the CC fixpoint (which counts every
     // round — an ACTION per round), pagerank is a fixed unrolled chain with
     // one action at the end, and each r_i feeds exactly one r_{i+1} — lazy

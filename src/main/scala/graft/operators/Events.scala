@@ -362,8 +362,20 @@ object Events {
       |FROM events GROUP BY event_type""".stripMargin
 
   /** Approximate aggregates — HLL distinct-count + approx percentile next
-    * to their exact counterparts (sketch values are engine-specific →
-    * rows-only check; the exact columns bound the error).
+    * to their exact counterparts.
+    *
+    * Oracle stance (permanent, round-9): sketch VALUES are engine-specific
+    * by construction — Spark's HLL++ and DuckDB's HLL disagree on the
+    * estimate, Spark's Greenwald–Khanna and DuckDB's t-digest disagree on
+    * the percentile — so no estimate column can ever hash-match across
+    * engines. The oracle-checkable contract of an approximate aggregate is
+    * its ERROR BOUND, so that is what this query emits: each engine runs
+    * its own sketches and reports whether they landed inside the published
+    * bound (|HLL − exact|·10 ≤ exact + 50, i.e. 10% + slack 5; the approx
+    * median's true rank within [40%, 60%]). Both engines' sketches satisfy
+    * their bounds, the booleans agree, and the query upgrades from the
+    * last rows-only entry to a full rows+schema+hash oracle pass — while
+    * still exercising the whole sketch path at bench time.
     */
   def approxAgg(spark: SparkSession, dir: String): DataFrame = {
     // NB: mixing an exact DISTINCT aggregate (Expand rewrite) with
@@ -376,9 +388,43 @@ object Events {
         count(lit(1)).as("n_events"))
     val sketches = e.groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-        expr("approx_percentile(value, 0.5)").as("approx_median_value"))
-    exact.join(sketches, "event_type")
+        expr("approx_percentile(value, 0.5)").as("approx_median"))
+    // rank-check the approx median against the data itself: the fraction of
+    // values ≤ estimate must sit in [40%, 60%] — a property both engines'
+    // sketches satisfy even though their estimates differ. The per-type
+    // sketch row count is |event_type| (tiny, bounded) → broadcast.
+    val rank = e
+      .join(broadcast(sketches.select(col("event_type"), col("approx_median"))),
+        Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("value") <= col("approx_median"), 1L).otherwise(0L)).as("n_le"),
+        count(col("value")).as("n_val"))
+    exact.join(sketches, Seq("event_type")).join(rank, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx_users") - col("exact_users")) * 10 <=
+          col("exact_users") + 50).as("hll_ok"),
+        (col("n_le") * 100 >= col("n_val") * 40 &&
+          col("n_le") * 100 <= col("n_val") * 60).as("median_ok"))
   }
+
+  val approxAggSql: String =
+    """WITH sk AS (
+      |  SELECT event_type, approx_count_distinct(user_id) AS au,
+      |         approx_quantile(value, 0.5) AS am
+      |  FROM events GROUP BY event_type),
+      |ex AS (
+      |  SELECT event_type, COUNT(DISTINCT user_id) AS eu, COUNT(*) AS n_events
+      |  FROM events GROUP BY event_type),
+      |rk AS (
+      |  SELECT e.event_type,
+      |         SUM(CASE WHEN e.value <= sk.am THEN 1 ELSE 0 END) AS n_le,
+      |         COUNT(e.value) AS n_val
+      |  FROM events e JOIN sk USING (event_type) GROUP BY e.event_type)
+      |SELECT ex.event_type, ex.eu AS exact_users, ex.n_events,
+      |  (ABS(sk.au - ex.eu) * 10 <= ex.eu + 50) AS hll_ok,
+      |  (rk.n_le * 100 >= rk.n_val * 40 AND rk.n_le * 100 <= rk.n_val * 60)
+      |    AS median_ok
+      |FROM ex JOIN sk USING (event_type) JOIN rk USING (event_type)""".stripMargin
 
   /** ~10% Bernoulli sample + aggregation. Membership is a CONTENT-HASH
     * threshold (md5(event_id) byte 0 < 26 ⇒ 26/256 ≈ 10.16%), not
@@ -975,8 +1021,8 @@ object Events {
 
   /** KMV (k-minimum-values) distinct sketch — the MERGEABLE distinct
     * estimator built from deterministic md5 hashes, so unlike HLL++
-    * object state (q_approx_agg's declared rows-only case) the ENTIRE
-    * sketch is oracle-hash-checkable: per event_type keep the k=32
+    * object state (whose estimate q_approx_agg can only bound-check, not
+    * hash) the ENTIRE sketch is oracle-hash-checkable: per event_type keep the k=32
     * smallest 48-bit hash values of the member users; the k-th smallest
     * h_k estimates distinct ≈ (k−1)·2⁴⁸/h_k (uniform order statistics),
     * all in exact integer arithmetic. When a group has fewer than k
@@ -1456,6 +1502,7 @@ object Events {
     "q_funnel" -> funnelSql,
     "q_cohort" -> cohortSql,
     "q_json_extract" -> jsonExtractSql,
+    "q_approx_agg" -> approxAggSql,
     "q_sample_agg" -> sampleAggSql,
     "ref_full_scan" -> refFullScanSql,
     "ref_filter" -> refFilterSql,

@@ -3,6 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.CheckpointOps
 
 import graft.Tables
 import graft.functions.native
@@ -156,7 +157,7 @@ object Ann {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= math.max(probes, replicas))
       .select(col("vec_id"), col("c_label").as("cell"), col("rn"), col("dist_sq"))
-      .localCheckpoint() // feeds both sides of the cell-routed join
+      .cutLineage() // feeds both sides of the cell-routed join
     val members = capCells(cells.filter(col("rn") <= replicas),
       maxCell, "ivf_cell_cap")
     val e = Tables.embeddings(spark, dir)
@@ -371,7 +372,7 @@ object Ann {
       .withColumn("rn", row_number().over(cw))
       .filter(col("rn") <= math.max(nProbe, replicas))
       .select(col("vec_id"), col("c_label").as("cell"), col("rn"))
-      .localCheckpoint() // feeds both sides of the cell-routed join
+      .cutLineage() // feeds both sides of the cell-routed join
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val cand = cells.filter(col("vec_id") < 20 && col("rn") <= nProbe)
@@ -581,7 +582,7 @@ object Ann {
       .toDF("vec_id", "dim", "v")
       .select(col("vec_id"), col("dim").cast("bigint").as("dim"),
         round(col("v") * 1000000.0).cast("long").as("xi"))
-      .localCheckpoint() // consumed by every assign AND every recompute
+      .cutLineage() // consumed by every assign AND every recompute
     def assign(cent: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("dist_sq"), col("c_id"))
       x.join(broadcast(cent), Seq("dim"))
@@ -592,7 +593,7 @@ object Ann {
     }
     var cent = x.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("dim"), col("xi").as("cq"))
-      .localCheckpoint()
+      .cutLineage()
     for (_ <- 1 to iters) {
       val a = assign(cent)
       // k×dims rows: materializing per iteration keeps every round's plan
@@ -600,7 +601,7 @@ object Ann {
       cent = x.join(a.select(col("vec_id"), col("c_id")), Seq("vec_id"))
         .groupBy(col("c_id"), col("dim"))
         .agg(expr("cast(floor(cast(sum(xi) as double) / count(1) + 0.5) as bigint)").as("cq"))
-        .localCheckpoint()
+        .cutLineage()
     }
     val finalAssign = assign(cent)
     val centL1 = cent.groupBy(col("c_id"))
@@ -681,7 +682,7 @@ object Ann {
     // self-join recompute is only the map-side xi projection.
     val assigned = assignCentroids(spark, dir)
       .select(col("vec_id"), col("pred_label").as("cluster"))
-      .localCheckpoint()
+      .cutLineage()
     // xi as integer-VALUED doubles: the codegen'd cosineSim then computes
     // dot/(√na·√nb) with exact integer sums — bit-identical to the
     // oracle's integer CTEs, but one tight loop per pair instead of ~dim
@@ -921,7 +922,7 @@ object Ann {
       .withColumn("rn", row_number().over(cw))
       .filter(col("rn") <= math.max(nProbe, replicas))
       .select(col("vec_id"), col("c_label").as("cell"), col("rn"))
-      .localCheckpoint() // feeds both sides of the cell-routed join
+      .cutLineage() // feeds both sides of the cell-routed join
     val cand = cells.filter(col("vec_id") < 20 && col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cell"))
       .join(cells.filter(col("rn") <= replicas)

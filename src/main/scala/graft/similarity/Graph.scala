@@ -2,6 +2,7 @@ package graft.similarity
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.CheckpointOps
 
 /** Graph analytics over the IVF-routed kNN similarity graph
   * ([[Ann.knnGraphIvf]]) — the document/embedding graph a curation
@@ -75,7 +76,7 @@ object Graph {
     * bit-identical across engines.
     */
   def clusterCoeff(spark: SparkSession, dir: String): DataFrame = {
-    val e = edgesOf(Ann.knnGraphIvf(spark, dir)).localCheckpoint()
+    val e = edgesOf(Ann.knnGraphIvf(spark, dir)).cutLineage()
     val tri = Ann.trianglesOf(e.select(col("u").as("query_id"), col("v").as("neighbor_id")))
       .withColumnRenamed("n_triangles", "n_tri")
     degreesOf(e).filter(col("degree") >= 2)
@@ -113,7 +114,7 @@ object Graph {
     * shared endpoint — |E|·avg-degree intermediate, never all-pairs.
     */
   def jaccard(spark: SparkSession, dir: String): DataFrame = {
-    val e = edgesOf(Ann.knnGraphIvf(spark, dir)).localCheckpoint()
+    val e = edgesOf(Ann.knnGraphIvf(spark, dir)).cutLineage()
     val adj = e.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
     val deg = adj.groupBy(col("src").as("vec_id")).agg(count(lit(1)).as("degree"))
@@ -161,17 +162,17 @@ object Graph {
     * Dedup.connectedComponents).
     */
   private[graft] def kcoreOf(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = edges.localCheckpoint()
+    var e = edges.cutLineage()
     for (_ <- 1 to rounds) {
       val live = e.select(explode(array(col("u"), col("v"))).as("vec_id"))
         .groupBy(col("vec_id")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
         .select(col("vec_id"))
-        .localCheckpoint() // feeds BOTH semi joins of the round
+        .cutLineage() // feeds BOTH semi joins of the round
       e = e.join(live.select(col("vec_id").as("u")), Seq("u"), "left_semi")
         .join(live.select(col("vec_id").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint()
+        .cutLineage()
     }
     degreesOf(e).withColumnRenamed("degree", "core_degree")
       .orderBy(col("vec_id"))
@@ -212,7 +213,7 @@ object Graph {
     * only pays when a round fans out).
     */
   def centrality(spark: SparkSession, dir: String): DataFrame = {
-    val e = edgesOf(Ann.knnGraphIvf(spark, dir)).localCheckpoint()
+    val e = edgesOf(Ann.knnGraphIvf(spark, dir)).cutLineage()
     val adj = e.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
     // c1 = degree
@@ -255,10 +256,10 @@ object Graph {
     * combinable, no per-vertex sort.
     */
   def labelProp(spark: SparkSession, dir: String): DataFrame = {
-    val e = edgesOf(Ann.knnGraphIvf(spark, dir)).localCheckpoint()
+    val e = edgesOf(Ann.knnGraphIvf(spark, dir)).cutLineage()
     val adj = e.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint()
+      .cutLineage()
     var lab = adj.select(col("dst").as("vec_id")).distinct()
       .withColumn("label", col("vec_id"))
     for (_ <- 1 to 3) {
@@ -267,7 +268,7 @@ object Graph {
         .groupBy(col("dst").as("vec_id"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("vec_id"), (-col("m.nl")).as("label"))
-        .localCheckpoint()
+        .cutLineage()
     }
     val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
     lab.join(sizes, Seq("label"))

@@ -4,6 +4,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.CheckpointOps
 
 import graft.Tables
 
@@ -49,7 +50,7 @@ object BpeTrain {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("pieces"), col("cnt"))
 
-    var vocab = words.localCheckpoint()
+    var vocab = words.cutLineage()
     val merges = ArrayBuffer.empty[(Long, String, String, Long)]
     var i = 1
     var exhausted = false
@@ -72,7 +73,7 @@ object BpeTrain {
             trim(replace(concat(lit(" "), col("pieces"), lit(" ")),
               lit(s" $pr "), lit(s" $merged "))).as("pieces"),
             col("cnt"))
-          .localCheckpoint()
+          .cutLineage()
         i += 1
       }
     }

@@ -2,6 +2,7 @@ package graft.textanalysis
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.CheckpointOps
 
 import graft.Tables
 
@@ -754,7 +755,7 @@ object Text {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val tf = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds both the df aggregate and the scoring join
+      .cutLineage() // feeds both the df aggregate and the scoring join
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(broadcast(dfreq), "word").crossJoin(broadcast(nd))

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.CheckpointOps
 
 import graft.GraftSession
 import graft.dedup.Dedup
@@ -14,7 +15,7 @@ object ProfCC {
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
     val pairs = Dedup.embedding(spark, dir)
-      .select(col("vec_a").as("id_a"), col("vec_b").as("id_b")).localCheckpoint()
+      .select(col("vec_a").as("id_a"), col("vec_b").as("id_b")).cutLineage()
     println(f"pairs: ${(System.nanoTime() - t0) / 1e9}%.2f s n=${pairs.count()}")
     val verts = pairs.select(col("id_a").as("doc_id"))
       .unionAll(pairs.select(col("id_b").as("doc_id"))).distinct()
