@@ -417,7 +417,8 @@ object Events {
       |  FROM events GROUP BY event_type),
       |rk AS (
       |  SELECT e.event_type,
-      |         SUM(CASE WHEN e.value <= sk.am THEN 1 ELSE 0 END) AS n_le,
+      |         CAST(SUM(CASE WHEN e.value <= sk.am THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_le,
       |         COUNT(e.value) AS n_val
       |  FROM events e JOIN sk USING (event_type) GROUP BY e.event_type)
       |SELECT ex.event_type, ex.eu AS exact_users, ex.n_events,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 import graft.Tables
+import graft.functions.Portable
 
 /** Source/sink surface.
   *
@@ -147,4 +148,73 @@ object Sources {
       .map(group => Tables.normalizeEventsTs(spark.read.parquet(group: _*)))
       .reduce(_.unionByName(_))
   }
+
+  /** Per-JVM cache of mixed-encoding lake fixtures keyed by source sf dir:
+    * the fixture write is ingestion setup, not query work, so bench
+    * samples 2..N and the oracle re-run reuse the first build.
+    */
+  private val lakeDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Builds (once per sfDir) a directory holding the events table TWICE,
+    * side by side, under both physical encodings a real lake accumulates:
+    * `old-*` files with ts as BIGINT nanos (the pre-migration producer),
+    * `new-*` files with ts as a native micros TIMESTAMP. Spark's writer
+    * emits per-task subtrees, so part files are renamed up into the flat
+    * root [[eventsLake]] scans.
+    */
+  def mixedEventsLake(spark: SparkSession, sfDir: String): String =
+    lakeDirs.computeIfAbsent(sfDir, { _ =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.functions.{col, expr}
+      val root = java.nio.file.Files.createTempDirectory("graft_mixed_lake").toString
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def writeFlat(df: DataFrame, tag: String): Unit = {
+        val staging = s"$root/stage_$tag"
+        df.coalesce(2).write.mode("overwrite").parquet(staging)
+        fs.listStatus(new Path(staging)).foreach { st =>
+          if (st.isFile && st.getPath.getName.startsWith("part-"))
+            fs.rename(st.getPath, new Path(root, s"$tag-${st.getPath.getName}"))
+        }
+        fs.delete(new Path(staging), true)
+      }
+      val e = Tables.events(spark, sfDir)
+      writeFlat(e.withColumn("ts", expr("unix_micros(ts) * 1000")), "old")
+      writeFlat(e, "new")
+      root
+    })
+
+  /** `q_events_lake` — the mixed-schema ingestion path as an oracle-checked
+    * query: build the two-producer lake from the sf events table, read it
+    * back through [[eventsLake]] (one pushdown-preserving scan per encoding
+    * group), and aggregate. Every event appears once per producer, so the
+    * oracle is the single-table aggregate with counts and sums doubled
+    * while DISTINCT users and the ts extremes are unchanged — and the
+    * min/max epoch columns prove BOTH branches normalized `ts` to the same
+    * instants.
+    */
+  def eventsLakeAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    eventsLake(spark, mixedEventsLake(spark, sfDir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(Portable.cents(col("value"))).cast("bigint").as("total_cents"),
+        min(unix_micros(col("ts"))).as("min_ts_us"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+  }
+
+  val eventsLakeAggSql: String =
+    """SELECT event_type, CAST(COUNT(*) * 2 AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) * 2 AS BIGINT) AS total_cents,
+      |  MIN(epoch_us(ts)) AS min_ts_us,
+      |  MAX(epoch_us(ts)) AS max_ts_us
+      |FROM events GROUP BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_lake" -> (eventsLakeAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "q_events_lake" -> eventsLakeAggSql)
 }
