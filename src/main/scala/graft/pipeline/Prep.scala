@@ -493,7 +493,72 @@ object Prep {
        |  substr(md5('c:' || CAST(doc_id AS VARCHAR) || ':' || CAST(stage AS VARCHAR)), 1, 16) AS order_key
        |FROM s""".stripMargin
 
+  /** Dataset profile — the "data card" aggregate a training-data pipeline
+    * publishes per (source, lang) stratum: document count, total chars and
+    * whitespace tokens, the exact median document length, and the exact
+    * duplicate-excess rate. The numbers a mixture designer reads before
+    * choosing weights, as one Catalyst plan.
+    *
+    * Scale shapes: the median is the q_mad histogram trick — aggregate to
+    * per-(source, lang, n_chars) counts first, so the cumulative window
+    * runs over DISTINCT LENGTHS per stratum (bounded by the length domain,
+    * not the corpus); lower-median = smallest length whose cumulative count
+    * reaches half the stratum (2·cum ≥ n). The dup rate counts distinct
+    * md5(text) next to COUNT(*) — exact, and the 32-hex digest (not the
+    * document) is what shuffles. ppm in integral arithmetic end to end.
+    */
+  def datasetProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val h = d.groupBy(col("source"), col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val cum = h.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("source"), col("lang"))
+        .orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val agg = d.groupBy(col("source"), col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).cast("bigint").as("total_chars"),
+      sum(nTokens).cast("bigint").as("total_tokens"),
+      countDistinct(md5(col("text"))).as("n_distinct"))
+    val med = cum.join(agg.select(col("source"), col("lang"), col("n_docs")),
+        Seq("source", "lang"))
+      .filter(col("cum") * 2 >= col("n_docs"))
+      .groupBy(col("source"), col("lang"))
+      .agg(min(col("n_chars")).cast("bigint").as("median_chars"))
+    agg.join(med, Seq("source", "lang"))
+      .select(col("source"), col("lang"), col("n_docs"), col("total_chars"),
+        col("total_tokens"), col("median_chars"),
+        expr("CAST((n_docs - n_distinct) * 1000000 div n_docs AS BIGINT)")
+          .as("dup_excess_ppm"))
+  }
+
+  val datasetProfileSql: String =
+    s"""WITH h AS (
+       |  SELECT source, lang, n_chars, COUNT(*) AS c
+       |  FROM documents GROUP BY source, lang, n_chars),
+       |cum AS (
+       |  SELECT source, lang, n_chars,
+       |    SUM(c) OVER (PARTITION BY source, lang ORDER BY n_chars
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM h),
+       |agg AS (
+       |  SELECT source, lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |    CAST(SUM($nTokensSql) AS BIGINT) AS total_tokens,
+       |    COUNT(DISTINCT md5(text)) AS n_distinct
+       |  FROM documents GROUP BY source, lang),
+       |med AS (
+       |  SELECT c.source, c.lang, CAST(MIN(c.n_chars) AS BIGINT) AS median_chars
+       |  FROM cum c JOIN agg a ON c.source = a.source AND c.lang = a.lang
+       |  WHERE c.cum * 2 >= a.n_docs GROUP BY c.source, c.lang)
+       |SELECT a.source, a.lang, a.n_docs, a.total_chars, a.total_tokens,
+       |  m.median_chars,
+       |  CAST((a.n_docs - a.n_distinct) * 1000000 // a.n_docs AS BIGINT)
+       |    AS dup_excess_ppm
+       |FROM agg a JOIN med m ON a.source = m.source AND a.lang = m.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dataset_profile" -> (datasetProfile _),
     "doc_curriculum" -> (curriculum _),
     "doc_chunk" -> (docChunk _),
     "pack_sequences" -> (packSequences _),
@@ -509,6 +574,7 @@ object Prep {
     "doc_length_trim" -> (lengthTrim _))
 
   val oracles: Map[String, String] = Map(
+    "dataset_profile" -> datasetProfileSql,
     "doc_curriculum" -> curriculumSql,
     "doc_chunk" -> docChunkSql,
     "pack_sequences" -> packSequencesSql,

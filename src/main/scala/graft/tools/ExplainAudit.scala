@@ -20,7 +20,8 @@ object ExplainAudit {
         "emb_semdedup", "dedup_incremental", "text_boilerplate", "ann_topk_lsh",
         "q_attribution", "q_events_transition", "text_perplexity", "dedup_substring",
         "emb_pq", "text_inverted_index", "graph_pagerank",
-        "emb_knn_graph", "emb_kmeans", "text_collocations", "mm_resize")
+        "emb_knn_graph", "emb_kmeans", "text_collocations", "mm_resize",
+        "q_events_lake")
     val spark = GraftSession.local(4)
     names.foreach { n =>
       println(s"\n========== $n ==========")
