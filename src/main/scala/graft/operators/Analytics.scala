@@ -393,6 +393,55 @@ object Analytics {
       |WHERE cum_n * 100 >= q_pct * n_total
       |GROUP BY q_pct""".stripMargin
 
+  /** Histogram mergeability proof — the q_kmv_merge twin for quantiles:
+    * shard events 4 ways by a content hash (stand-ins for 4 executors'
+    * partial sketches), build each shard's fixed-bin histogram under the
+    * SHARED global binning, sum the shard histograms per bin, and emit the
+    * merged counts NEXT TO the directly-computed global histogram with a
+    * per-bin `lossless` boolean. Fixed-bin histograms merge by plain
+    * addition — the property that makes the quantile sketch
+    * tree-aggregatable across 1000 executors with no accuracy loss
+    * (unlike rank-sketch merges, which pay error per merge level).
+    * Output ≤ 256 rows regardless of corpus size.
+    */
+  def histogramMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      expr("cast(round(value * 100) as bigint)").as("v"),
+      expr("""(instr('0123456789abcdef',
+            |  substr(md5(cast(event_id as string)), 1, 1)) - 1) % 4"""
+        .stripMargin).as("shard"))
+    val mm = ev.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val binned = ev.crossJoin(broadcast(mm))
+      .withColumn("bin", expr("((v - vmin) * 256) div (vmax - vmin + 1)"))
+    val perShard = binned.groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_bin"))
+    val merged = perShard.groupBy(col("bin"))
+      .agg(sum(col("n_bin")).cast("bigint").as("n_merged"),
+        countDistinct(col("shard")).as("n_shards"))
+    val global = binned.groupBy(col("bin")).agg(count(lit(1)).as("n_global"))
+    merged.join(global, Seq("bin"))
+      .select(col("bin"), col("n_shards"), col("n_merged"), col("n_global"),
+        (col("n_merged") === col("n_global")).as("lossless"))
+  }
+
+  val histogramMergeSql: String =
+    """WITH v AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+      |    (strpos('0123456789abcdef',
+      |       substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) % 4 AS shard
+      |  FROM events),
+      |mm AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM v),
+      |b AS (SELECT shard, ((v - vmin) * 256) // (vmax - vmin + 1) AS bin
+      |      FROM v, mm),
+      |ps AS (SELECT shard, bin, COUNT(*) AS n_bin FROM b GROUP BY shard, bin),
+      |m AS (SELECT bin, CAST(SUM(n_bin) AS BIGINT) AS n_merged,
+      |        CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards
+      |      FROM ps GROUP BY bin),
+      |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_global FROM b GROUP BY bin)
+      |SELECT m.bin, m.n_shards, m.n_merged, g.n_global,
+      |  m.n_merged = g.n_global AS lossless
+      |FROM m JOIN g ON m.bin = g.bin""".stripMargin
+
   /** Per-group simple linear regression (slope / intercept / r²) of price
     * on quantity — the grouped-OLS shape (DataFusion exposes regr_slope &
     * co through its SQL surface; this is the same capability as one
@@ -613,6 +662,7 @@ object Analytics {
     "q_mad" -> (mad _),
     "q_linreg" -> (linreg _),
     "q_quantile_sketch" -> (quantileSketch _),
+    "q_histogram_merge" -> (histogramMerge _),
     "q_histogram" -> (histogram _),
     "q_unpivot" -> (unpivotMeasures _),
     "q_window_dist" -> (windowDist _),
@@ -631,6 +681,7 @@ object Analytics {
     "q_mad" -> madSql,
     "q_linreg" -> linregSql,
     "q_quantile_sketch" -> quantileSketchSql,
+    "q_histogram_merge" -> histogramMergeSql,
     "q_histogram" -> histogramSql,
     "q_unpivot" -> unpivotMeasuresSql,
     "q_window_dist" -> windowDistSql,

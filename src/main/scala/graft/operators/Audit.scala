@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-quality constraint audit — the validation pass a production
+  * pipeline runs on every ingest batch before anything downstream trusts
+  * the tables (Deequ/dbt-test territory, re-expressed as one declarative
+  * plan): referential integrity, key uniqueness, domain ranges, and
+  * null-contract checks, each reported as (check_name, n_checked,
+  * n_violations).
+  *
+  * Scale shapes: FK checks are left joins counting unmatched rows — the
+  * dimension side (customer) broadcasts, the fact-to-fact check
+  * (lineitem→orders) is an honest shuffled join on the FK; uniqueness is
+  * COUNT(*) − COUNT(DISTINCT key) with composite keys packed into one
+  * BIGINT (l_orderkey·8 + l_linenumber, linenumber ∈ 1..7) so the distinct
+  * shuffles a single long, not a struct; range/null checks are pure
+  * map-side conditional aggregation. Each leg is a tiny 1-row aggregate;
+  * the union is 8 rows total regardless of table size.
+  */
+object Audit {
+
+  private def violations(pred: Column): Column =
+    sum(when(pred, 1L).otherwise(0L)).cast("bigint")
+
+  def dataQualityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+
+    val fkOrdersCust = orders
+      .join(customer.select(col("c_custkey")),
+        orders("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        violations(col("c_custkey").isNull).as("n_violations"))
+      .select(lit("orders_custkey_fk").as("check_name"),
+        col("n_checked"), col("n_violations"))
+
+    val fkLineOrders = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        violations(col("o_orderkey").isNull).as("n_violations"))
+      .select(lit("lineitem_orderkey_fk").as("check_name"),
+        col("n_checked"), col("n_violations"))
+
+    val pkOrders = orders
+      .agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("o_orderkey")))
+          .cast("bigint").as("n_violations"))
+      .select(lit("orders_pk_unique").as("check_name"),
+        col("n_checked"), col("n_violations"))
+
+    val pkLineitem = lineitem
+      .agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) -
+          countDistinct(col("l_orderkey") * 8 + col("l_linenumber")))
+          .cast("bigint").as("n_violations"))
+      .select(lit("lineitem_pk_unique").as("check_name"),
+        col("n_checked"), col("n_violations"))
+
+    val qtyRange = lineitem
+      .agg(count(lit(1)).as("n_checked"),
+        violations(!col("l_quantity").between(1, 50)).as("n_violations"))
+      .select(lit("lineitem_qty_range").as("check_name"),
+        col("n_checked"), col("n_violations"))
+
+    val discRange = lineitem
+      .agg(count(lit(1)).as("n_checked"),
+        violations(!col("l_discount").between(0.0, 0.1)).as("n_violations"))
+      .select(lit("lineitem_discount_range").as("check_name"),
+        col("n_checked"), col("n_violations"))
+
+    val nameNotNull = customer
+      .agg(count(lit(1)).as("n_checked"),
+        violations(col("c_name").isNull).as("n_violations"))
+      .select(lit("customer_name_notnull").as("check_name"),
+        col("n_checked"), col("n_violations"))
+
+    val pricePositive = orders
+      .agg(count(lit(1)).as("n_checked"),
+        violations(col("o_totalprice") <= 0).as("n_violations"))
+      .select(lit("orders_totalprice_positive").as("check_name"),
+        col("n_checked"), col("n_violations"))
+
+    Seq(fkOrdersCust, fkLineOrders, pkOrders, pkLineitem,
+      qtyRange, discRange, nameNotNull, pricePositive)
+      .reduce(_.unionByName(_))
+  }
+
+  val dataQualityAuditSql: String =
+    """SELECT 'orders_custkey_fk' AS check_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n_checked,
+      |  CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violations
+      |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |UNION ALL
+      |SELECT 'lineitem_orderkey_fk',
+      |  CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |UNION ALL
+      |SELECT 'orders_pk_unique', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'lineitem_pk_unique', CAST(COUNT(*) AS BIGINT),
+      |  CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 8 + l_linenumber) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem_qty_range', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END)
+      |    AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem_discount_range', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END)
+      |    AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'customer_name_notnull', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM customer
+      |UNION ALL
+      |SELECT 'orders_totalprice_positive', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM orders""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_data_audit" -> (dataQualityAudit _))
+
+  val oracles: Map[String, String] = Map(
+    "q_data_audit" -> dataQualityAuditSql)
+}
