@@ -307,4 +307,40 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
       assert(planOf(q).contains("*(1)"), s"$q lost codegen")
     }
   }
+
+  test("q_events_lake: one scan per encoding group, unioned") {
+    val p = planOf("q_events_lake")
+    assert(p.contains("Union"), s"expected a union of per-encoding scans:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size >= 2,
+      s"expected >= 2 parquet scans (one per encoding group):\n$p")
+  }
+
+  test("dataset_profile: documents scan pruned to the profiled columns") {
+    val p = planOf("dataset_profile")
+    // the profile touches text/n_chars/source/lang — doc_id must be pruned
+    assert(!p.contains("doc_id"), s"doc_id must not be read:\n$p")
+    // the cumulative median window is stratum-keyed, never global
+    assert(p.contains("Window"), p)
+    assert(!p.split("Window").last.take(400).contains("Exchange SinglePartition"),
+      s"median window must partition by (source, lang):\n$p")
+  }
+
+  test("q_data_audit: every leg aggregates before the union (8-row output)") {
+    val p = planOf("q_data_audit")
+    // each constraint leg ends in its own 1-row aggregate and the union is
+    // the TOP node — nothing (no exchange, no sort) may run on the unioned
+    // summary rows. In tree-printed plans the region BEFORE "Union" is
+    // whatever sits above it.
+    val aboveUnion = p.split("Union").head
+    assert(!aboveUnion.contains("Exchange") && !aboveUnion.contains("Sort"),
+      s"operators found above the union of summary rows:\n$p")
+    assert("HashAggregate|SortAggregate".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("q_histogram_merge: bounds broadcast to the binning pass (no bounds shuffle)") {
+    val p = planOf("q_histogram_merge")
+    // the 1-row (vmin, vmax) aggregate attaches via broadcast nested loop —
+    // the corpus is never shuffled to meet the bounds
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
