@@ -112,6 +112,40 @@ object Sources {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Clustered (sort-on-write) parquet layout — the write-side half of
+    * predicate pushdown: `repartitionByRange` on the cluster keys gives
+    * each output file a DISJOINT key range, and `sortWithinPartitions`
+    * orders rows inside so every row group's min/max stats are tight.
+    * A later range-filtered scan then skips whole files and row groups
+    * from footer stats alone — at 100 TB the difference between reading
+    * a day and reading the lake. The range exchange samples keys, so
+    * skewed domains still yield balanced files.
+    */
+  def writeClustered(df: DataFrame, uri: String, clusterCols: Seq[String],
+      nFiles: Int, compression: String = "zstd"): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(nFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite").option("compression", compression).parquet(uri)
+  }
+
+  /** Small-file compaction — the standing maintenance job of any streaming
+    * or incremental ingest: thousands of kilobyte files turn a scan into a
+    * task-scheduling exercise (one task per file, footer overhead per
+    * task). Rewrites a directory to ~`targetBytes` files, preserving rows.
+    */
+  def compact(spark: SparkSession, srcUri: String, dstUri: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      compression: String = "zstd"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val src = new Path(srcUri)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(src).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(srcUri).repartition(nFiles)
+      .write.mode("overwrite").option("compression", compression).parquet(dstUri)
+  }
+
   /** Mixed-physical-schema events lake loader (round-8 verdict stretch):
     * a directory of parquet files written by DIFFERENT producers over
     * time, where `ts` appears as BIGINT nanos in some files and as a

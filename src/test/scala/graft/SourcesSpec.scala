@@ -45,6 +45,54 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.collect().map(_.toSeq).toSet == region.collect().map(_.toSeq).toSet)
   }
 
+  test("writeClustered yields disjoint per-file key ranges (footer-stats skipping)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val tmp = Files.createTempDirectory("graft_clustered").toString + "/li"
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+    Sources.writeClustered(li, tmp, Seq("l_orderkey"), nFiles = 4)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tmp).getFileSystem(conf)
+    val parts = fs.listStatus(new Path(tmp))
+      .filter(_.getPath.getName.startsWith("part-"))
+    assert(parts.length == 4)
+    // per-file (min, max) of the cluster key straight from parquet footers —
+    // the exact stats a range-filtered scan prunes by
+    val ranges = parts.toSeq.map { f =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+      try {
+        val stats = rd.getFooter.getBlocks.asScala.map(
+          _.getColumns.asScala.find(_.getPath.toDotString == "l_orderkey").get
+            .getStatistics)
+        (stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].toLong).min,
+          stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].toLong).max)
+      } finally rd.close()
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file key ranges overlap: $ranges")
+      case _ =>
+    }
+    assert(spark.read.parquet(tmp).count() == li.count())
+  }
+
+  test("compact rewrites a small-file directory to the target file count") {
+    val tmpSmall = Files.createTempDirectory("graft_small").toString + "/li"
+    val tmpOut = Files.createTempDirectory("graft_compacted").toString + "/li"
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+    li.repartition(32).write.parquet(tmpSmall) // the streaming-ingest mess
+    Sources.compact(spark, tmpSmall, tmpOut) // default 128 MiB target -> 1 file
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(tmpOut).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new Path(tmpOut))
+      .filter(_.getPath.getName.startsWith("part-"))
+    assert(parts.length == 1, s"expected 1 compacted file, got ${parts.length}")
+    assert(spark.read.parquet(tmpOut).count() == li.count())
+  }
+
   test("zstd partitioned parquet write is readable and pruned") {
     val tmp = Files.createTempDirectory("graft_zstd").toString + "/docs"
     Sources.writeParquet(Tables.documents(spark, sf), tmp, partitionCols = Seq("lang"))
