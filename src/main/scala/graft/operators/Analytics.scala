@@ -442,6 +442,64 @@ object Analytics {
       |  m.n_merged = g.n_global AS lossless
       |FROM m JOIN g ON m.bin = g.bin""".stripMargin
 
+  /** Distribution-drift monitor — the check a production pipeline runs on
+    * every ingest window: split events at the midpoint of their time span,
+    * histogram `value` into 16 fixed bins under shared bounds, and report
+    * per-bin counts and proportion shift. All proportions are integral ppm
+    * (n·10⁶ div total) so the drift table hash-matches across engines —
+    * no float sums whose accumulation order differs. The summary statistic
+    * a caller derives (total variation distance = Σ|shift|/2) is a plain
+    * integer sum over these rows.
+    *
+    * Scale shape: one 4-value bounds aggregate broadcast to one corpus
+    * pass, then a 16-row aggregate. Output ≤ 16 rows at any size.
+    */
+  def driftBins(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(spark, dir).select(
+      expr("cast(round(value * 100) as bigint)").as("v"),
+      unix_micros(col("ts")).as("t"))
+    val mm = v.agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"),
+      min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val lab = v.crossJoin(broadcast(mm)).select(
+      expr("case when (t - tmin) * 2 < (tmax - tmin + 1) then 0 else 1 end").as("half"),
+      expr("((v - vmin) * 16) div (vmax - vmin + 1)").as("bin"))
+    val c = lab.groupBy(col("bin")).agg(
+      sum(when(col("half") === 0, 1L).otherwise(0L)).cast("bigint").as("n_first"),
+      sum(when(col("half") === 1, 1L).otherwise(0L)).cast("bigint").as("n_second"))
+    val t = c.agg(sum(col("n_first")).cast("bigint").as("nf"),
+      sum(col("n_second")).cast("bigint").as("ns"))
+    c.crossJoin(broadcast(t))
+      .select(col("bin"), col("n_first"), col("n_second"),
+        expr("CAST(n_first * 1000000 div nf AS BIGINT)").as("p_first_ppm"),
+        expr("CAST(n_second * 1000000 div ns AS BIGINT)").as("p_second_ppm"),
+        expr("CAST(abs(n_first * 1000000 div nf - n_second * 1000000 div ns) AS BIGINT)")
+          .as("shift_ppm"))
+  }
+
+  val driftBinsSql: String =
+    """WITH v AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS v, epoch_us(ts) AS t
+      |  FROM events),
+      |mm AS (SELECT MIN(t) AS tmin, MAX(t) AS tmax,
+      |              MIN(v) AS vmin, MAX(v) AS vmax FROM v),
+      |lab AS (
+      |  SELECT CASE WHEN (t - tmin) * 2 < (tmax - tmin + 1) THEN 0 ELSE 1 END AS half,
+      |         ((v - vmin) * 16) // (vmax - vmin + 1) AS bin
+      |  FROM v, mm),
+      |c AS (
+      |  SELECT bin,
+      |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+      |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+      |  FROM lab GROUP BY bin),
+      |t AS (SELECT CAST(SUM(n_first) AS BIGINT) AS nf,
+      |             CAST(SUM(n_second) AS BIGINT) AS ns FROM c)
+      |SELECT bin, n_first, n_second,
+      |  CAST(n_first * 1000000 // nf AS BIGINT) AS p_first_ppm,
+      |  CAST(n_second * 1000000 // ns AS BIGINT) AS p_second_ppm,
+      |  CAST(ABS(n_first * 1000000 // nf - n_second * 1000000 // ns) AS BIGINT)
+      |    AS shift_ppm
+      |FROM c, t""".stripMargin
+
   /** Per-group simple linear regression (slope / intercept / r²) of price
     * on quantity — the grouped-OLS shape (DataFusion exposes regr_slope &
     * co through its SQL surface; this is the same capability as one
@@ -663,6 +721,7 @@ object Analytics {
     "q_linreg" -> (linreg _),
     "q_quantile_sketch" -> (quantileSketch _),
     "q_histogram_merge" -> (histogramMerge _),
+    "q_drift_bins" -> (driftBins _),
     "q_histogram" -> (histogram _),
     "q_unpivot" -> (unpivotMeasures _),
     "q_window_dist" -> (windowDist _),
@@ -682,6 +741,7 @@ object Analytics {
     "q_linreg" -> linregSql,
     "q_quantile_sketch" -> quantileSketchSql,
     "q_histogram_merge" -> histogramMergeSql,
+    "q_drift_bins" -> driftBinsSql,
     "q_histogram" -> histogramSql,
     "q_unpivot" -> unpivotMeasuresSql,
     "q_window_dist" -> windowDistSql,

@@ -557,8 +557,49 @@ object Prep {
        |    AS dup_excess_ppm
        |FROM agg a JOIN med m ON a.source = m.source AND a.lang = m.lang""".stripMargin
 
+  /** k-anonymity audit — the re-identification risk check a privacy review
+    * runs before a corpus ships: bucket documents by quasi-identifiers
+    * (lang, source, length-bucket) and report, for each k threshold, how
+    * many buckets (and how many documents) sit below k members. A document
+    * alone in its quasi-identifier bucket is linkable even with the text
+    * scrubbed — [[textanalysis.Text.scrubPii]] removes direct identifiers,
+    * this measures the indirect ones.
+    *
+    * Scale shape: one aggregation to bucket counts (|lang|·|source|·
+    * |length buckets| rows — bounded by the attribute domain, not the
+    * corpus), cross joined with the 4-row threshold table; output is 4
+    * rows.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("c"))
+    val ks = spark.sql("SELECT explode(array(bigint(2), bigint(5), bigint(10), bigint(20))) AS k")
+    groups.crossJoin(broadcast(ks))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("c") < col("k"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_groups_below"),
+        sum(when(col("c") < col("k"), col("c")).otherwise(0L)).cast("bigint")
+          .as("n_docs_below"))
+  }
+
+  val kAnonymitySql: String =
+    """WITH g AS (
+      |  SELECT lang, source, n_chars // 100 AS len_bucket, COUNT(*) AS c
+      |  FROM documents GROUP BY lang, source, len_bucket),
+      |ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(SUM(CASE WHEN c < k THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_groups_below,
+      |  CAST(SUM(CASE WHEN c < k THEN c ELSE 0 END) AS BIGINT)
+      |    AS n_docs_below
+      |FROM g, ks GROUP BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dataset_profile" -> (datasetProfile _),
+    "q_kanon" -> (kAnonymity _),
     "doc_curriculum" -> (curriculum _),
     "doc_chunk" -> (docChunk _),
     "pack_sequences" -> (packSequences _),
@@ -575,6 +616,7 @@ object Prep {
 
   val oracles: Map[String, String] = Map(
     "dataset_profile" -> datasetProfileSql,
+    "q_kanon" -> kAnonymitySql,
     "doc_curriculum" -> curriculumSql,
     "doc_chunk" -> docChunkSql,
     "pack_sequences" -> packSequencesSql,
