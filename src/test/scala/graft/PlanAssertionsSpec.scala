@@ -343,4 +343,20 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     // the corpus is never shuffled to meet the bounds
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_kanon: corpus aggregates to the bounded bucket table before the threshold join") {
+    val p = planOf("q_kanon")
+    // the 4-row threshold table broadcasts onto the (lang, source,
+    // len_bucket) bucket counts — the documents scan reads only the three
+    // quasi-identifier columns, never the text payload
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("text"), s"text payload must not be read:\n$p")
+  }
+
+  test("q_drift_bins: shared bounds broadcast; events scan pruned to (value, ts)") {
+    val p = planOf("q_drift_bins")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("props") && !p.contains("event_type"),
+      s"drift monitor must not read unused columns:\n$p")
+  }
 }
