@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain stdout goes straight through instead of being
+// re-logged with an "[info] " prefix — the bench driver tails stdout and
+// json.loads the final line, and the prefix broke that parse in every
+// prior round. Unscoped so runMain (graft.Bench / graft.Verify) picks it
+// up via delegation.
+outputStrategy := Some(StdoutOutput)
+// Drop sbt's "[success] Total time" trailer so the bench JSON line is the
+// last stdout line of the whole sbt invocation.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -278,7 +278,29 @@ object Bench {
         -1.0
       }
     }
+    // Untimed warm-up on a small prefix (round-9 verdict item 6): the
+    // timed legs' run-to-run swing (tws_burst 11.4k → 27.1k rows/s across
+    // r9 captures) is start-up cost — state-store provider class-load +
+    // RocksDB native-lib init + codegen for the stateful operators — not
+    // steady-state throughput noise. One cheap throwaway query per shape
+    // pays that cost outside the timing window, mirroring the batch
+    // bench's untimed warm-up pass.
+    def warm(mk: org.apache.spark.sql.Dataset[EventStreams.Event] =>
+        org.apache.spark.sql.Dataset[_]): Unit = {
+      if (rows.isEmpty) return
+      try {
+        val ms = MemoryStream[EventStreams.Event]
+        val q = mk(ms.toDS()).writeStream.format("noop").outputMode("append").start()
+        ms.addData(rows.take(5000))
+        q.processAllAvailable()
+        q.stop()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming warm-up FAILED: ${e.getMessage}")
+      }
+    }
+    warm(ds => EventStreams.sessionize(ds))
     val sessT = run(ds => EventStreams.sessionize(ds))
+    warm(ds => EventStreams.anomalyStream(ds))
     val anomT = run(ds => EventStreams.anomalyStream(ds))
     // the transformWithState family (round-7 verdict item 5): all four
     // arbitrary-state primitives — ValueState (burst), MapState
@@ -337,16 +359,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnceMain(name: String): Either[String, Double] =
-      runOnce(spark, SparkEntry.queries, sfDir)(name)
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2,... restricts the timed pass to a subset
+    // (used by tools/scaling_capture.sh to time the top-N floor queries at
+    // two SFs without paying for all 186). The post-pass sections
+    // (throughput/streaming/concurrent) are skipped in that mode: they are
+    // whole-engine figures that only mean something on the full run.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchQueries = only match {
+      case Some(keep) =>
+        val missing = keep -- SparkEntry.queries.keySet
+        require(missing.isEmpty, s"SPARK_GRAFT_BENCH_ONLY keys not in SparkEntry.queries: $missing")
+        SparkEntry.queries.view.filterKeys(keep).toMap
+      case None => SparkEntry.queries
+    }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    def runOnceMain(name: String): Either[String, Double] =
+      runOnce(spark, benchQueries, sfDir)(name)
+
+    val names = benchQueries.keys.toSeq.sorted
     runOnceMain(names.head) // warm-up: first-job/codegen/scan-index init
     // untimed warm-up pass for the iterative heavies ([[WarmupFloorSec]])
     // and any query without a committed floor yet
     names.filter(n => committed.get(n).forall(_ > WarmupFloorSec) && n != names.head)
       .foreach(runOnceMain)
-    val firstPass = timeAll(spark, SparkEntry.queries, sfDir)
+    val benchSamples = sys.env.get("SPARK_GRAFT_BENCH_SAMPLES").map(_.toInt).getOrElse(Samples)
+    val benchMaxSamples = sys.env.get("SPARK_GRAFT_BENCH_MAX_SAMPLES").map(_.toInt).getOrElse(MaxSamples)
+    val firstPass = timeAll(spark, benchQueries, sfDir, benchSamples, benchMaxSamples)
     // second-chance pass for queries that sampled inside a noise window
     // (runs BEFORE throughput/concurrent — those leave heap pressure that
     // would bias the retry slow)
@@ -380,7 +419,7 @@ object Bench {
     var st = jmap(Seq("rows" -> "0", "error" -> jstr("section did not run")))
     var cc = jmap(Seq("error" -> jstr("section did not run")))
 
-    try {
+    try if (only.isEmpty) {
       // repeated-scan throughput: rows/s over back-to-back full scans. Runs
       // BEFORE the concurrent section — 12-stream bursts leave the JVM with
       // heap pressure that drags subsequent scans >10× (measured), which

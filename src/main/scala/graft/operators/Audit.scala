@@ -16,10 +16,19 @@ import graft.Tables
   * dimension side (customer) broadcasts, the fact-to-fact check
   * (lineitem→orders) is an honest shuffled join on the FK; uniqueness is
   * COUNT(*) − COUNT(DISTINCT key) with composite keys packed into one
-  * BIGINT (l_orderkey·8 + l_linenumber, linenumber ∈ 1..7) so the distinct
-  * shuffles a single long, not a struct; range/null checks are pure
-  * map-side conditional aggregation. Each leg is a tiny 1-row aggregate;
-  * the union is 8 rows total regardless of table size.
+  * BIGINT (l_orderkey·16 + l_linenumber, linenumber ∈ 1..7) so the distinct
+  * shuffles a single long, not a struct — and the packing assumption is
+  * ITSELF audited by a linenumber-range leg, so a corrupt linenumber that
+  * could alias another order's slot is reported rather than silently
+  * folded in; range/null checks are pure map-side conditional aggregation.
+  *
+  * All single-table legs for one table are FUSED into a single aggregate
+  * over one scan (round-9 verdict item 3): lineitem contributes four
+  * checks from one pass, orders two, customer one — at 100 TB the audit
+  * reads each fact table once plus once per FK join, not once per check.
+  * The fused counters are unpivoted back to the per-check row contract
+  * with explode(array(struct...)), which is row-generation on a 1-row
+  * aggregate — free. Output is 9 rows total regardless of table size.
   */
 object Audit {
 
@@ -47,47 +56,45 @@ object Audit {
       .select(lit("lineitem_orderkey_fk").as("check_name"),
         col("n_checked"), col("n_violations"))
 
-    val pkOrders = orders
-      .agg(count(lit(1)).as("n_checked"),
-        (count(lit(1)) - countDistinct(col("o_orderkey")))
-          .cast("bigint").as("n_violations"))
-      .select(lit("orders_pk_unique").as("check_name"),
-        col("n_checked"), col("n_violations"))
+    // one check row out of a fused 1-row aggregate
+    def check(name: String, n: Column, v: Column): Column =
+      struct(lit(name).as("check_name"), n.as("n_checked"),
+        v.as("n_violations"))
+    def unpivot(agged: DataFrame, checks: Column*): DataFrame =
+      agged.select(explode(array(checks: _*)).as("c")).select(col("c.*"))
 
-    val pkLineitem = lineitem
-      .agg(count(lit(1)).as("n_checked"),
+    // lineitem: four checks, ONE scan
+    val lineChecks = unpivot(
+      lineitem.agg(
+        count(lit(1)).as("n"),
         (count(lit(1)) -
-          countDistinct(col("l_orderkey") * 8 + col("l_linenumber")))
-          .cast("bigint").as("n_violations"))
-      .select(lit("lineitem_pk_unique").as("check_name"),
-        col("n_checked"), col("n_violations"))
+          countDistinct(col("l_orderkey") * 16 + col("l_linenumber")))
+          .cast("bigint").as("pk_v"),
+        violations(!col("l_quantity").between(1, 50)).as("qty_v"),
+        violations(!col("l_discount").between(0.0, 0.1)).as("disc_v"),
+        violations(!col("l_linenumber").between(1, 7)).as("lnr_v")),
+      check("lineitem_pk_unique", col("n"), col("pk_v")),
+      check("lineitem_qty_range", col("n"), col("qty_v")),
+      check("lineitem_discount_range", col("n"), col("disc_v")),
+      check("lineitem_linenumber_range", col("n"), col("lnr_v")))
 
-    val qtyRange = lineitem
-      .agg(count(lit(1)).as("n_checked"),
-        violations(!col("l_quantity").between(1, 50)).as("n_violations"))
-      .select(lit("lineitem_qty_range").as("check_name"),
-        col("n_checked"), col("n_violations"))
+    // orders: two checks, ONE scan
+    val ordersChecks = unpivot(
+      orders.agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("o_orderkey")))
+          .cast("bigint").as("pk_v"),
+        violations(col("o_totalprice") <= 0).as("price_v")),
+      check("orders_pk_unique", col("n"), col("pk_v")),
+      check("orders_totalprice_positive", col("n"), col("price_v")))
 
-    val discRange = lineitem
-      .agg(count(lit(1)).as("n_checked"),
-        violations(!col("l_discount").between(0.0, 0.1)).as("n_violations"))
-      .select(lit("lineitem_discount_range").as("check_name"),
-        col("n_checked"), col("n_violations"))
+    val customerChecks = unpivot(
+      customer.agg(
+        count(lit(1)).as("n"),
+        violations(col("c_name").isNull).as("name_v")),
+      check("customer_name_notnull", col("n"), col("name_v")))
 
-    val nameNotNull = customer
-      .agg(count(lit(1)).as("n_checked"),
-        violations(col("c_name").isNull).as("n_violations"))
-      .select(lit("customer_name_notnull").as("check_name"),
-        col("n_checked"), col("n_violations"))
-
-    val pricePositive = orders
-      .agg(count(lit(1)).as("n_checked"),
-        violations(col("o_totalprice") <= 0).as("n_violations"))
-      .select(lit("orders_totalprice_positive").as("check_name"),
-        col("n_checked"), col("n_violations"))
-
-    Seq(fkOrdersCust, fkLineOrders, pkOrders, pkLineitem,
-      qtyRange, discRange, nameNotNull, pricePositive)
+    Seq(fkOrdersCust, fkLineOrders, lineChecks, ordersChecks, customerChecks)
       .reduce(_.unionByName(_))
   }
 
@@ -108,7 +115,12 @@ object Audit {
       |FROM orders
       |UNION ALL
       |SELECT 'lineitem_pk_unique', CAST(COUNT(*) AS BIGINT),
-      |  CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 8 + l_linenumber) AS BIGINT)
+      |  CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 16 + l_linenumber) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem_linenumber_range', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN l_linenumber NOT BETWEEN 1 AND 7 THEN 1 ELSE 0 END)
+      |    AS BIGINT)
       |FROM lineitem
       |UNION ALL
       |SELECT 'lineitem_qty_range', CAST(COUNT(*) AS BIGINT),

@@ -34,6 +34,44 @@ object Graph {
         greatest(col("query_id"), col("neighbor_id")).as("v"))
       .distinct()
 
+  /** The similarity graph's canonical edge set as a first-class API:
+    * build from the IVF kNN graph on demand. Every graph_* operator below
+    * is parameterized over this (the `*Of(edges)` variants), so a caller
+    * can swap in [[materializedEdges]] and run the whole analysis suite
+    * without re-deriving the graph.
+    */
+  def edges(spark: SparkSession, dir: String): DataFrame =
+    edgesOf(Ann.knnGraphIvf(spark, dir))
+
+  /** Write-once/reuse edge artifact (round-9 verdict item 5): the kNN
+    * graph derivation is the expensive half of every graph_* operator —
+    * in production you build the edge set ONCE per corpus snapshot and
+    * run the whole analysis suite against the parquet artifact. Clustered
+    * on (u, v) ([[graft.sources.Sources.writeClustered]]) so edge-range
+    * scans and the u-keyed wedge/adjacency joins start from tight
+    * row-group stats. Cached per (sfDir, uri-less) key in this JVM;
+    * `uri=Some(...)` pins an explicit artifact location instead of a
+    * temp dir.
+    */
+  def materializedEdges(spark: SparkSession, dir: String,
+      uri: Option[String] = None): DataFrame = {
+    val target = uri.getOrElse(
+      edgeArtifacts.computeIfAbsent(dir, { _ =>
+        java.nio.file.Files.createTempDirectory("graft_edges").toString + "/edges"
+      }))
+    if (!edgeArtifactsWritten.containsKey(target)) {
+      graft.sources.Sources.writeClustered(
+        edges(spark, dir), target, Seq("u", "v"), nFiles = 8)
+      edgeArtifactsWritten.put(target, java.lang.Boolean.TRUE)
+    }
+    spark.read.parquet(target)
+  }
+
+  private val edgeArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val edgeArtifactsWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private def degreesOf(e: DataFrame): DataFrame =
     e.select(explode(array(col("u"), col("v"))).as("vec_id"))
       .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
@@ -59,7 +97,10 @@ object Graph {
     * aggregation — nothing corpus-sized after the graph itself.
     */
   def degreeHist(spark: SparkSession, dir: String): DataFrame =
-    degreesOf(edgesOf(Ann.knnGraphIvf(spark, dir)))
+    degreeHistOf(edges(spark, dir))
+
+  def degreeHistOf(e: DataFrame): DataFrame =
+    degreesOf(e)
       .groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
       .orderBy(col("degree"))
 
@@ -75,8 +116,11 @@ object Graph {
     * coefficient is ONE IEEE division of two exact BIGINTs, so it is
     * bit-identical across engines.
     */
-  def clusterCoeff(spark: SparkSession, dir: String): DataFrame = {
-    val e = edgesOf(Ann.knnGraphIvf(spark, dir)).cutLineage()
+  def clusterCoeff(spark: SparkSession, dir: String): DataFrame =
+    clusterCoeffOf(edges(spark, dir))
+
+  def clusterCoeffOf(edgeSrc: DataFrame): DataFrame = {
+    val e = edgeSrc.cutLineage()
     val tri = Ann.trianglesOf(e.select(col("u").as("query_id"), col("v").as("neighbor_id")))
       .withColumnRenamed("n_triangles", "n_tri")
     degreesOf(e).filter(col("degree") >= 2)
@@ -113,8 +157,11 @@ object Graph {
     * Scale shape: the common-neighbor join is the wedge join keyed on the
     * shared endpoint — |E|·avg-degree intermediate, never all-pairs.
     */
-  def jaccard(spark: SparkSession, dir: String): DataFrame = {
-    val e = edgesOf(Ann.knnGraphIvf(spark, dir)).cutLineage()
+  def jaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardOf(edges(spark, dir))
+
+  def jaccardOf(edgeSrc: DataFrame): DataFrame = {
+    val e = edgeSrc.cutLineage()
     val adj = e.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
     val deg = adj.groupBy(col("src").as("vec_id")).agg(count(lit(1)).as("degree"))
@@ -179,7 +226,7 @@ object Graph {
   }
 
   def kcore(spark: SparkSession, dir: String): DataFrame =
-    kcoreOf(edgesOf(Ann.knnGraphIvf(spark, dir)), k = 3, rounds = 8)
+    kcoreOf(edges(spark, dir), k = 3, rounds = 8)
 
   val kcoreSql: String = {
     val peels = (1 to 8).map { i =>
@@ -212,8 +259,11 @@ object Graph {
     * exactly one consumer; the CC-loop measurement showed checkpointing
     * only pays when a round fans out).
     */
-  def centrality(spark: SparkSession, dir: String): DataFrame = {
-    val e = edgesOf(Ann.knnGraphIvf(spark, dir)).cutLineage()
+  def centrality(spark: SparkSession, dir: String): DataFrame =
+    centralityOf(edges(spark, dir))
+
+  def centralityOf(edgeSrc: DataFrame): DataFrame = {
+    val e = edgeSrc.cutLineage()
     val adj = e.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
     // c1 = degree
@@ -255,8 +305,11 @@ object Graph {
     * The argmax is a struct-max (cnt, −label), not a window: map-side
     * combinable, no per-vertex sort.
     */
-  def labelProp(spark: SparkSession, dir: String): DataFrame = {
-    val e = edgesOf(Ann.knnGraphIvf(spark, dir)).cutLineage()
+  def labelProp(spark: SparkSession, dir: String): DataFrame =
+    labelPropOf(edges(spark, dir))
+
+  def labelPropOf(edgeSrc: DataFrame): DataFrame = {
+    val e = edgeSrc.cutLineage()
     val adj = e.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
       .cutLineage()

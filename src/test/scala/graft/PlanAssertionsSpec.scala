@@ -325,7 +325,7 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
       s"median window must partition by (source, lang):\n$p")
   }
 
-  test("q_data_audit: every leg aggregates before the union (8-row output)") {
+  test("q_data_audit: every leg aggregates before the union (9-row output)") {
     val p = planOf("q_data_audit")
     // each constraint leg ends in its own 1-row aggregate and the union is
     // the TOP node — nothing (no exchange, no sort) may run on the unioned
@@ -335,6 +335,22 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(!aboveUnion.contains("Exchange") && !aboveUnion.contains("Sort"),
       s"operators found above the union of summary rows:\n$p")
     assert("HashAggregate|SortAggregate".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("q_data_audit: single-table checks fused — one scan per table outside the FK joins") {
+    val p = planOf("q_data_audit")
+    // round-9 verdict item 3: the four lineitem checks (pk packing, qty,
+    // discount, linenumber range) must come out of ONE lineitem pass, the
+    // two orders checks out of ONE orders pass. Budget: lineitem = 1 fused
+    // + 1 FK-join side = 2; orders = 1 fused + 2 FK joins = 3;
+    // customer = 1 fused + 1 FK join = 2. Count only the AQE FINAL plan —
+    // the toString repeats every scan under "== Initial Plan ==".
+    val finalP = p.split("== Initial Plan ==").head
+    def scans(table: String): Int =
+      s"FileScan parquet .*$table".r.findAllIn(finalP).size
+    assert(scans("lineitem") == 2, s"lineitem scans != 2:\n$p")
+    assert(scans("orders") == 3, s"orders scans != 3:\n$p")
+    assert(scans("customer") == 2, s"customer scans != 2:\n$p")
   }
 
   test("q_histogram_merge: bounds broadcast to the binning pass (no bounds shuffle)") {

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -173,5 +175,92 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = graftSessions.groupBy(col("user_id")).agg(count(lit(1)).as("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
+  }
+
+  test("tsDtypeTags groups hundreds of files by footer encoding without per-file scans") {
+    // 300 single-row parquet files, alternating physical ts encodings —
+    // the parallel footer probe must tag every file correctly and the
+    // manifest path must reassemble them into exactly two scan groups.
+    val lake = Files.createTempDirectory("graft_manyfiles").toString
+    import spark.implicits._
+    val us = Seq((1L, java.sql.Timestamp.valueOf("2023-11-14 22:13:20"), 7L,
+      "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ns = us.withColumn("ts", expr("unix_micros(ts) * 1000"))
+    // write once per encoding, then copy the part file N times — footer
+    // content is what matters, not distinct write jobs
+    def explode(df: org.apache.spark.sql.DataFrame, tag: String, n: Int): Unit = {
+      val one = s"$lake/_one_$tag"
+      df.coalesce(1).write.mode("overwrite").parquet(one)
+      val part = Files.list(java.nio.file.Paths.get(one)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      (1 to n).foreach { i =>
+        Files.copy(part, java.nio.file.Paths.get(lake, f"$tag-$i%03d.parquet"))
+      }
+    }
+    explode(us, "us", 150)
+    explode(ns, "ns", 150)
+    val files = Files.list(java.nio.file.Paths.get(lake)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(files.size == 300)
+
+    val t0 = System.nanoTime()
+    val tags = Sources.tsDtypeTags(
+      spark.sparkContext.hadoopConfiguration, files)
+    val probeSec = (System.nanoTime() - t0) / 1e9
+    assert(tags.size == 300)
+    val byTag = tags.groupBy(_._2)
+    assert(byTag.size == 2, s"expected 2 encoding groups, got ${byTag.keySet}")
+    assert(byTag.values.map(_.size).toSet == Set(150))
+    // every file tagged consistently with the producer that wrote it:
+    // the ns producer writes a bare int64, the ts producer a parquet
+    // timestamp physical type (int96 under Spark's default writer conf,
+    // int64 + TIMESTAMP annotation under newer writer settings)
+    tags.foreach { case (f, tag) =>
+      val isNs = f.contains("/ns-")
+      val looksTimestamp = tag.contains("TIMESTAMP") || tag.contains("int96")
+      assert(isNs == !looksTimestamp, s"$f tagged $tag")
+    }
+    // the pooled probe must be footer-read fast — a per-file spark.read
+    // plan (the round-9 implementation) takes minutes for 300 files
+    assert(probeSec < 60, s"footer probe took $probeSec s for 300 files")
+
+    val df = Sources.eventsLakeFromManifest(spark, tags)
+    assert(df.count() == 300)
+    assert(df.schema("ts").dataType == TimestampType)
+    assert(df.select(expr("count(distinct unix_micros(ts))")).head.getLong(0) == 1L)
+  }
+
+  test("eventsLake tolerates an added column in newer files (missing -> null, pushdown intact)") {
+    val lake = Files.createTempDirectory("graft_evolake").toString
+    import spark.implicits._
+    val base = Seq(
+      (1L, java.sql.Timestamp.valueOf("2023-11-14 22:13:20"), 7L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2023-11-14 22:14:20"), 8L, "error", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def writeAs(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val staging = s"$lake/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = Files.list(java.nio.file.Paths.get(staging)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, java.nio.file.Paths.get(lake, name))
+    }
+    // old producer: BIGINT-nanos ts, no ingest_v
+    writeAs(base.withColumn("ts", expr("unix_micros(ts) * 1000")), "old-0.parquet")
+    // new producer: native TIMESTAMP ts PLUS an evolved ingest_v column
+    writeAs(base.withColumn("ingest_v", lit(2)), "new-0.parquet")
+
+    val df = Sources.eventsLake(spark, lake)
+    assert(df.columns.contains("ingest_v"))
+    assert(df.count() == 4)
+    // old rows surface NULL, new rows carry the value
+    assert(df.filter(col("ingest_v").isNull).count() == 2)
+    assert(df.filter(col("ingest_v") === 2).count() == 2)
+    // both copies of each event normalize to the same instant
+    assert(df.select(expr("count(distinct unix_micros(ts))")).head.getLong(0) == 2L)
+    // pushdown on a shared column still reaches both branch scans
+    val plan = df.filter(col("event_type") === "error")
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[.*event_type.*\\]".r.findAllIn(plan).size >= 2, plan)
   }
 }
