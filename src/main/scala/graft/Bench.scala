@@ -86,7 +86,10 @@ object Bench {
       queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       Right((System.nanoTime() - t0) / 1e9)
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
+      // NonFatal only: an OOM/StackOverflow must propagate to the
+      // finally-based JSON emitter rather than let later sections produce
+      // plausible timings on a corrupt heap
       System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
       Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
     }
@@ -257,7 +260,7 @@ object Bench {
       try Tables.events(spark, sfDir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .limit(StreamRows).as[EventStreams.Event].collect()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] streaming input FAILED: ${e.getMessage}")
         Array.empty[EventStreams.Event]
       }
@@ -273,7 +276,7 @@ object Bench {
         val t = (System.nanoTime() - t0) / 1e9
         q.stop()
         t
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] streaming FAILED: ${e.getClass.getName}: ${e.getMessage}")
         -1.0
       }
@@ -294,7 +297,7 @@ object Bench {
         ms.addData(rows.take(5000))
         q.processAllAvailable()
         q.stop()
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] streaming warm-up FAILED: ${e.getMessage}")
       }
     }
@@ -432,7 +435,7 @@ object Bench {
           "rows_per_sec" -> f"$rowsPerSec%.0f",
           "scan_rows" -> scanRows.toString,
           "iterations" -> ScanIterations.toString))
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] throughput section FAILED: $e")
         tp = jmap(Seq("rows_per_sec" -> "0", "scan_rows" -> "0",
           "iterations" -> "0", "error" -> sectionError(e)))
@@ -441,7 +444,7 @@ object Bench {
       // streaming section runs before the concurrent bursts for the same
       // heap-pressure reason as the scan throughput above
       try st = streamingBench(spark, sfDir)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] streaming section FAILED: $e")
         st = jmap(Seq("rows" -> "0", "error" -> sectionError(e)))
       }
@@ -463,7 +466,7 @@ object Bench {
           try {
             Await.result(Future.sequence(fs), Duration.Inf)
             Right((System.nanoTime() - t0) / 1e9)
-          } catch { case e: Throwable =>
+          } catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] concurrent $name FAILED: ${e.getMessage}")
             Left(String.valueOf(e.getMessage).take(160))
           } finally spark.catalog.clearCache()
@@ -476,7 +479,7 @@ object Bench {
           case (n, Right(t)) => n -> jcompact(t)
           case (n, Left(_))  => n -> "-1"
         })
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] concurrent section FAILED: $e")
         cc = jmap(Seq("error" -> sectionError(e)))
       }

@@ -26,11 +26,26 @@ object Checkpoints {
   def reliable(spark: SparkSession): Boolean =
     spark.conf.getOption(ReliableConf).exists(_.trim.equalsIgnoreCase("true"))
 
+  /** A driver-local temp dir is only a valid reliable-checkpoint target when
+    * driver and executors share a filesystem — i.e. local mode. On a real
+    * cluster, executors would write checkpoint blocks to THEIR local disks
+    * and re-reads would fail (or silently read stale files), defeating the
+    * fault-tolerance the reliable flag promises. Returns the dir to use, or
+    * throws when falling back to a temp dir would be unsound.
+    */
+  private[graft] def resolveDir(master: String, configured: Option[String]): String =
+    configured.getOrElse {
+      require(master.startsWith("local"),
+        s"$ReliableConf=true on master '$master' requires $DirConf (or an " +
+          "already-set SparkContext checkpoint dir) pointing at shared " +
+          "storage; a driver-local temp dir is invisible to executors")
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    }
+
   private def ensureCheckpointDir(spark: SparkSession): Unit =
     if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      val dir = spark.conf.getOption(DirConf).getOrElse(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
-      spark.sparkContext.setCheckpointDir(dir)
+      spark.sparkContext.setCheckpointDir(
+        resolveDir(spark.sparkContext.master, spark.conf.getOption(DirConf)))
     }
 
   def cut(df: DataFrame): DataFrame = {

@@ -42,6 +42,19 @@ class CheckpointSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("reliable=true without a configured dir throws on a non-local master") {
+    // a driver-local temp dir would be invisible to executors on a cluster
+    intercept[IllegalArgumentException] {
+      Checkpoints.resolveDir("spark://cluster:7077", None)
+    }
+    intercept[IllegalArgumentException] {
+      Checkpoints.resolveDir("yarn", None)
+    }
+    // local mode may fall back to a temp dir; a configured dir always wins
+    assert(Checkpoints.resolveDir("local[32]", None).nonEmpty)
+    assert(Checkpoints.resolveDir("yarn", Some("hdfs:///ckpt")) == "hdfs:///ckpt")
+  }
+
   test("flag off keeps the executor-memory path (no checkpoint dir required)") {
     assert(!Checkpoints.reliable(spark))
     val df = Tables.nation(spark, sf)

@@ -294,4 +294,37 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("n_outliers") == vs.count(v => 2 * math.abs(2 * v - m2) > 3 * m4))
     }
   }
+
+  test("q_approx_agg diagnostics: raw HLL error + median rank fraction (drift canary)") {
+    // q_approx_agg's oracle hashes error-bound BOOLEANS (the raw estimates
+    // are engine-specific, so they can't ride in the checked output). If a
+    // regenerated events fixture ever flips a boolean, this test is where
+    // the breach becomes diagnosable: it asserts the same bounds but the
+    // failure message carries the raw relative error / rank fraction.
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, sf)
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val sk = e.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        expr("approx_percentile(value, 0.5)").as("approx_median"))
+    val rank = e
+      .join(broadcast(sk.select(col("event_type"), col("approx_median"))), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(avg(when(col("value") <= col("approx_median"), 1.0).otherwise(0.0)).as("rank_frac"))
+    val rows = exact.join(sk, Seq("event_type")).join(rank, Seq("event_type")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val ex = r.getAs[Long]("exact_users")
+      val ap = r.getAs[Long]("approx_users")
+      val relErr = math.abs(ap - ex).toDouble / math.max(ex, 1L)
+      val frac = r.getAs[Double]("rank_frac")
+      info(f"$et: exact=$ex approx=$ap relErr=${relErr * 100}%.2f%% rankFrac=${frac * 100}%.1f%%")
+      assert(math.abs(ap - ex) * 10 <= ex + 50,
+        f"$et HLL outside the oracle bound: exact=$ex approx=$ap relErr=${relErr * 100}%.2f%%")
+      assert(frac >= 0.40 && frac <= 0.60,
+        f"$et median rank fraction ${frac * 100}%.1f%% outside [40%%, 60%%]")
+    }
+  }
 }
