@@ -78,14 +78,42 @@ object Bench {
     * as a timing (round-2 lesson). Cache cleared after every run so one
     * operator's persisted blocks can't contaminate the next timing.
     */
+  /** Optional per-query wall-clock cap (SPARK_GRAFT_BENCH_TIMEOUT_SEC):
+    * the scaling captures run at SFs where an accidental super-linearity
+    * can turn one query into an hour — with the cap set, the watchdog
+    * cancels the query's job group and the run records a Left(timeout)
+    * instead of hanging the whole capture.
+    */
+  private val QueryTimeoutSec: Option[Long] =
+    sys.env.get("SPARK_GRAFT_BENCH_TIMEOUT_SEC").map(_.toLong)
+  private lazy val watchdog = new java.util.Timer("bench-watchdog", true)
+
   def runOnce(spark: SparkSession,
       queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
       sfDir: String)(name: String): Either[String, Double] = {
     val t0 = System.nanoTime()
     val r = try {
-      queries(name)(spark, sfDir)
+      val task = QueryTimeoutSec.map { limit =>
+        val sc = spark.sparkContext
+        sc.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
+        val t = new java.util.TimerTask {
+          def run(): Unit = {
+            System.err.println(s"[bench] $name TIMEOUT after ${limit}s — cancelling")
+            sc.cancelJobGroup(s"bench-$name")
+          }
+        }
+        watchdog.schedule(t, limit * 1000L)
+        t
+      }
+      try queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      Right((System.nanoTime() - t0) / 1e9)
+      finally {
+        task.foreach(_.cancel())
+        if (QueryTimeoutSec.isDefined) spark.sparkContext.clearJobGroup()
+      }
+      val t = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name ok $t%.2fs")
+      Right(t)
     } catch { case scala.util.control.NonFatal(e) =>
       // NonFatal only: an OOM/StackOverflow must propagate to the
       // finally-based JSON emitter rather than let later sections produce

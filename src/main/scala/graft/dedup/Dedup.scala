@@ -446,37 +446,17 @@ object Dedup {
       |SELECT d.doc_id, best.cand_id AS dup_candidate, best.jaccard
       |FROM d LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin
 
-  /** Embedding near-dup pairs: cosine ≥ 0.4, found via random-hyperplane
-    * LSH candidate generation + exact cosine verification — no all-pairs
-    * join anywhere in the plan, so the operator survives corpus scale while
-    * the exact verify keeps it oracle-checkable.
-    *
-    * Parameter choice: τ = 0.4 is a low-selectivity regime (per-hyperplane
-    * collision prob for a pair exactly at τ is 1 − arccos(0.4)/π ≈ 0.63),
-    * so recall comes from many NARROW bands: 2 planes × 24 tables gives a
-    * per-pair miss probability of (1 − 0.63²)²⁴ ≈ 5e-6. Buckets per table =
-    * 2^planes; at larger corpora raise `planesPerTable` (bucket count grows
-    * 2^b) and `nTables` together — the standard recall/cost dial. Fixed
-    * seed keeps the plan deterministic.
-    *
-    * Candidate dedup is FIRST-MATCHING-TABLE, not `distinct()`: in this
-    * low-τ regime a pair typically collides in MANY tables (measured ~6×
-    * multiplicity at sf0.1 — a 12M-row multiset for 2M unique pairs), so
-    * hashing the whole multiset through an Exchange just to dedup it was
-    * the plan's dominant shuffle. Instead each bucket row carries all 24
-    * bucket ids packed 2-bits-each into one long (`sig`), and a pair is
-    * kept only in the lowest table where the two signatures agree — a
-    * codegen'd bitwise filter (XOR → per-group zero-test → ctz via
-    * bit_count) that drops duplicates as they stream out of the band join,
-    * no shuffle at any corpus size.
-    */
   /** SQL predicate keeping a band-join candidate row only in the FIRST
     * table where the two packed signatures agree (2 bits per table, table
     * t at bits [2t, 2t+1]): zg gets bit 2t iff the XOR's table-t group is
     * zero, (zg & -zg) isolates the lowest such bit, and bit_count of
     * (that-1) is its position — ctz without a ctz builtin, all codegen'd
     * longs. Expects columns sig_a, sig_b, ta. Property-tested against a
-    * brute-force reference in PropertySpec.
+    * brute-force reference in PropertySpec. Retained as the shuffle-free
+    * candidate-dedup building block for SPARSE-threshold LSH variants
+    * (τ ≥ ~0.8, where banding actually filters); [[embedding]]'s dense
+    * τ = 0.4 regime no longer uses LSH at all — see its doc for the
+    * measurement that forced that call.
     */
   private[graft] def firstMatchTableFilter(nTables: Int): String = {
     val mask = (0 until nTables).map(t => 1L << (2 * t)).sum
@@ -484,54 +464,55 @@ object Dedup {
       .replace("zg", s"((~(sig_a ^ sig_b)) & shiftright(~(sig_a ^ sig_b), 1) & $mask)")
   }
 
+  /** Embedding similarity pairs: EXACT cosine ≥ τ = 0.4 as a balanced
+    * block-pair join — each vector joins a block id g = vec_id mod B, the
+    * B·(B+1)/2 unordered block pairs (i ≤ j) are the equi-join key, and
+    * every vector pair is compared in exactly one block pair. Work is the
+    * full C(n,2) cosines, spread evenly across B(B+1)/2 join groups ⇒
+    * every core busy at any corpus size; shuffle volume is n·(B+1)/2 slim
+    * vector rows, not pairs.
+    *
+    * Why exact and not LSH (round-10 scaling capture, 10× corpus): τ = 0.4
+    * is a DENSE threshold — ~0.05% of ALL pairs qualify on this corpus, so
+    * the output itself is Θ(n²) and no candidate filter can beat that. At
+    * that τ, random-hyperplane banding stops filtering entirely: with 2
+    * planes/table a RANDOM pair collides per table w.p. ≈ 0.25, so across
+    * 24 tables essentially every pair became a candidate — measured at 10×
+    * scale the band join enumerated ~12× MORE rows than brute force
+    * (24 near-complete copies of the pair space) and timed out; the
+    * blocked exact join does the same verification once per pair. LSH
+    * earns its keep only at sparse thresholds — that regime lives in
+    * [[minhashLsh]] / [[simhash]] / `emb_semdedup`, where the banding is
+    * measured to filter. (A production τ would also be ≥0.8; τ = 0.4 is
+    * kept here because the synthetic corpus has no true near-dup tail.)
+    */
   def embedding(spark: SparkSession, dir: String): DataFrame = {
-    val nTables = 24
-    val planesPerTable = 2
-    val rng = new scala.util.Random(7)
-    // flat row-major (table*planesPerTable + plane)*dim — one codegen'd
-    // loop nest computes every table's bucket in a single pass over emb
-    val planes = Array.fill(nTables * planesPerTable * 64)(rng.nextGaussian())
+    val nBlocks = 32
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val buckets = e
-      .select(col("vec_id"),
-        native.hyperplaneBuckets(col("emb"), planes, nTables, planesPerTable).as("barr"))
-      // sig = Σ bucket(t) << 2t — interpreted HOF, but evaluated once per
-      // VECTOR (pre-explode), not per candidate row
-      .select(col("vec_id"),
-        expr("aggregate(transform(barr, (b, i) -> shiftleft(b, 2 * i)), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc | x)").as("sig"),
-        posexplode(col("barr")))
-      .toDF("vec_id", "sig", "table_id", "bucket")
-    val ba = buckets.toDF("vec_a", "sig_a", "ta", "ka")
-    val bb = buckets.toDF("vec_b", "sig_b", "tb", "kb")
-    // bucket-local candidates (shuffle key = (table, bucket)); the
-    // first-matching-table filter keeps each unique pair exactly once:
-    // zg has bit 2t set iff the pair's table-t buckets agree, and
-    // bit_count((z&-z)-1)/2 is the index of the lowest such t
-    val cand = ba.join(bb,
-        col("ta") === col("tb") && col("ka") === col("kb")
-          && col("vec_a") < col("vec_b"))
-      .filter(expr(firstMatchTableFilter(nTables)))
-      .select(col("vec_a"), col("vec_b"))
-    cand
-      .join(e.select(col("vec_id").as("vec_a"), col("emb").as("ea")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("emb").as("eb")), "vec_b")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        pmod(col("vec_id"), lit(nBlocks)).cast("int").as("g"))
+    // left leg: block g participates as the LOWER end of pairs (g, j≥g);
+    // right leg: as the UPPER end of pairs (i≤g, g). Each unordered block
+    // pair — and therefore each vector pair — meets exactly once.
+    val left = e.select(col("vec_id").as("ida"), col("emb").as("ea"),
+      col("g").as("i"), explode(expr(s"sequence(g, ${nBlocks - 1})")).as("j"))
+    val right = e.select(col("vec_id").as("idb"), col("emb").as("eb"),
+      explode(expr(s"sequence(0, g)")).as("i"), col("g").as("j"))
+    // shuffle_hash hint: Catalyst would otherwise broadcast one replicated
+    // leg and probe it with the parquet scan's 1-2 input partitions —
+    // measured single-digit-core utilization on the 10× corpus; the
+    // shuffled join keys (i, j) spread the B(B+1)/2 groups over every core
+    left.hint("shuffle_hash").join(right, Seq("i", "j"))
+      .filter(col("i") =!= col("j") || col("ida") < col("idb"))
       .withColumn("cos", native.cosineSim(col("ea"), col("eb")))
       .filter(col("cos") >= 0.4)
-      .select(col("vec_a"), col("vec_b"))
+      .select(least(col("ida"), col("idb")).as("vec_a"),
+        greatest(col("ida"), col("idb")).as("vec_b"))
   }
 
-  /** ORACLE CAVEAT (round-3 advice, pinned here): this oracle is EXACT
-    * all-pairs cosine while the Spark side is LSH candidate generation +
-    * exact verify. The hash comparison therefore measures LSH recall
-    * directly — by design. With 24 tables × 2 planes the per-pair miss
-    * probability at τ=0.4 is (1−0.63²)²⁴ ≈ 5e-6 (deterministic per
-    * corpus/seed; green on sf0.001/0.01/0.1). If this row EVER goes red on
-    * a new corpus with exactly ONE missing pair whose cosine sits near τ,
-    * that is the designed probabilistic-recall tail, not a plan regression
-    * — raise nTables/planesPerTable rather than reverting to all-pairs.
-    * DedupRecallSpec asserts measured recall = 1.0 at test SF.
+  /** DuckDB mirror of [[embedding]] — plain all-pairs, which is exactly
+    * what the blocked join computes, so the comparison is exact = exact
+    * (the pre-round-10 LSH recall caveat is gone with the LSH).
     */
   val embeddingSql: String =
     """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -687,9 +668,9 @@ object Dedup {
       |SELECT f.doc_id, f.cluster_id, s.cluster_size
       |FROM final f JOIN sizes s ON f.cluster_id = s.cluster_id""".stripMargin
 
-  /** Connected components over the EXACT cosine near-dup graph (the
-    * `embedding` pairs, whose LSH+verify plan is itself oracle-proven equal
-    * to all-pairs) — aggregated to (cluster, size, min/max member). Unlike
+  /** Connected components over the EXACT cosine similarity graph (the
+    * `embedding` blocked-exact pairs) — aggregated to (cluster, size,
+    * min/max member). Unlike
     * `clusters` (whose MinHash edge set is engine-specific → rows-only),
     * this edge set is engine-portable, so the component structure itself is
     * hash-checked against a recursive-CTE min-label-propagation oracle: the
@@ -697,10 +678,10 @@ object Dedup {
     * fixpoint machinery, same one-shuffle-per-round scale shape.
     */
   def embeddingClusters(spark: SparkSession, dir: String): DataFrame = {
-    // materialize the LSH+verify pair plan ONCE: it feeds the vertex union
-    // and the bidirectional edge union, which would otherwise re-run the
-    // whole candidate-generation pipeline 4x (measured 3.7s -> 95s in a
-    // cold 4-thread session before this checkpoint)
+    // materialize the pair plan ONCE: it feeds the vertex union and the
+    // bidirectional edge union, which would otherwise re-run the whole
+    // block-pair comparison 4x (measured 3.7s -> 95s in a cold 4-thread
+    // session before this checkpoint)
     val pairs = embedding(spark, dir)
       .select(col("vec_a").as("id_a"), col("vec_b").as("id_b"))
       .cutLineage()
@@ -741,14 +722,13 @@ object Dedup {
     * floor division at every step, so all 6 fixed iterations are
     * engine-exact — no libm, no float accumulation order.
     *
-    * Scale shape: the edge set is the [[embedding]] LSH+verify pair plan
-    * (checkpointed once — the embeddingClusters lesson); per iteration
-    * exactly ONE shuffle (contributions keyed by destination), the
-    * degree-annotated edge table partitions once and is reused; iteration
-    * count is FIXED, not data-dependent, so the cost is 6 shuffles at any
-    * corpus size. Dangling vertices (deg 0) hold the 150 000 floor.
-    * The same recall caveat as [[embedding]] applies to the oracle
-    * comparison (exact all-pairs vs LSH candidates, designed miss ≈ 5e-6).
+    * Scale shape: the edge set is the [[embedding]] blocked-exact pair
+    * plan (checkpointed once — the embeddingClusters lesson); per
+    * iteration exactly ONE shuffle (contributions keyed by destination),
+    * the degree-annotated edge table partitions once and is reused;
+    * iteration count is FIXED, not data-dependent, so the cost is 6
+    * shuffles at any corpus size. Dangling vertices (deg 0) hold the
+    * 150 000 floor. The oracle comparison is exact = exact.
     */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val iters = 6

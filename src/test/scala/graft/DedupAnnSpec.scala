@@ -291,7 +291,7 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
-  test("dedup_embedding (LSH + exact verify) matches brute force; no all-pairs join") {
+  test("dedup_embedding (blocked exact join) matches brute force; no cartesian in the plan") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
@@ -302,10 +302,11 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("cos") >= 0.4)
       .select(col("vec_a"), col("vec_b"))
       .as[(Long, Long)].collect().toSet
-    val lsh = dedup.Dedup.embedding(spark, sf).as[(Long, Long)].collect().toSet
-    val missed = brute -- lsh
-    assert(missed.isEmpty, s"LSH recall < 1 at test SF: missed ${missed.size} of ${brute.size}: $missed")
-    assert(lsh == brute, s"spurious pairs: ${lsh -- brute}") // verify step guarantees precision
+    val blocked = dedup.Dedup.embedding(spark, sf).as[(Long, Long)].collect().toSet
+    val missed = brute -- blocked
+    assert(missed.isEmpty,
+      s"block decomposition dropped ${missed.size} of ${brute.size} pairs: $missed")
+    assert(blocked == brute, s"double-counted/spurious pairs: ${blocked -- brute}")
     val plan = dedup.Dedup.embedding(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "all-pairs join in the plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), "non-equi self-join in the plan")

@@ -99,7 +99,11 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ann_range" -> "declared modulo query panel")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val hinted = fn(spark, sf).queryExecution.analyzed.collect {
-        case h: ResolvedHint if h.hints.strategy.isDefined => h.child
+        // only BROADCAST-family hints move data to every executor; a
+        // SHUFFLE_HASH/SHUFFLE_MERGE hint on a corpus side is fine (it
+        // REFUSES the broadcast, e.g. dedup_embedding's block-pair join)
+        case h: ResolvedHint if h.hints.strategy.exists(
+          _.toString.toUpperCase.contains("BROADCAST")) => h.child
       }
       val bad = hinted.exists { sub =>
         val scansCorpus = sub.collect { case l: LogicalRelation => l.relation }.exists {

@@ -83,14 +83,23 @@ def main() -> int:
         "END AS text, "
         "lang, source, n_chars",
     )
-    # Perturb vectors: add a small replica-and-index-dependent epsilon to
-    # each component; keeps magnitudes sane, breaks exact-duplicate cosine.
+    # Each replica is an ISOMETRIC copy: a per-replica signed coordinate
+    # rotation (an orthogonal transform). cos(P_r a, P_r b) == cos(a, b), so
+    # every replica preserves the base corpus's internal pair structure —
+    # near-dup edge count and kNN geometry scale exactly K-fold — while
+    # cos(P_r a, P_s b) for r != s is decorrelated, so replicas don't form
+    # cross-replica near-dup cliques. (A small additive epsilon was tried
+    # first and REJECTED: replicas stayed at cos≈0.9999 to their base, the
+    # tau=0.4 near-dup edge set grew ~20x super-linearly, and dedup_cc /
+    # dedup_embedding timed out measuring an artifact of the generator, not
+    # the operators.)
     gen(
         "embeddings",
         f"vec_id + {off} AS vec_id, "
         "CASE WHEN r = 0 THEN embedding ELSE "
-        "  list_transform(embedding, (x, i) -> "
-        "    CAST(x + 0.01 * sin(CAST(r * 37 + i AS DOUBLE)) AS FLOAT)) "
+        "  list_transform(range(64), i -> CAST("
+        "    (CASE WHEN (i + r) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+        "    * embedding[((i + 7 * r) % 64) + 1] AS FLOAT)) "
         "END AS embedding, "
         "label",
     )

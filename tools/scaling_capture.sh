@@ -20,11 +20,14 @@ EOF
 echo "queries: $TOP25"
 [ -d "$SYNTH" ] || python3 tools/gen_scale10.py /root/testdata/sf0.1 "$SYNTH" 10
 
-run_sf() { # $1=sfdir $2=tag
+run_sf() { # $1=sfdir $2=tag  (skips a leg whose detail file already exists,
+           #  so a killed capture resumes at the missing leg)
+  [ -s "$OUT/detail_$2.json" ] && { echo "skip $2 (exists)"; return; }
   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR="$1" \
   SPARK_GRAFT_BENCH_DETAIL="$OUT/detail_$2.json" \
   SPARK_GRAFT_BENCH_ONLY="$TOP25" \
   SPARK_GRAFT_BENCH_SAMPLES=2 SPARK_GRAFT_BENCH_MAX_SAMPLES=4 \
+  SPARK_GRAFT_BENCH_TIMEOUT_SEC="${SPARK_GRAFT_BENCH_TIMEOUT_SEC:-240}" \
   SPARK_DRIVER_MEM=24g \
   sbt -batch "runMain graft.Bench" >"$OUT/stdout_$2.txt" 2>"$OUT/stderr_$2.txt"
 }
