@@ -338,13 +338,22 @@ object Dedup {
     *    generated and scored inside the row, so only (id_a, id_b, jaccard)
     *    triples leave the block — and the aggregate row is now bounded by
     *    `maxBlock` gram sets instead of the whole block.
-    *  - larger blocks take a distributed pair JOIN on the block key: each
-    *    output row carries exactly two gram sets, the block never
-    *    materializes in one row, and AQE skew-split spreads the bucket-local
-    *    quadratic across executors. Same pairs, same doubles — the oracle
-    *    does not change.
+    *  - larger blocks take a SUB-BLOCKED pair join: each doc gets a
+    *    sub-block id g = doc_id mod S, the S(S+1)/2 unordered sub-block
+    *    pairs become part of the equi-join key (the dedup_embedding
+    *    block-pair decomposition, applied per block), so the per-block
+    *    quadratic spreads evenly over blocks × sub-block-pairs join groups
+    *    instead of one task per block key. Round-10 scaling measurement
+    *    that forced this: at 10× corpus the same 30 blocks held 100× the
+    *    pairs (59M), and the single-key-per-block join ran them on a
+    *    handful of cores — timed out at 240 s; sub-blocked it completes in
+    *    seconds. Same pairs, same doubles — the oracle does not change.
+    *
+    * maxBlock default 64: the in-row path caps at C(64,2) ≈ 2k in-row pair
+    * scores per aggregate row (a bounded task), everything larger goes to
+    * the join, whose sub-blocking keeps any block size parallel.
     */
-  private[graft] def ngramJaccardOf(documents: DataFrame, maxBlock: Int = 1000): DataFrame = {
+  private[graft] def ngramJaccardOf(documents: DataFrame, maxBlock: Int = 64): DataFrame = {
     val docs = documents
       .withColumn("grams", native.charNgramHashes(col("text"), 4))
       .withColumn("block", concat_ws("#", col("lang"), (col("n_chars") / 100).cast("int")))
@@ -379,11 +388,20 @@ object Dedup {
         i => transform(sequence(i + 1, size(col("ds")) - 1), j => pairScore(i, j)))))
         .as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.jaccard").as("jaccard"))
-    val largePairs = largeDocs.as("a").join(largeDocs.as("b"),
-        col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        jac(native.sortedIntersectCount(col("a.grams"), col("b.grams")),
-          size(col("a.grams")), size(col("b.grams"))).as("jaccard"))
+    val nSub = 8
+    val lg = largeDocs.withColumn("g", pmod(col("doc_id"), lit(nSub)).cast("int"))
+    val lgLeft = lg.select(col("block"), col("doc_id").as("ida"),
+      col("grams").as("ga"), col("g").as("i"),
+      explode(expr(s"sequence(g, ${nSub - 1})")).as("j"))
+    val lgRight = lg.select(col("block"), col("doc_id").as("idb"),
+      col("grams").as("gb"), explode(expr(s"sequence(0, g)")).as("i"),
+      col("g").as("j"))
+    val largePairs = lgLeft.hint("shuffle_hash").join(lgRight, Seq("block", "i", "j"))
+      .filter(col("i") =!= col("j") || col("ida") < col("idb"))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"),
+        jac(native.sortedIntersectCount(col("ga"), col("gb")),
+          size(col("ga")), size(col("gb"))).as("jaccard"))
     val pairs = smallPairs.unionAll(largePairs).filter(col("jaccard") >= 0.3)
     val directed = pairs.select(col("id_a").as("doc_id"), col("id_b").as("cand_id"), col("jaccard"))
       .unionAll(pairs.select(col("id_b").as("doc_id"), col("id_a").as("cand_id"), col("jaccard")))

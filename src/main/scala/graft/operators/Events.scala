@@ -1449,7 +1449,139 @@ object Events {
       |    AS simpson_ppm
       |FROM c GROUP BY 1""".stripMargin
 
+  /** Audience-overlap matrix — Jaccard similarity of the distinct-user
+    * sets of every event-type pair, in exact ppm: the "segment overlap"
+    * read a growth team takes before merging or suppressing audiences.
+    *
+    * Scale shape: one distinct on (user, type) — shuffle keyed on the
+    * pair with map-side partials — then a user-keyed self-join whose
+    * per-user fan-out is bounded by |types|² (≤ 25 here; audiences are
+    * never materialized as sets), collapsing straight into a
+    * |types|²-row aggregate. Audience sizes ride in as a broadcast of
+    * the |types|-row aggregate. No corpus-sized window or broadcast.
+    */
+  def segmentOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val pairs = ut.toDF("user_id", "ta")
+      .join(ut.toDF("user_id", "tb"), "user_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_both"))
+    val aud = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_aud"))
+    pairs
+      .join(broadcast(aud.toDF("ta", "aud_a")), "ta")
+      .join(broadcast(aud.toDF("tb", "aud_b")), "tb")
+      .select(col("ta").as("type_a"), col("tb").as("type_b"), col("n_both"),
+        (col("aud_a") + col("aud_b") - col("n_both")).as("n_union"),
+        expr("n_both * 1000000 div (aud_a + aud_b - n_both)").as("jaccard_ppm"))
+  }
+
+  val segmentOverlapSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |aud AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n_both
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT p.ta AS type_a, p.tb AS type_b, p.n_both,
+      |  aa.n + ab.n - p.n_both AS n_union,
+      |  p.n_both * 1000000 // (aa.n + ab.n - p.n_both) AS jaccard_ppm
+      |FROM p JOIN aud aa ON aa.event_type = p.ta
+      |JOIN aud ab ON ab.event_type = p.tb""".stripMargin
+
+  /** Gini coefficient of per-user activity per event type — the
+    * inequality/concentration read ("do 1% of users generate 90% of the
+    * clicks?"). Computed ENTIRELY from the count-of-counts histogram, the
+    * q_mad trick: users with the same event count occupy consecutive
+    * ranks, so each histogram row (c, m users) contributes
+    * c·(2·cum·m + m·(m+1) − (n+1)·m) to Σ(2i−n−1)·x₍ᵢ₎ in closed form —
+    * integer-exact, and the rank window sorts only the DISTINCT count
+    * values (bounded by max per-user activity, ≪ users ≪ corpus), never
+    * a user-sized partition. Gini lands as exact ppm.
+    */
+  def gini(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("c"))
+    val hist = perUser.groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("m"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("cum", coalesce(sum(col("m")).over(wCum), lit(0L)))
+      .withColumn("nu", sum(col("m")).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("nu")).as("n_users"),
+        sum(col("m") * col("c")).as("n_events"),
+        sum(col("c") * (lit(2L) * col("cum") * col("m")
+          + col("m") * (col("m") + lit(1L))
+          - (col("nu") + lit(1L)) * col("m"))).as("num"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        expr("num * 1000000 div (n_users * n_events)").as("gini_ppm"))
+  }
+
+  val giniSql: String =
+    """WITH pu AS (
+      |  SELECT event_type, user_id, COUNT(*) AS c FROM events GROUP BY 1, 2),
+      |h AS (SELECT event_type, c, COUNT(*) AS m FROM pu GROUP BY 1, 2),
+      |hc AS (
+      |  SELECT event_type, c, m,
+      |    COALESCE(SUM(m) OVER (PARTITION BY event_type ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+      |    SUM(m) OVER (PARTITION BY event_type) AS nu
+      |  FROM h)
+      |SELECT event_type, CAST(MAX(nu) AS BIGINT) AS n_users,
+      |  CAST(SUM(m * c) AS BIGINT) AS n_events,
+      |  CAST(CAST(SUM(c * (2 * cum * m + m * (m + 1) - (nu + 1) * m))
+      |      AS BIGINT) * 1000000
+      |    // (CAST(MAX(nu) AS BIGINT) * CAST(SUM(m * c) AS BIGINT))
+      |    AS BIGINT) AS gini_ppm
+      |FROM hc GROUP BY 1""".stripMargin
+
+  /** Weekly stickiness — avg DAU over the days of each epoch week divided
+    * by that week's WAU, the standard product-engagement ratio, in exact
+    * ppm (sum_dau·10⁶ div (n_days·wau) avoids the float division).
+    * Days/weeks are epoch-integer buckets (micros div 86400·10⁶, day
+    * div 7) — deterministic across engines, no calendar/tz state. Two
+    * aggregations over the (user, day) distinct — linear, map-side
+    * combined; unlike q_active_users' rolling 7-day window this is the
+    * tumbling calendar-style read.
+    */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val daily = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      .withColumn("week", expr("day div 7"))
+      .groupBy(col("week")).agg(sum(col("dau")).as("sum_dau"),
+        count(lit(1)).as("n_days"))
+    val weekly = ud.select(expr("day div 7").as("week"), col("user_id")).distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("wau"))
+    daily.join(weekly, "week")
+      .select(col("week"), col("n_days"), col("sum_dau"), col("wau"),
+        expr("sum_dau * 1000000 div (n_days * wau)").as("stickiness_ppm"))
+  }
+
+  val stickinessSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |d AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+      |wk AS (
+      |  SELECT day // 7 AS week, CAST(SUM(dau) AS BIGINT) AS sum_dau,
+      |    COUNT(*) AS n_days
+      |  FROM d GROUP BY 1),
+      |w AS (
+      |  SELECT day // 7 AS week, COUNT(DISTINCT user_id) AS wau
+      |  FROM ud GROUP BY 1)
+      |SELECT wk.week, wk.n_days, wk.sum_dau, w.wau,
+      |  wk.sum_dau * 1000000 // (wk.n_days * w.wau) AS stickiness_ppm
+      |FROM wk JOIN w ON wk.week = w.week""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_segment_overlap" -> (segmentOverlap _),
+    "q_gini" -> (gini _),
+    "q_stickiness" -> (stickiness _),
     "q_concurrency" -> (concurrency _),
     "q_kmv_merge" -> (kmvMerge _),
     "q_event_paths" -> (eventPaths _),
@@ -1483,6 +1615,9 @@ object Events {
     "q_asof_tolerance" -> (asofJoinTolerance _))
 
   val oracles: Map[String, String] = Map(
+    "q_segment_overlap" -> segmentOverlapSql,
+    "q_gini" -> giniSql,
+    "q_stickiness" -> stickinessSql,
     "q_concurrency" -> concurrencySql,
     "q_kmv_merge" -> kmvMergeSql,
     "q_event_paths" -> eventPathsSql,

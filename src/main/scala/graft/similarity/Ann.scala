@@ -64,7 +64,12 @@ object Ann {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val q = e.select(col("vec_id").as("query_id"), col("emb").as("ea"))
+    // the streamed side must be repartitioned: the corpus parquet file is
+    // small enough to scan in 1-2 input splits, and under a broadcast join
+    // those splits ARE the parallelism — measured at 10× corpus, the whole
+    // n² probe ran on 2 cores until this spread it across the cluster
     val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         native.cosineSim(col("ea"), col("eb")).as("cos"))
@@ -162,16 +167,40 @@ object Ann {
       maxCell, "ivf_cell_cap")
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    // a pair can meet in up to min(probes, replicas) shared cells ->
-    // dedup the slim id pairs before the vectors are attached
-    val scored = cells.filter(col("rn") <= probes)
-      .select(col("vec_id").as("query_id"), col("cell"))
-      .join(members
-        .select(col("vec_id").as("neighbor_id"), col("cell")), "cell")
+    // Scoring shape (round-10 scaling rework — the pre-rework plan
+    // distinct()ed the slim candidate pairs and THEN attached both
+    // embeddings by id: at 10× corpus that was a candidate-sized exchange
+    // plus two candidate-sized embedding shuffles, and the cell join had
+    // only |cells| keys — measured timeout. Now:
+    //  - each side carries its embedding AND its full cell-set array INTO
+    //    the cell join, so rows leaving the join go STRAIGHT into
+    //    TopKPerKey's partial pass (≤ k per query per partition reach the
+    //    exchange) — shuffle volume is n·(probes+replicas) vector rows,
+    //    never candidate-sized;
+    //  - the pair-meets-in-two-cells dup is killed by a ROW-LOCAL
+    //    first-shared-cell filter (cell == min(qcells ∩ mcells)) instead
+    //    of a distinct() — the firstMatchTableFilter idea, array form;
+    //  - the member side is SALTED by neighbor id (query side replicates
+    //    to every salt), so the join key is (cell, salt) — |cells|·S
+    //    balanced groups instead of |cells| fat ones. AQE's skew-split
+    //    did not fire here (the join INPUTS are small; only the output is
+    //    quadratic), so the salt is explicit.
+    val salts = 16
+    val qside = cells.filter(col("rn") <= probes)
+      .groupBy(col("vec_id")).agg(sort_array(collect_list(col("cell"))).as("qcs"))
+      .join(e, "vec_id")
+      .select(col("vec_id").as("query_id"), col("emb").as("ea"), col("qcs"),
+        explode(col("qcs")).as("cell"))
+      .withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
+    val mside = members
+      .groupBy(col("vec_id")).agg(sort_array(collect_list(col("cell"))).as("mcs"))
+      .join(e, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("emb").as("eb"), col("mcs"),
+        explode(col("mcs")).as("cell"),
+        pmod(col("vec_id"), lit(salts)).cast("int").as("salt"))
+    val scored = qside.hint("shuffle_hash").join(mside, Seq("cell", "salt"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id")).distinct()
-      .join(e.select(col("vec_id").as("query_id"), col("emb").as("ea")), "query_id")
-      .join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb")), "neighbor_id")
+      .filter(col("cell") === array_min(array_intersect(col("qcs"), col("mcs"))))
       .select(col("query_id"), col("neighbor_id"),
         native.cosineSim(col("ea"), col("eb")).as("cos"))
     graft.operators.TopK.perKey(scored,
@@ -799,7 +828,12 @@ object Ann {
       s"""aggregate(sequence(0, ${dsub - 1}), cast(0 as bigint), (acc, d) ->
          |  acc + (element_at(xi, $s * $dsub + d + 1) - element_at(element_at(cb, $j + 1), $s * $dsub + d + 1))
          |      * (element_at(xi, $s * $dsub + d + 1) - element_at(element_at(cb, $j + 1), $s * $dsub + d + 1)))""".stripMargin
-    val withCb = ei.withColumn("cb", typedlit(cbArr))
+    // encode is map-only but EXPENSIVE per row (m*ks*dsub interpreted HOF
+    // ops); the small parquet file scans in 1-2 splits, so without this
+    // spread the whole corpus encode ran on 1-2 cores (round-10 scaling
+    // measurement at 10x data: the encode stage dominated wall-clock)
+    val withCb = ei.repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("cb", typedlit(cbArr))
     val coded = withCb.withColumn("codes", expr(
       s"""transform(sequence(0, ${m - 1}), s ->
          |  array_min(transform(sequence(0, ${ks - 1}), j ->
@@ -945,7 +979,12 @@ object Ann {
       s"""aggregate(sequence(0, ${dsub - 1}), cast(0 as bigint), (acc, d) ->
          |  acc + (element_at(xi, $s * $dsub + d + 1) - element_at(element_at(cb, $j + 1), $s * $dsub + d + 1))
          |      * (element_at(xi, $s * $dsub + d + 1) - element_at(element_at(cb, $j + 1), $s * $dsub + d + 1)))""".stripMargin
-    val withCb = ei.withColumn("cb", typedlit(cbArr))
+    // encode is map-only but EXPENSIVE per row (m*ks*dsub interpreted HOF
+    // ops); the small parquet file scans in 1-2 splits, so without this
+    // spread the whole corpus encode ran on 1-2 cores (round-10 scaling
+    // measurement at 10x data: the encode stage dominated wall-clock)
+    val withCb = ei.repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("cb", typedlit(cbArr))
     val coded = withCb.withColumn("codes", expr(
       s"""transform(sequence(0, ${m - 1}), s ->
          |  array_min(transform(sequence(0, ${ks - 1}), j ->

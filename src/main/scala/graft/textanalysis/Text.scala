@@ -906,7 +906,54 @@ object Text {
       |        ORDER BY containment_ppm DESC, container_id) AS rn FROM scored) t
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Corpus novelty curve — for each document, in doc_id ingestion order,
+    * the fraction of its DISTINCT word-3-grams that no earlier document
+    * contains (exact ppm). This is the "how much NEW text does each
+    * increment add" read behind dedup-ROI and crawl-frontier decisions: a
+    * corpus whose novelty curve has collapsed is paying full storage and
+    * compute for near-zero marginal tokens.
+    *
+    * Scale shape: grams travel as 16-hex md5 keys, never text; ONE
+    * shuffle keyed on the gram builds first-seen (min doc_id, map-side
+    * combined), one join back to the per-doc gram stream, and the output
+    * aggregate is per-doc. No windows, no corpus-sized broadcast — the
+    * same skeleton as text_containment's shingle stream.
+    */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 2),
+          |  i -> substring(md5(concat_ws(' ', slice(w, i, 3))), 1, 16))""".stripMargin))
+        .as("g"))
+      .distinct()
+    val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 1000000 div n_grams").as("novelty_ppm"))
+  }
+
+  val noveltySql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |gr AS (
+      |  SELECT DISTINCT doc_id,
+      |    substr(md5(array_to_string(w[i:i+2], ' ')), 1, 16) AS g
+      |  FROM w, unnest(generate_series(1, len(w) - 2)) t(i)
+      |  WHERE len(w) >= 3),
+      |f AS (SELECT g, MIN(doc_id) AS first_doc FROM gr GROUP BY 1)
+      |SELECT gr.doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) * 1000000 // COUNT(*) AS novelty_ppm
+      |FROM gr JOIN f USING (g) GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_novelty" -> (novelty _),
     "text_containment" -> (containment _),
     "text_domain_shift" -> (domainShift _),
     "text_tfidf" -> (tfidf _),
@@ -928,6 +975,7 @@ object Text {
     "text_bpe_tokens" -> (bpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "text_novelty" -> noveltySql,
     "text_containment" -> containmentSql,
     "text_tfidf" -> tfidfSql,
     "text_inverted_index" -> invertedIndexSql,
