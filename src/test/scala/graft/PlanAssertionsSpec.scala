@@ -375,4 +375,48 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(!p.contains("props") && !p.contains("event_type"),
       s"drift monitor must not read unused columns:\n$p")
   }
+
+  test("q_segment_overlap: audience sizes broadcast; scan pruned to (user, type)") {
+    val p = planOf("q_segment_overlap")
+    // the |types|-row audience aggregate must attach by broadcast, never
+    // by shuffling the pair stream against it
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("value") && !p.contains("props"),
+      s"overlap matrix must not read unused columns:\n$p")
+  }
+
+  test("q_gini: the rank window runs over the count histogram, not users") {
+    val p = planOf("q_gini")
+    // two pre-window aggregates (user counts -> count-of-counts) must
+    // appear below the Window: the window input is the bounded histogram
+    assert(p.contains("Window"), p)
+    val windowIdx = p.indexOf("Window")
+    val below = p.substring(windowIdx)
+    assert("HashAggregate".r.findAllIn(below).size >= 3,
+      s"window must sit above the histogram aggregates:\n$p")
+  }
+
+  test("text_novelty: grams travel as md5 prefixes, one gram-keyed exchange") {
+    val p = planOf("text_novelty")
+    assert(p.contains("md5"), s"grams must be hashed, not raw text:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_embedding: block-pair equi-join, shuffled not broadcast") {
+    val p = planOf("dedup_embedding")
+    // the triangle decomposition must run as a SHUFFLED join on the block
+    // pair key — a broadcast join would inherit the scan's input splits
+    // and serialize the quadratic comparison (round-10 measurement)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("emb_knn_graph_ivf: no candidate-sized distinct; TopKPerKey partial present") {
+    val p = planOf("emb_knn_graph_ivf")
+    // scoring rows flow straight into the TopKPerKey partial pass; the
+    // pre-round-10 plan distinct()ed the candidate pairs (a candidate-
+    // sized exchange) before attaching embeddings
+    assert(p.contains("TopKPerKey"), p)
+    assert(p.contains("ShuffledHashJoin"), s"salted cell join must shuffle:\n$p")
+  }
 }
