@@ -57,7 +57,14 @@ object Verify {
         SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val failures = dumpAll(spark, SparkEntry.queries, sfDir, outDir)
+    // Dev-loop subset filter (mirrors Bench's SPARK_GRAFT_BENCH_ONLY):
+    // comma-separated query names; the driver never sets it, so the full
+    // dump remains the default contract.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+    val failures = dumpAll(spark, selected, sfDir, outDir)
     writeJsonMap(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
     writeJsonMap(s"$outDir/errors.json", failures)
     if (failures.nonEmpty)

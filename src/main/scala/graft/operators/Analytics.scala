@@ -715,7 +715,187 @@ object Analytics {
       |FROM vc JOIN med USING (l_returnflag) JOIN madx USING (l_returnflag)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact rolling 7-row median of daily spend per order priority — the
+    * robust trend line a monitoring dashboard overlays on a noisy daily
+    * series (median shrugs off single-day spikes that wreck a rolling
+    * mean). Exactness: the window holds ≤ 7 exact cent-integers, the
+    * median is element_at on the sorted window array (odd n) or the mean
+    * of the two middles (even n — one IEEE division by 2, exact in
+    * binary), mirroring DuckDB's interpolating MEDIAN() over the same
+    * ROWS frame.
+    *
+    * Scale shape: the corpus collapses to a (priority × day) aggregate
+    * with map-side combine BEFORE any window; the rolling window runs on
+    * the days-sized series partitioned by priority — never corpus rows.
+    */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    daily
+      .withColumn("arr", sort_array(collect_list(col("spend_cents")).over(w)))
+      .withColumn("n", size(col("arr")))
+      .select(col("priority"), col("day"), col("spend_cents"),
+        expr("""cast(case when n % 2 = 1 then element_at(arr, cast((n + 1) div 2 as int))
+               |else (element_at(arr, cast(n div 2 as int))
+               |      + element_at(arr, cast(n div 2 + 1 as int))) / 2.0
+               |end as double)""".stripMargin).as("med7"))
+      .orderBy(col("priority"), col("day"))
+  }
+
+  val rollingMedianSql: String =
+    """WITH d AS (
+      |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend_cents
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT priority, day, spend_cents,
+      |  CAST(MEDIAN(spend_cents) OVER (PARTITION BY priority ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS med7
+      |FROM d ORDER BY priority, day""".stripMargin
+
+  /** Lag-1 autocorrelation + AR(1) slope of the daily-revenue series —
+    * the time-series health probe (is today's revenue predictable from
+    * yesterday's?) behind every anomaly-detection baseline. Pearson r
+    * over (rₜ₋₁, rₜ) pairs from the SAME exact-integer moment machinery
+    * as [[linreg]]: all five moments are decimal(38,0) sums of exact
+    * cents, and the terminal float ops (two casts, one division, two
+    * correctly-rounded sqrts applied in the SAME order in both engines)
+    * are the only IEEE steps. denx·deny would overflow 38 digits, so r
+    * divides by the two sqrts SEQUENTIALLY rather than by sqrt of the
+    * product.
+    *
+    * Scale shape: corpus → days-sized daily aggregate (map-side
+    * combine); the lag window and moment aggregate run on that bounded
+    * series. The single-partition window is days-sized by construction.
+    */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("r"))
+    val pairs = daily
+      .withColumn("x", lag(col("r"), 1).over(Window.orderBy(col("day"))))
+      .filter(col("x").isNotNull)
+      .select(col("x"), col("r").as("y"))
+    pairs.agg(
+        count(lit(1)).cast(d38).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum(expr(s"cast(x as $d38) * y")).as("sxy"),
+        sum(expr(s"cast(x as $d38) * x")).as("sxx"),
+        sum(expr(s"cast(y as $d38) * y")).as("syy"))
+      .select(col("n").cast("long").as("n_pairs"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("denx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("deny"))
+      .select(col("n_pairs"),
+        (col("num").cast("double") / col("denx").cast("double")).as("ar1_slope"),
+        (col("num").cast("double") / sqrt(col("denx").cast("double"))
+          / sqrt(col("deny").cast("double"))).as("corr"))
+  }
+
+  val autocorrSql: String =
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS r
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT LAG(r, 1) OVER (ORDER BY day) AS x, r AS y FROM d
+      |  QUALIFY x IS NOT NULL),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM p),
+      |t AS (
+      |  SELECT CAST(n AS BIGINT) AS n_pairs,
+      |    n * sxy - sx * sy AS num,
+      |    n * sxx - sx * sx AS denx,
+      |    n * syy - sy * sy AS deny
+      |  FROM m)
+      |SELECT n_pairs,
+      |  CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) AS ar1_slope,
+      |  CAST(num AS DOUBLE) / sqrt(CAST(denx AS DOUBLE))
+      |    / sqrt(CAST(deny AS DOUBLE)) AS corr
+      |FROM t""".stripMargin
+
+  /** Percentile-bootstrap confidence interval for the mean order value —
+    * the uncertainty quantification every metrics platform attaches to a
+    * point estimate, made ENGINE-EXACT: replicate b resamples each order
+    * with a Poisson(1) weight derived from md5(orderkey:b) against
+    * hard-coded cumulative thresholds (⌊CDF·2³²⌋ — identical integer
+    * literals in both engines), so the 200 replicate means are exact
+    * integer ratios and the CI bounds are specific order statistics
+    * (ranks 5 / 100 / 196 with the replicate id as tiebreak), not an
+    * interpolated quantile.
+    *
+    * Scale shape: the ×B row expansion happens map-side (explode of a
+    * sequence literal) and collapses map-side again into ≤ B partials per
+    * partition before the ONE B-row shuffle — corpus-sized data never
+    * shuffles, regardless of B. The rank pass runs on B rows.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val B = 200
+    val rep = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("x"))
+      .withColumn("b", explode(expr(s"sequence(1, $B)")))
+      .withColumn("u", expr(
+        "cast(conv(substring(md5(concat(cast(o_orderkey as string), ':', cast(b as string))), 1, 8), 16, 10) as bigint)"))
+      .withColumn("w", expr(
+        """case when u < 1580030168 then 0 when u < 3160060337 then 1
+          |when u < 3950075421 then 2 when u < 4213413783 then 3
+          |when u < 4279248373 then 4 when u < 4292415291 then 5
+          |else 6 end""".stripMargin))
+      .groupBy(col("b"))
+      .agg(sum(expr("cast(w as decimal(38,0)) * x")).as("swx"),
+        sum(col("w")).cast("long").as("sw"))
+      .select(col("b"),
+        (col("swx").cast("double") / col("sw").cast("double")).as("mean_cents"))
+    val ranked = rep.withColumn("rn",
+      row_number().over(Window.orderBy(col("mean_cents"), col("b"))))
+    ranked.agg(
+      count(lit(1)).as("n_reps"),
+      max(when(col("rn") === 5, col("mean_cents"))).as("ci_lo"),
+      max(when(col("rn") === 100, col("mean_cents"))).as("ci_med"),
+      max(when(col("rn") === 196, col("mean_cents"))).as("ci_hi"))
+  }
+
+  val bootstrapCiSql: String =
+    """WITH rep AS (
+      |  SELECT b,
+      |    CAST(SUM(CAST(w AS HUGEINT) * x) AS DOUBLE)
+      |      / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS mean_cents
+      |  FROM (
+      |    SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS x, b,
+      |      CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+      |           WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+      |           WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
+      |           ELSE 6 END AS w
+      |    FROM (
+      |      SELECT o_orderkey, o_totalprice, r.b,
+      |        ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+      |           || CAST(r.b AS VARCHAR)), 1, 8))::BIGINT AS u
+      |      FROM orders CROSS JOIN (SELECT UNNEST(generate_series(1, 200)) AS b) r))
+      |  GROUP BY b),
+      |rk AS (
+      |  SELECT mean_cents,
+      |    ROW_NUMBER() OVER (ORDER BY mean_cents, b) AS rn
+      |  FROM rep)
+      |SELECT COUNT(*) AS n_reps,
+      |  MAX(CASE WHEN rn = 5 THEN mean_cents END) AS ci_lo,
+      |  MAX(CASE WHEN rn = 100 THEN mean_cents END) AS ci_med,
+      |  MAX(CASE WHEN rn = 196 THEN mean_cents END) AS ci_hi
+      |FROM rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_median" -> (rollingMedian _),
+    "q_autocorr" -> (autocorr _),
+    "q_bootstrap_ci" -> (bootstrapCi _),
     "q_skyline" -> (skyline _),
     "q_mad" -> (mad _),
     "q_linreg" -> (linreg _),
@@ -736,6 +916,9 @@ object Analytics {
     "q_string_funcs2" -> (stringFuncs2 _))
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_median" -> rollingMedianSql,
+    "q_autocorr" -> autocorrSql,
+    "q_bootstrap_ci" -> bootstrapCiSql,
     "q_skyline" -> skylineSql,
     "q_mad" -> madSql,
     "q_linreg" -> linregSql,

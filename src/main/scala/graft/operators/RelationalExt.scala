@@ -396,7 +396,62 @@ object RelationalExt {
       |SELECT l_returnflag, qty AS mode_qty, cnt AS mode_cnt, n_rows
       |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
 
+  /** Blocked fuzzy entity resolution over the part catalog — the
+    * record-linkage primitive (Fellegi–Sunter blocking + edit-distance
+    * scoring) every master-data/catalog-dedup pipeline runs: candidate
+    * pairs come ONLY from a blocking key (last name token + size), each
+    * pair is scored with Levenshtein distance, and each entity reports
+    * its match count plus the best-scoring witness (ties broken to the
+    * smallest partner key so the argmin is deterministic).
+    *
+    * Scale shape: the pair generator is an equi-join on the blocking key
+    * — shuffle-partitioned by block, NO cartesian — and pair volume is
+    * Σ_b |b|², bounded by the blocking key's granularity (here word ×
+    * size ⇒ catalog/500-sized blocks; a skewed block would take the
+    * dedup_embedding sub-salt decomposition). Levenshtein is codegen'd
+    * in both engines and identically defined (unit-cost edit distance).
+    */
+  def nameMatch(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.part(spark, dir).select(
+      col("p_partkey"), col("p_name"), col("p_size"),
+      regexp_extract(col("p_name"), "(\\S+)$", 1).as("block"))
+    val left = base.select(col("block"), col("p_size"),
+      col("p_partkey").as("pa"), col("p_name").as("name_a"))
+    val right = base.select(col("block"), col("p_size"),
+      col("p_partkey").as("pb"), col("p_name").as("name_b"))
+    left.join(right, Seq("block", "p_size"))
+      .filter(col("pa") =!= col("pb"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 4)
+      .groupBy(col("pa").as("p_partkey"), col("name_a").as("p_name"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(struct(col("dist"), col("pb"))).as("b"))
+      .select(col("p_partkey"), col("p_name"), col("n_matches"),
+        col("b.dist").cast("long").as("best_dist"), col("b.pb").as("best_match"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val nameMatchSql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name, p_size,
+      |    regexp_extract(p_name, '(\S+)$', 1) AS block FROM part),
+      |m AS (
+      |  SELECT a.p_partkey, a.p_name, b.p_partkey AS pb,
+      |    levenshtein(a.p_name, b.p_name) AS dist
+      |  FROM p a JOIN p b ON a.block = b.block AND a.p_size = b.p_size
+      |    AND a.p_partkey <> b.p_partkey
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 4),
+      |r AS (
+      |  SELECT p_partkey, p_name, pb, dist,
+      |    ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY dist, pb) AS rn,
+      |    COUNT(*) OVER (PARTITION BY p_partkey) AS n_matches
+      |  FROM m)
+      |SELECT p_partkey, p_name, n_matches, CAST(dist AS BIGINT) AS best_dist,
+      |  pb AS best_match
+      |FROM r WHERE rn = 1 ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_name_match" -> (nameMatch _),
     "q_mode" -> (modeAgg _),
     "q_scd2" -> (scd2 _),
     "q_lateral" -> (lateralTop _),
@@ -418,6 +473,7 @@ object RelationalExt {
     "q_null_handling" -> (nullHandling _))
 
   val oracles: Map[String, String] = Map(
+    "q_name_match" -> nameMatchSql,
     "q_mode" -> modeAggSql,
     "q_scd2" -> scd2Sql,
     "q_lateral" -> lateralTopSql,

@@ -308,11 +308,10 @@ object Graph {
   def labelProp(spark: SparkSession, dir: String): DataFrame =
     labelPropOf(edges(spark, dir))
 
-  def labelPropOf(edgeSrc: DataFrame): DataFrame = {
-    val e = edgeSrc.cutLineage()
-    val adj = e.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-      .cutLineage()
+  /** The 3-round synchronized label fixpoint shared by [[labelPropOf]]
+    * and [[modularityOf]]: (vec_id, label) after the final round.
+    */
+  private def labelsOf(adj: DataFrame): DataFrame = {
     var lab = adj.select(col("dst").as("vec_id")).distinct()
       .withColumn("label", col("vec_id"))
     for (_ <- 1 to 3) {
@@ -323,13 +322,23 @@ object Graph {
         .select(col("vec_id"), (-col("m.nl")).as("label"))
         .cutLineage()
     }
+    lab
+  }
+
+  def labelPropOf(edgeSrc: DataFrame): DataFrame = {
+    val e = edgeSrc.cutLineage()
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .cutLineage()
+    val lab = labelsOf(adj)
     val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
     lab.join(sizes, Seq("label"))
       .select(col("vec_id"), col("label").as("community"), col("community_size"))
       .orderBy(col("vec_id"))
   }
 
-  val labelPropSql: String = {
+  /** SQL mirror of [[labelsOf]]: CTEs `l0`..`l3`, final labels in `l3`. */
+  private val labelCtes: String = {
     val rounds = (1 to 3).map { i =>
       s"""m$i AS (SELECT a.dst, l.label, COUNT(*) AS cnt
          |      FROM adj a JOIN l${i - 1} l ON a.src = l.vec_id GROUP BY 1, 2),
@@ -338,15 +347,88 @@ object Graph {
          |          ORDER BY cnt DESC, label) AS rn FROM m$i) t
          |      WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+    s"""l0 AS (SELECT DISTINCT dst AS vec_id, dst AS label FROM adj),
+       |$rounds""".stripMargin
+  }
+
+  val labelPropSql: String =
     s"""$edgeCtes,
-       |l0 AS (SELECT DISTINCT dst AS vec_id, dst AS label FROM adj),
-       |$rounds,
+       |$labelCtes,
        |s AS (SELECT label, COUNT(*) AS community_size FROM l3 GROUP BY 1)
        |SELECT l3.vec_id, l3.label AS community, s.community_size
        |FROM l3 JOIN s USING (label) ORDER BY vec_id""".stripMargin
+
+  /** Newman modularity of the label-propagation communities — the
+    * standard "are these communities real structure?" score
+    * Q = Σ_c [e_c/m − (d_c/2m)²], reported per community in exact ppm so
+    * a curation pipeline can rank communities by cohesion before acting
+    * on them (e.g. collapsing a near-dup family). Each community row
+    * carries its vertex count, internal edge count e_c, degree mass d_c,
+    * and its signed contribution q_ppm.
+    *
+    * Hash-exactness: both Σ_c terms are integer-divided SEPARATELY
+    * (4·m·e_c·10⁶ div 4m² and d_c²·10⁶ div 4m²) so every `div` has a
+    * non-negative numerator — floor and truncate agree, sidestepping the
+    * engines' integer-division sign conventions — then subtracted.
+    * decimal(38,0)/HUGEINT widening: at web scale m ~ 10¹² edges puts
+    * 4·m·e_c·10⁶ near 10³⁰, past 2⁶³ but inside 38 digits.
+    *
+    * Scale shape: the label fixpoint is [[labelPropOf]]'s loop; on top of
+    * it, ONE edge-sized double label-attach join, ONE vertex-sized
+    * degree-attach, and community-sized aggregates. The total edge count
+    * rides in as a broadcast 1-row aggregate.
+    */
+  def modularity(spark: SparkSession, dir: String): DataFrame =
+    modularityOf(edges(spark, dir))
+
+  def modularityOf(edgeSrc: DataFrame): DataFrame = {
+    val e = edgeSrc.cutLineage()
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .cutLineage()
+    val lab = labelsOf(adj).cutLineage()
+    val ein = e
+      .join(lab.select(col("vec_id").as("u"), col("label").as("lu")), Seq("u"))
+      .join(lab.select(col("vec_id").as("v"), col("label").as("lv")), Seq("v"))
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label")).agg(count(lit(1)).as("e_in"))
+    val dsum = lab.join(degreesOf(e), Seq("vec_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("degree")).as("d_sum"))
+    val tot = e.agg(count(lit(1)).cast("decimal(38,0)").as("m"))
+    dsum.join(ein, Seq("label"), "left")
+      .na.fill(0L, Seq("e_in"))
+      .crossJoin(broadcast(tot))
+      .select(col("label").as("community"), col("n_vertices"),
+        col("e_in"), col("d_sum"),
+        (expr("4 * m * cast(e_in as decimal(38,0)) * 1000000 div (4 * m * m)")
+          - expr("cast(d_sum as decimal(38,0)) * d_sum * 1000000 div (4 * m * m)"))
+          .as("q_ppm"))
+      .orderBy(col("community"))
   }
 
+  val modularitySql: String =
+    s"""$edgeCtes,
+       |$labelCtes,
+       |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM e),
+       |ein AS (SELECT lu.label AS label, COUNT(*) AS e_in
+       |        FROM e JOIN l3 lu ON e.u = lu.vec_id
+       |               JOIN l3 lv ON e.v = lv.vec_id
+       |        WHERE lu.label = lv.label GROUP BY 1),
+       |ds AS (SELECT l3.label, COUNT(*) AS n_vertices,
+       |              SUM(deg.degree) AS d_sum
+       |       FROM l3 JOIN deg ON l3.vec_id = deg.vec_id GROUP BY 1)
+       |SELECT ds.label AS community, n_vertices,
+       |  CAST(COALESCE(e_in, 0) AS BIGINT) AS e_in,
+       |  CAST(d_sum AS BIGINT) AS d_sum,
+       |  CAST(4 * m * CAST(COALESCE(e_in, 0) AS HUGEINT) * 1000000 // (4 * m * m)
+       |    - CAST(d_sum AS HUGEINT) * d_sum * 1000000 // (4 * m * m) AS BIGINT)
+       |    AS q_ppm
+       |FROM ds LEFT JOIN ein USING (label) CROSS JOIN tot
+       |ORDER BY community""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_modularity" -> (modularity _),
     "graph_label_prop" -> (labelProp _),
     "graph_centrality" -> (centrality _),
     "graph_degree_hist" -> (degreeHist _),
@@ -355,6 +437,7 @@ object Graph {
     "graph_kcore" -> (kcore _))
 
   val oracles: Map[String, String] = Map(
+    "graph_modularity" -> modularitySql,
     "graph_label_prop" -> labelPropSql,
     "graph_centrality" -> centralitySql,
     "graph_degree_hist" -> degreeHistSql,

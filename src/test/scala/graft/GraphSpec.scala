@@ -81,6 +81,25 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lp.select(col("community")).distinct().count() < nVerts)
   }
 
+  test("modularity: degree mass and internal edges conserve; q_ppm bounded") {
+    val mod = similarity.Graph.modularity(spark, sf).cache()
+    val m = edges.count()
+    val rows = mod.collect()
+    // Σ_c d_c = 2m (every edge endpoint lands in exactly one community)
+    assert(rows.map(_.getAs[Long]("d_sum")).sum === 2 * m)
+    // internal edges can't exceed the edge set
+    val eIn = rows.map(_.getAs[Long]("e_in")).sum
+    assert(eIn <= m && eIn >= 0)
+    // vertex counts partition V (same universe as label_prop)
+    val nVerts = edges.select(explode(array(col("u"), col("v"))).as("v"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_vertices")).sum === nVerts)
+    // each contribution is bounded: e_c/m ≤ 1 and (d_c/2m)² ≤ 1 ⇒ |q_ppm| ≤ 1e6
+    assert(rows.forall(r => math.abs(r.getAs[Long]("q_ppm")) <= 1000000L))
+    // total modularity of a community structure is < 1e6 ppm by definition
+    assert(rows.map(_.getAs[Long]("q_ppm")).sum < 1000000L)
+  }
+
   test("ann_rrf: exactly 5 fused results per query, scores bounded and sorted") {
     val out = similarity.Ann.rrfHybrid(spark, sf).cache()
     val perQ = out.groupBy(col("query_id")).count().collect()

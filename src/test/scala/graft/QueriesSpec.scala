@@ -327,4 +327,62 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
         f"$et median rank fraction ${frac * 100}%.1f%% outside [40%%, 60%%]")
     }
   }
+
+  test("name_match: matches are symmetric, bounded, and block-local") {
+    import org.apache.spark.sql.functions._
+    val out = operators.RelationalExt.nameMatch(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // distances obey the threshold and the witness is a real best
+    assert(rows.forall(r => r.getAs[Long]("best_dist") <= 4))
+    // fuzzy matching is symmetric: if a reports matches, its best witness
+    // must itself report at least one match
+    val matched = rows.map(_.getAs[Long]("p_partkey")).toSet
+    assert(rows.forall(r => matched.contains(r.getAs[Long]("best_match"))))
+    // block-locality: a part and its best match share the last name token
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), regexp_extract(col("p_name"), "(\\S+)$", 1).as("blk"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.forall(r =>
+      parts(r.getAs[Long]("p_partkey")) == parts(r.getAs[Long]("best_match"))))
+  }
+
+  test("rolling_median: med7 bounded by the window extremes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val out = operators.Analytics.rollingMedian(spark, sf)
+    val w = Window.partitionBy(col("priority")).orderBy(col("day")).rowsBetween(-6, 0)
+    val bad = out
+      .withColumn("lo", min(col("spend_cents")).over(w))
+      .withColumn("hi", max(col("spend_cents")).over(w))
+      .filter(col("med7") < col("lo") || col("med7") > col("hi"))
+      .count()
+    assert(bad === 0, s"$bad rows with median outside the window envelope")
+  }
+
+  test("autocorr: r in [-1,1] and pair count = days - 1") {
+    import org.apache.spark.sql.functions._
+    val row = operators.Analytics.autocorr(spark, sf).collect()(0)
+    val days = Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    assert(row.getAs[Long]("n_pairs") === days - 1)
+    val corr = row.getAs[Double]("corr")
+    assert(corr >= -1.0 && corr <= 1.0, s"corr $corr out of range")
+  }
+
+  test("bootstrap_ci: ordered bounds that cover the sample mean") {
+    import org.apache.spark.sql.functions._
+    val row = operators.Analytics.bootstrapCi(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_reps") === 200L)
+    val (lo, med, hi) = (row.getAs[Double]("ci_lo"),
+      row.getAs[Double]("ci_med"), row.getAs[Double]("ci_hi"))
+    assert(lo <= med && med <= hi)
+    // percentile-bootstrap CI of the mean must cover the sample mean on a
+    // well-behaved (non-degenerate) fixture
+    val mean = Tables.orders(spark, sf)
+      .agg(avg(expr("cast(round(o_totalprice * 100) as bigint)")))
+      .collect()(0).getDouble(0)
+    assert(lo <= mean && mean <= hi,
+      s"sample mean $mean outside bootstrap CI [$lo, $hi]")
+  }
 }

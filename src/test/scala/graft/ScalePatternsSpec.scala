@@ -36,7 +36,13 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_quantile_sketch" -> "global-window",
       // at-risk cumulative runs over DISTINCT LIFETIMES (≤ corpus day
       // span), after the per-user aggregation — not corpus rows
-      "q_survival" -> "global-window")
+      "q_survival" -> "global-window",
+      // lag window runs on the DAILY-REVENUE aggregate: rows = |days|
+      // (calendar-bounded), the corpus collapses map-side first
+      "q_autocorr" -> "global-window",
+      // rank window runs on the B=200-row replicate-mean aggregate —
+      // bounded by the literal resampling budget at any corpus size
+      "q_bootstrap_ci" -> "global-window")
     // a GLOBAL window is a Window node feeding from Exchange
     // SinglePartition (possibly through its Sort) — matching the node
     // STRUCTURE, not bare substrings: a runtime bloom-filter subquery
