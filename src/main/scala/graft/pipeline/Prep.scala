@@ -597,7 +597,71 @@ object Prep {
       |    AS n_docs_below
       |FROM g, ks GROUP BY k""".stripMargin
 
+  /** DSIR-style domain-importance weighting (Xie et al. 2302.03169,
+    * simplified to exact unigram ratios): each document scores by how
+    * much its token distribution resembles a TARGET domain (here the
+    * `lang='en'` slice) relative to the raw corpus — the importance
+    * weight a data-selection pass resamples by when it wants "more data
+    * that looks like the target" without training a classifier. Per
+    * token g the weight is the relative-frequency ratio
+    * (c_target(g)/N_target) / (c_all(g)/N_all) in exact ppm (one integer
+    * division of decimal(38,0) products — c·N·10⁶ stays inside 38 digits
+    * at web scale), and a document's score is the integer mean of its
+    * token weights.
+    *
+    * Scale shape: two token-keyed counting aggregates (map-side
+    * combined), the corpus totals as a broadcast 1-row aggregate, then
+    * ONE vocab-sized weight table joined back to the token stream on the
+    * token key — the tfidf join shape; nothing corpus-sized is ever
+    * broadcast or windowed.
+    */
+  def domainWeight(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+    val counts = tok.groupBy(col("w")).agg(
+      count(lit(1)).as("c_all"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+    val totals = tok.agg(
+      count(lit(1)).as("n_all"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"))
+    val wts = counts.crossJoin(broadcast(totals))
+      .select(col("w"), expr(
+        "cast(c_t as decimal(38,0)) * n_all * 1000000 div (cast(c_all as decimal(38,0)) * n_t)")
+        .as("w_ppm"))
+    tok.join(wts, Seq("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_ppm")).as("sum_ppm"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr("sum_ppm div n_tokens").as("score_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val domainWeightSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |counts AS (
+      |  SELECT w, COUNT(*) AS c_all,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+      |  FROM tok GROUP BY 1),
+      |totals AS (
+      |  SELECT COUNT(*) AS n_all,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t
+      |  FROM tok),
+      |wts AS (
+      |  SELECT w,
+      |    CAST(CAST(c_t AS HUGEINT) * n_all * 1000000
+      |      // (CAST(c_all AS HUGEINT) * n_t) AS BIGINT) AS w_ppm
+      |  FROM counts CROSS JOIN totals)
+      |SELECT doc_id, lang, COUNT(*) AS n_tokens,
+      |  CAST(SUM(w_ppm) // COUNT(*) AS BIGINT) AS score_ppm
+      |FROM tok JOIN wts USING (w)
+      |GROUP BY doc_id, lang
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_domain_weight" -> (domainWeight _),
     "dataset_profile" -> (datasetProfile _),
     "q_kanon" -> (kAnonymity _),
     "doc_curriculum" -> (curriculum _),
@@ -615,6 +679,7 @@ object Prep {
     "doc_length_trim" -> (lengthTrim _))
 
   val oracles: Map[String, String] = Map(
+    "doc_domain_weight" -> domainWeightSql,
     "dataset_profile" -> datasetProfileSql,
     "q_kanon" -> kAnonymitySql,
     "doc_curriculum" -> curriculumSql,

@@ -312,9 +312,100 @@ object Sources {
       |  CAST(COUNT(*) AS BIGINT) AS n_v2
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Per-JVM caches of text-format ingestion fixtures (CSV / JSONL),
+    * keyed by source sf dir — same contract as [[mixedEventsLake]]: the
+    * export is ingestion setup, not query work.
+    */
+  private val csvDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val jsonlDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Timestamps survive the text round-trip bit-exactly only with an
+    * explicit micros-precision format (the default CSV writer keeps
+    * millis); pinned once here for writer AND reader.
+    */
+  private val tsFormat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** `q_csv_source` — the delimited-text ingestion path as an
+    * oracle-checked query: export the orders table to headered CSV (the
+    * landing format half the world's feeds still arrive in), read it back
+    * through [[csv]] with an EXPLICIT schema (schema inference is a full
+    * extra pass at 100 TB — never on the scale path), and aggregate. The
+    * oracle is the same aggregate over the parquet base table, so any
+    * quoting, type-parse, or timestamp-precision loss in the round trip
+    * breaks the hash. Scale shape: the CSV scan parallelizes by file
+    * split like any text source; everything after is one
+    * map-side-combined aggregate.
+    */
+  def csvOrdersAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val uri = csvDirs.computeIfAbsent(sfDir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_csv_src").toString
+      Tables.orders(spark, sfDir).coalesce(4).write.mode("overwrite")
+        .option("header", "true").option("timestampFormat", tsFormat)
+        .csv(s"$root/orders")
+      s"$root/orders"
+    })
+    val schema = Tables.orders(spark, sfDir).schema
+    csv(spark, uri, schema)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        sum(Portable.cents(col("o_totalprice"))).cast("bigint").as("total_cents"),
+        min(unix_micros(col("o_orderdate"))).as("min_ts_us"),
+        max(unix_micros(col("o_orderdate"))).as("max_ts_us"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val csvOrdersAggSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+      |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
+      |  MIN(epoch_us(o_orderdate)) AS min_ts_us,
+      |  MAX(epoch_us(o_orderdate)) AS max_ts_us
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** `q_jsonl_source` — the JSON-lines ingestion path (the de-facto
+    * landing format of crawl/training-data drops) as an oracle-checked
+    * round trip: export documents to JSONL, read back through
+    * [[jsonLines]] with an explicit schema, aggregate per language. The
+    * documents text column stresses string escaping; the oracle over the
+    * parquet base table catches any escape/encoding loss. Same scale
+    * shape as the CSV leg.
+    */
+  def jsonlDocsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val uri = jsonlDirs.computeIfAbsent(sfDir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_jsonl_src").toString
+      Tables.documents(spark, sfDir).coalesce(4).write.mode("overwrite")
+        .json(s"$root/documents")
+      s"$root/documents"
+    })
+    val schema = Tables.documents(spark, sfDir).schema
+    jsonLines(spark, uri, schema)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"),
+        sum(length(col("text"))).cast("bigint").as("sum_text_len"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  val jsonlDocsAggSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_events_lake" -> (eventsLakeAgg _))
+    "q_events_lake" -> (eventsLakeAgg _),
+    "q_csv_source" -> (csvOrdersAgg _),
+    "q_jsonl_source" -> (jsonlDocsAgg _))
 
   val oracles: Map[String, String] = Map(
-    "q_events_lake" -> eventsLakeAggSql)
+    "q_events_lake" -> eventsLakeAggSql,
+    "q_csv_source" -> csvOrdersAggSql,
+    "q_jsonl_source" -> jsonlDocsAggSql)
 }

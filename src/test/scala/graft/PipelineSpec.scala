@@ -118,4 +118,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n30 = kept(1).size / 500.0
     assert(n30 > 0.2 && n30 < 0.4, s"30% sample landed at $n30")
   }
+
+  test("domainWeight: target-domain docs outscore the rest; weights well-formed") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.pipeline.Prep.domainWeight(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // importance ratios are non-negative by construction
+    assert(rows.forall(_.getAs[Long]("score_ppm") >= 0L))
+    // the defining property of importance weighting: documents FROM the
+    // target domain (en) must average a higher weight than the rest —
+    // otherwise the selector would anti-select its own target
+    val (en, rest) = rows.partition(_.getAs[String]("lang") == "en")
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("score_ppm").toDouble).sum / rs.length
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(mean(en) > mean(rest),
+      s"en mean ${mean(en)} not above non-target mean ${mean(rest)}")
+    // every doc with tokens is scored exactly once
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.length == total)
+  }
 }

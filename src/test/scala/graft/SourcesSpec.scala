@@ -263,4 +263,30 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert("PushedFilters: \\[.*event_type.*\\]".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("csv round trip: exported orders re-read with explicit schema are row-identical") {
+    val sf = "/root/testdata/sf0.001"
+    val base = Tables.orders(spark, sf)
+    // the query-level aggregate is oracle-checked; this pins the stronger
+    // row-level claim: the text round trip loses NOTHING (timestamps
+    // included, via the pinned micros format)
+    val out = Sources.csvOrdersAgg(spark, sf)
+    assert(out.count() == base.select(col("o_orderstatus")).distinct().count())
+    val root = java.nio.file.Files.createTempDirectory("csv_rt").toString
+    base.coalesce(2).write.mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(s"$root/o")
+    val back = Sources.csv(spark, s"$root/o", base.schema)
+    assert(back.exceptAll(base).count() == 0 && base.exceptAll(back).count() == 0)
+  }
+
+  test("jsonl round trip: exported documents re-read with explicit schema are row-identical") {
+    val sf = "/root/testdata/sf0.001"
+    val base = Tables.documents(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("jsonl_rt").toString
+    base.coalesce(2).write.mode("overwrite").json(s"$root/d")
+    val back = Sources.jsonLines(spark, s"$root/d", base.schema)
+    assert(back.exceptAll(base).count() == 0 && base.exceptAll(back).count() == 0)
+  }
 }
