@@ -663,7 +663,60 @@ object Prep {
       |GROUP BY doc_id, lang
       |ORDER BY doc_id""".stripMargin
 
+  /** Temperature-scaled mixture weights at α = 1/2 — the canonical
+    * multilingual/multi-source mixing rule (sample source s ∝ wₛᵃ,
+    * UNICODE-LM / mT5 convention): upweights the tail without flattening
+    * the head the way pure balancing does. α = 1/2 is the one
+    * temperature that stays ENGINE-EXACT — wₛ^0.5 is floor(sqrt(·)) of
+    * the exact integer token count (IEEE sqrt is correctly rounded, the
+    * count is < 2⁵³ per source, so the floor is bit-identical in both
+    * engines and all downstream sums are integer sums; a general pow()
+    * has no cross-engine rounding guarantee). Shares emitted in exact
+    * ppm plus the upsample factor vs the raw share.
+    *
+    * Scale shape: one map-side-combined per-source aggregate, then a
+    * |sources|-row window — bounded by the mixture config at any corpus
+    * size (the mixture_weights shape).
+    */
+  def mixtureTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(nTokens).as("src_tokens"))
+      .withColumn("sq", expr("cast(floor(sqrt(cast(src_tokens as double))) as bigint)"))
+    val w = Window.partitionBy()
+    perSource
+      .withColumn("total_tokens", sum(col("src_tokens")).over(w))
+      .withColumn("total_sq", sum(col("sq")).over(w))
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        expr("src_tokens * 1000000 div total_tokens").as("raw_share_ppm"),
+        expr("sq * 1000000 div total_sq").as("temp_share_ppm"))
+      .withColumn("boost_ppm", expr(
+        "temp_share_ppm * 1000000 div greatest(raw_share_ppm, 1L)"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureTemperatureSql: String =
+    s"""WITH s AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM($nTokensSql) AS BIGINT) AS src_tokens
+       |  FROM documents GROUP BY 1),
+       |q AS (
+       |  SELECT source, n_docs, src_tokens,
+       |    CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS sq
+       |  FROM s),
+       |t AS (
+       |  SELECT *, CAST(SUM(src_tokens) OVER () AS BIGINT) AS total_tokens,
+       |    CAST(SUM(sq) OVER () AS BIGINT) AS total_sq
+       |  FROM q)
+       |SELECT source, n_docs, src_tokens,
+       |  src_tokens * 1000000 // total_tokens AS raw_share_ppm,
+       |  sq * 1000000 // total_sq AS temp_share_ppm,
+       |  (sq * 1000000 // total_sq) * 1000000
+       |    // greatest(src_tokens * 1000000 // total_tokens, 1) AS boost_ppm
+       |FROM t ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mixture_temperature" -> (mixtureTemperature _),
     "doc_domain_weight" -> (domainWeight _),
     "dataset_profile" -> (datasetProfile _),
     "q_kanon" -> (kAnonymity _),
@@ -682,6 +735,7 @@ object Prep {
     "doc_length_trim" -> (lengthTrim _))
 
   val oracles: Map[String, String] = Map(
+    "mixture_temperature" -> mixtureTemperatureSql,
     "doc_domain_weight" -> domainWeightSql,
     "dataset_profile" -> datasetProfileSql,
     "q_kanon" -> kAnonymitySql,

@@ -427,7 +427,70 @@ object Graph {
        |FROM ds LEFT JOIN ein USING (label) CROSS JOIN tot
        |ORDER BY community""".stripMargin
 
+  /** Multi-hop reachability from a seed set — the BFS frontier expansion
+    * behind "everything within k hops of these flagged documents" (blast-
+    * radius queries: contamination spread, near-dup transitive closure
+    * previews). Seeds are the graph vertices with vec_id % 100 == 0 (the
+    * declared modulo panel, the ann_range convention); 3 fixed rounds;
+    * each vertex reports its MINIMUM hop distance; output is the bounded
+    * per-hop census (count + id range per hop).
+    *
+    * Scale shape: the PageRank loop shape — per round ONE edge-keyed
+    * join of the frontier onto the adjacency list and a vertex-keyed
+    * min-aggregate (no distinct on the expansion — the min-agg dedupes
+    * with map-side partial aggregation, one shuffle per round), with a
+    * lineage cut per round: the reached set feeds BOTH the next join and
+    * the union, so without the cut the lazy plan doubles the subtree
+    * every round. Frontier rows are vertex-sized; nothing
+    * corpus-payload-sized moves.
+    */
+  def reach(spark: SparkSession, dir: String): DataFrame =
+    reachOf(edges(spark, dir))
+
+  def reachOf(edgeSrc: DataFrame): DataFrame = {
+    val e = edgeSrc.cutLineage()
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .cutLineage()
+    var r = adj.select(col("dst").as("vec_id")).distinct()
+      .filter(col("vec_id") % 100 === 0)
+      .withColumn("hop", lit(0L))
+    for (h <- 1 to 3) {
+      // no distinct() on the expansion: the min-aggregate below dedupes
+      // (map-side partial agg bounds the shuffle), saving a shuffle/round
+      val next = adj
+        .join(r.select(col("vec_id").as("src")), Seq("src"))
+        .select(col("dst").as("vec_id"))
+        .withColumn("hop", lit(h.toLong))
+      r = r.unionAll(next)
+        .groupBy(col("vec_id")).agg(min(col("hop")).as("hop"))
+        .cutLineage()
+    }
+    r.groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_vertices"),
+        min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+      .orderBy(col("hop"))
+  }
+
+  val reachSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""n$i AS (SELECT DISTINCT a.dst AS vec_id, $i AS hop
+         |      FROM adj a JOIN r${i - 1} r ON a.src = r.vec_id),
+         |r$i AS MATERIALIZED (SELECT vec_id, MIN(hop) AS hop FROM (
+         |        SELECT * FROM r${i - 1} UNION ALL SELECT * FROM n$i) t
+         |      GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgeCtes,
+       |r0 AS (SELECT DISTINCT dst AS vec_id, 0 AS hop FROM adj
+       |       WHERE dst % 100 = 0),
+       |$rounds
+       |SELECT hop, COUNT(*) AS n_vertices,
+       |  MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+       |FROM r3 GROUP BY 1 ORDER BY hop""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_reach" -> (reach _),
     "graph_modularity" -> (modularity _),
     "graph_label_prop" -> (labelProp _),
     "graph_centrality" -> (centrality _),
@@ -437,6 +500,7 @@ object Graph {
     "graph_kcore" -> (kcore _))
 
   val oracles: Map[String, String] = Map(
+    "graph_reach" -> reachSql,
     "graph_modularity" -> modularitySql,
     "graph_label_prop" -> labelPropSql,
     "graph_centrality" -> centralitySql,

@@ -81,6 +81,22 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lp.select(col("community")).distinct().count() < nVerts)
   }
 
+  test("reach: hop census is a partition of the reachable set; hop 0 = seed count") {
+    val r = similarity.Graph.reach(spark, sf).cache()
+    val rows = r.orderBy(col("hop")).collect()
+    assert(rows.nonEmpty && rows.head.getAs[Long]("hop") === 0L)
+    val nVerts = edges.select(explode(array(col("u"), col("v"))).as("v"))
+      .distinct().count()
+    val seeds = edges.select(explode(array(col("u"), col("v"))).as("v"))
+      .distinct().filter(col("v") % 100 === 0).count()
+    assert(rows.head.getAs[Long]("n_vertices") === seeds)
+    // min-hop census partitions the reachable set: total <= |V|
+    assert(rows.map(_.getAs[Long]("n_vertices")).sum <= nVerts)
+    // every census row is non-empty and hops are the fixed rounds 0..3
+    assert(rows.forall(_.getAs[Long]("n_vertices") > 0))
+    assert(rows.map(_.getAs[Long]("hop")).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+  }
+
   test("modularity: degree mass and internal edges conserve; q_ppm bounded") {
     val mod = similarity.Graph.modularity(spark, sf).cache()
     val m = edges.count()

@@ -119,6 +119,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n30 > 0.2 && n30 < 0.4, s"30% sample landed at $n30")
   }
 
+  test("mixtureTemperature: shares sum to ~1e6 and the temperature flattens the mix") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.pipeline.Prep.mixtureTemperature(spark, sf).collect()
+    assert(rows.length > 1)
+    val tempSum = rows.map(_.getAs[Long]("temp_share_ppm")).sum
+    // integer-floor loss bounded by one ppm per source
+    assert(tempSum <= 1000000L && tempSum >= 1000000L - rows.length)
+    // alpha < 1 flattens: the biggest source loses share, the smallest gains
+    val byRaw = rows.sortBy(_.getAs[Long]("raw_share_ppm"))
+    assert(byRaw.last.getAs[Long]("temp_share_ppm") <=
+      byRaw.last.getAs[Long]("raw_share_ppm"))
+    assert(byRaw.head.getAs[Long]("temp_share_ppm") >=
+      byRaw.head.getAs[Long]("raw_share_ppm"))
+  }
+
   test("domainWeight: target-domain docs outscore the rest; weights well-formed") {
     val sf = "/root/testdata/sf0.001"
     val out = graft.pipeline.Prep.domainWeight(spark, sf).cache()

@@ -28,6 +28,8 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // window input is the per-source aggregate: rows = |sources| (tiny,
       // bounded by the mixture config), not corpus rows
       "mixture_weights" -> "global-window",
+      // same |sources|-row aggregate input as mixture_weights
+      "mixture_temperature" -> "global-window",
       // window input is the DISTINCT-term count aggregate: rows = |vocab|
       // (≪ corpus; the bpe_train justification), not corpus tokens
       "text_vocab_coverage" -> "global-window",
