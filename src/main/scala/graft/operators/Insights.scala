@@ -1,0 +1,391 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable.cents
+
+/** Statistical-insight operators — the audit/experimentation layer a
+  * data platform runs ON TOP of the relational core: fraud screening
+  * (Benford), seasonality baselines, market-basket association rules,
+  * CUPED variance-reduced experiment readouts, and the rank-sum test.
+  * The reference exposes its engine through arbitrary SQL
+  * (`/root/reference/benches/query.rs:37-47`); these are the
+  * statistical surfaces of that flow re-expressed as single Catalyst
+  * plans with engine-exact arithmetic (integer moments, ppm ratios by
+  * integer division, terminal IEEE steps mirrored expression-for-
+  * expression in the DuckDB oracle).
+  */
+object Insights {
+
+  private val d38 = "decimal(38,0)"
+
+  /** Benford first-digit audit of order totals — the classic
+    * fabricated-data screen: naturally occurring amounts follow
+    * P(d) = log10(1 + 1/d), and a synthetic or tampered feed doesn't.
+    * The expected per-mille-million shares are hard-coded integer
+    * literals (⌊log10(1+1/d)·10⁶⌋, summing to exactly 10⁶ — the
+    * bootstrap-threshold convention), so observed/expected/deviation
+    * are all exact integers in both engines; no libm log in either.
+    *
+    * Scale shape: one map-side-combined 9-group aggregate over the
+    * corpus; everything after runs on ≤ 9 rows. The first digit comes
+    * from the exact cents integer's decimal string, not from float
+    * log arithmetic.
+    */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    // ⌊log10(1+1/d)·10⁶⌋ for d = 1..9; the floors sum to exactly 10⁶
+    val expPpm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val expDf = spark.sql(
+      "SELECT posexplode(array(" + expPpm.mkString("L,") + "L))")
+      .select((col("pos") + 1).cast("int").as("digit"),
+        col("col").as("exp_ppm"))
+    val obs = Tables.orders(spark, dir)
+      .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).cast("bigint").as("n_total"))
+    obs.crossJoin(broadcast(tot))
+      .join(broadcast(expDf), Seq("digit"))
+      .withColumn("obs_ppm",
+        expr(s"cast(cast(n_obs as $d38) * 1000000 div n_total as bigint)"))
+      .select(col("digit"), col("n_obs"), col("n_total"), col("obs_ppm"),
+        col("exp_ppm"),
+        abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  val benfordSql: String =
+    """WITH obs AS (
+      |  SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT)
+      |           AS VARCHAR), 1, 1) AS INT) AS digit,
+      |         COUNT(*) AS n_obs
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM obs),
+      |exp AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+      |          (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+      |          (8, 51153), (9, 45757)) AS t(digit, exp_ppm))
+      |SELECT obs.digit, CAST(n_obs AS BIGINT) AS n_obs, n_total,
+      |  CAST(CAST(n_obs AS HUGEINT) * 1000000 // n_total AS BIGINT) AS obs_ppm,
+      |  CAST(exp_ppm AS BIGINT) AS exp_ppm,
+      |  CAST(ABS(CAST(n_obs AS HUGEINT) * 1000000 // n_total - exp_ppm)
+      |    AS BIGINT) AS dev_ppm
+      |FROM obs JOIN exp ON obs.digit = exp.digit CROSS JOIN tot
+      |ORDER BY obs.digit""".stripMargin
+
+  /** Day-of-week seasonality index — the baseline every anomaly monitor
+    * normalizes by ("is this Tuesday low, or are Tuesdays just low?").
+    * Per weekday: observed days, exact revenue cents, and the index
+    * (per-day average revenue vs the all-week per-day average) in ppm
+    * by pure integer arithmetic. Weekday is epoch-day mod 7 (0 =
+    * Thursday) — identical integer arithmetic in both engines, immune
+    * to locale/week-start conventions.
+    *
+    * Scale shape: ONE map-side-combined 7-group aggregate (the distinct
+    * day count is calendar-bounded); the index join is a broadcast of a
+    * 1-row total.
+    */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .select((datediff(to_date(col("o_orderdate")), lit("1970-01-01")) % 7)
+        .cast("int").as("dow"),
+        to_date(col("o_orderdate")).as("day"),
+        cents(col("o_totalprice")).as("r"))
+      .groupBy(col("dow"))
+      .agg(countDistinct(col("day")).as("n_days"),
+        sum(col("r")).cast("bigint").as("sum_cents"))
+    val tot = per.agg(sum(col("n_days")).cast("bigint").as("tot_days"),
+      sum(col("sum_cents")).cast("bigint").as("tot_cents"))
+    per.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"), col("sum_cents"),
+        expr(s"cast(cast(sum_cents as $d38) * tot_days * 1000000" +
+          s" div (cast(n_days as $d38) * tot_cents) as bigint)").as("idx_ppm"))
+      .orderBy(col("dow"))
+  }
+
+  val seasonalitySql: String =
+    """WITH per AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+      |           CAST(o_orderdate AS DATE)) % 7 AS INT) AS dow,
+      |    CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days,
+      |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |      AS sum_cents
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_days) AS BIGINT) AS tot_days,
+      |               CAST(SUM(sum_cents) AS BIGINT) AS tot_cents FROM per)
+      |SELECT dow, n_days, sum_cents,
+      |  CAST(CAST(sum_cents AS HUGEINT) * tot_days * 1000000
+      |    // (CAST(n_days AS HUGEINT) * tot_cents) AS BIGINT) AS idx_ppm
+      |FROM per CROSS JOIN tot
+      |ORDER BY dow""".stripMargin
+
+  /** Market-basket association rules over brands co-purchased in one
+    * order — support, both confidences, and lift for every brand pair,
+    * all in exact integer ppm. The itemset domain (25 brands) bounds
+    * the output at ≤ 300 rows regardless of corpus size.
+    *
+    * Scale shape: the corpus joins the part dim (broadcast-sized next
+    * to lineitem), collapses to per-order brand sets in ONE shuffle
+    * (collect_set dedupes — no separate distinct pass), and the pair
+    * expansion is IN-ROW (explode² of a ≤ |brands|-element set, ≤ 7
+    * items/order in practice) — never a corpus self-join. The pair
+    * aggregate is |brands|²-grouped with map-side combine.
+    */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("p_brand")).as("bs"))
+    val setsCached = sets.select(col("bs"))
+    val pairs = setsCached
+      .select(explode(col("bs")).as("a"), col("bs"))
+      .select(col("a"), explode(col("bs")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val brandCnt = setsCached.select(explode(col("bs")).as("brand"))
+      .groupBy(col("brand")).agg(count(lit(1)).as("n_x"))
+    val tot = setsCached.agg(count(lit(1)).cast("bigint").as("n_orders"))
+    pairs
+      .join(broadcast(brandCnt.select(col("brand").as("a"),
+        col("n_x").as("n_a"))), Seq("a"))
+      .join(broadcast(brandCnt.select(col("brand").as("b"),
+        col("n_x").as("n_b"))), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_orders"),
+        expr(s"cast(cast(n_ab as $d38) * 1000000 div n_a as bigint)")
+          .as("conf_ab_ppm"),
+        expr(s"cast(cast(n_ab as $d38) * 1000000 div n_b as bigint)")
+          .as("conf_ba_ppm"),
+        expr(s"cast(cast(n_ab as $d38) * n_orders * 1000000" +
+          s" div (cast(n_a as $d38) * n_b) as bigint)").as("lift_ppm"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val assocRulesSql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |pairs AS (
+      |  SELECT x.brand AS a, y.brand AS b, COUNT(*) AS n_ab
+      |  FROM ob x JOIN ob y ON x.ok = y.ok AND x.brand < y.brand
+      |  GROUP BY 1, 2),
+      |bc AS (SELECT brand, COUNT(*) AS n_x FROM ob GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM ob)
+      |SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+      |  CAST(ca.n_x AS BIGINT) AS n_a, CAST(cb.n_x AS BIGINT) AS n_b,
+      |  n_orders,
+      |  CAST(CAST(n_ab AS HUGEINT) * 1000000 // ca.n_x AS BIGINT)
+      |    AS conf_ab_ppm,
+      |  CAST(CAST(n_ab AS HUGEINT) * 1000000 // cb.n_x AS BIGINT)
+      |    AS conf_ba_ppm,
+      |  CAST(CAST(n_ab AS HUGEINT) * n_orders * 1000000
+      |    // (CAST(ca.n_x AS HUGEINT) * cb.n_x) AS BIGINT) AS lift_ppm
+      |FROM pairs JOIN bc ca ON pairs.a = ca.brand
+      |           JOIN bc cb ON pairs.b = cb.brand
+      |CROSS JOIN tot
+      |ORDER BY a, b""".stripMargin
+
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13) —
+    * the adjustment every mature A/B platform applies: regress the
+    * post-period metric on the pre-period metric (θ = cov/var over the
+    * enrolled population) and report per-arm means with the pre-period
+    * imbalance removed. Arms are custkey parity (the q_abtest
+    * convention); the pre/post split is a fixed calendar date. All five
+    * moments are decimal(38,0) sums of exact cents; θ, the adjusted
+    * means, and the variance-reduction ratio (squared pre/post
+    * correlation, in ppm via two exact integer divisions — never
+    * squaring a decimal that could overflow 38 digits) mirror the
+    * DuckDB formulation step for step.
+    *
+    * Scale shape: orders collapse to per-customer pre/post sums in one
+    * custkey shuffle (BOTH periods from ONE scan via conditional
+    * aggregation), join the customer dim on its key, then two bounded
+    * aggregates (1 overall row + 2 arm rows) and a broadcast combine.
+    */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val split = lit("1999-01-01")
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(to_date(col("o_orderdate")) < split,
+          cents(col("o_totalprice"))).otherwise(0L)).as("pre0"),
+        sum(when(to_date(col("o_orderdate")) >= split,
+          cents(col("o_totalprice"))).otherwise(0L)).as("post0"))
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), pmod(col("c_custkey"), lit(2)).as("variant"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("variant"),
+        coalesce(col("pre0"), lit(0L)).as("x"),
+        coalesce(col("post0"), lit(0L)).as("y"))
+    val ov = base.agg(
+        count(lit(1)).cast(d38).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum(expr(s"cast(x as $d38) * y")).as("sxy"),
+        sum(expr(s"cast(x as $d38) * x")).as("sxx"),
+        sum(expr(s"cast(y as $d38) * y")).as("syy"))
+      .select(col("n"), col("sx"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("denx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("deny"))
+      .select(col("n"), col("sx"),
+        (col("num").cast("double") / col("denx").cast("double")).as("theta"),
+        // abs() keeps every div operand non-negative: Spark's `div`
+        // truncates toward zero while DuckDB's `//` floors, so a
+        // negative covariance would round differently between engines
+        expr(s"cast((abs(num) * 1000 div denx) * (abs(num) * 1000 div deny)" +
+          s" div 1000 as bigint)").as("varred_ppm"))
+    base.groupBy(col("variant"))
+      .agg(count(lit(1)).cast("bigint").as("n_users"),
+        sum(col("x").cast(d38)).as("sx_g"),
+        sum(col("y").cast(d38)).as("sy_g"))
+      .crossJoin(broadcast(ov))
+      .select(col("variant"), col("n_users"), col("theta"),
+        (col("sy_g").cast("double") / col("n_users").cast("double"))
+          .as("mean_post"),
+        (col("sy_g").cast("double") / col("n_users").cast("double")
+          - col("theta") *
+            (col("sx_g").cast("double") / col("n_users").cast("double")
+              - col("sx").cast("double") / col("n").cast("double")))
+          .as("mean_adj"),
+        col("varred_ppm"))
+      .orderBy(col("variant"))
+  }
+
+  val cupedSql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey,
+      |    SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+      |        THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END) AS pre0,
+      |    SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
+      |        THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END) AS post0
+      |  FROM orders GROUP BY 1),
+      |base AS (
+      |  SELECT c_custkey % 2 AS variant,
+      |    COALESCE(pre0, 0) AS x, COALESCE(post0, 0) AS y
+      |  FROM customer LEFT JOIN pc ON c_custkey = o_custkey),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM base),
+      |ov AS (
+      |  SELECT n, sx,
+      |    CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+      |    CAST((ABS(n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx))
+      |      * (ABS(n * sxy - sx * sy) * 1000 // (n * syy - sy * sy))
+      |      // 1000 AS BIGINT) AS varred_ppm
+      |  FROM m),
+      |arm AS (
+      |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    SUM(CAST(x AS HUGEINT)) AS sx_g, SUM(CAST(y AS HUGEINT)) AS sy_g
+      |  FROM base GROUP BY 1)
+      |SELECT variant, n_users, theta,
+      |  CAST(sy_g AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_post,
+      |  CAST(sy_g AS DOUBLE) / CAST(n_users AS DOUBLE)
+      |    - theta * (CAST(sx_g AS DOUBLE) / CAST(n_users AS DOUBLE)
+      |               - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS mean_adj,
+      |  varred_ppm
+      |FROM arm CROSS JOIN ov
+      |ORDER BY variant""".stripMargin
+
+  /** Mann–Whitney rank-sum test: do urgent-priority orders carry a
+    * different price distribution than the rest? Computed on $100
+    * price buckets (midrank tie handling) so the statistic is exact:
+    * 2U = Σ_b (2·ca(b)·cumB(<b) + ca(b)·cb(b)) — every term an exact
+    * integer, U itself held in decimal(38,0)/HUGEINT because nA·nB
+    * overflows a BIGINT at the 100 TB row count. The tie-corrected
+    * normal approximation z is the single terminal IEEE expression,
+    * mirrored token for token in the oracle.
+    *
+    * Scale shape: the corpus collapses map-side to ≤ 5001 price-domain
+    * buckets (price ≤ $500k by the audited domain contract); the
+    * cumulative walk and moments run on that bounded set. The global
+    * window is bucket-bounded, not corpus-bounded (allowlisted in
+    * ScalePatternsSpec with this argument).
+    */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val byBucket = Tables.orders(spark, dir)
+      .select(expr("cast(round(o_totalprice*100) as bigint) div 10000")
+        .as("bk"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("isa"))
+      .groupBy(col("bk"))
+      .agg(sum(col("isa")).as("ca"),
+        sum(lit(1L) - col("isa")).as("cb"))
+    val w = Window.orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = byBucket
+      .withColumn("cumb", sum(col("cb")).over(w) - col("cb"))
+    val m = walked.agg(
+      sum(col("ca")).cast("bigint").as("n_a"),
+      sum(col("cb")).cast("bigint").as("n_b"),
+      sum(expr(s"cast(2 * ca as $d38) * cumb + cast(ca as $d38) * cb"))
+        .as("u2"),
+      sum(expr(s"cast(ca + cb as $d38) * (ca + cb) * (ca + cb) - (ca + cb)"))
+        .as("tie_term"))
+    m.select(col("n_a"), col("n_b"),
+      col("u2").cast(d38).as("u2"),
+      col("tie_term").cast(d38).as("tie_term"),
+      (expr(s"cast(u2 - cast(n_a as $d38) * n_b as double)")
+        / (lit(2.0) * sqrt(
+          (col("n_a").cast("double") * col("n_b").cast("double") / lit(12.0))
+            * ((col("n_a") + col("n_b")).cast("double") + lit(1.0)
+              - col("tie_term").cast("double")
+                / ((col("n_a") + col("n_b")).cast("double")
+                  * ((col("n_a") + col("n_b")).cast("double") - lit(1.0)))))))
+        .as("z"))
+  }
+
+  val mannWhitneySql: String =
+    """WITH b AS (
+      |  SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) // 10000 AS bk,
+      |    SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |        THEN 1 ELSE 0 END) AS ca,
+      |    SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |        THEN 0 ELSE 1 END) AS cb
+      |  FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT bk, ca, cb,
+      |    SUM(cb) OVER (ORDER BY bk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cb AS cumb
+      |  FROM b),
+      |m AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+      |    SUM(CAST(2 * ca AS HUGEINT) * cumb + CAST(ca AS HUGEINT) * cb)
+      |      AS u2,
+      |    SUM(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb) - (ca + cb))
+      |      AS tie_term
+      |  FROM c)
+      |SELECT n_a, n_b, u2, tie_term,
+      |  CAST(u2 - CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+      |    / (2.0 * sqrt(
+      |        (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+      |          * (CAST(n_a + n_b AS DOUBLE) + 1.0
+      |            - CAST(tie_term AS DOUBLE)
+      |              / (CAST(n_a + n_b AS DOUBLE)
+      |                * (CAST(n_a + n_b AS DOUBLE) - 1.0))))) AS z
+      |FROM m""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> (benford _),
+    "q_seasonality" -> (seasonality _),
+    "q_assoc_rules" -> (assocRules _),
+    "q_cuped" -> (cuped _),
+    "q_mann_whitney" -> (mannWhitney _))
+
+  val oracles: Map[String, String] = Map(
+    "q_benford" -> benfordSql,
+    "q_seasonality" -> seasonalitySql,
+    "q_assoc_rules" -> assocRulesSql,
+    "q_cuped" -> cupedSql,
+    "q_mann_whitney" -> mannWhitneySql)
+}

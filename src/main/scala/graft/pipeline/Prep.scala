@@ -597,6 +597,46 @@ object Prep {
       |    AS n_docs_below
       |FROM g, ks GROUP BY k""".stripMargin
 
+  /** l-diversity audit — k-anonymity's complement (Machanavajjhala et
+    * al., ICDE'06): a quasi-identifier group can be large (k-anonymous)
+    * yet still leak if every member shares the same SENSITIVE value.
+    * Groups customers by the quasi-identifiers (nation, market segment)
+    * and reports each group's distinct count of account-balance bands
+    * ($1000 buckets) plus whether it meets l=3. The band uses a
+    * shift-then-divide (+10⁸ cents) so the negative-balance rows floor
+    * identically in both engines (Spark `div` truncates toward zero,
+    * DuckDB `//` floors — positive operands make them agree).
+    *
+    * Scale shape: one aggregation to (|nations|·|segments|) groups —
+    * bounded by the attribute domain — with countDistinct over the
+    * ≤ ~11-band sensitive domain; map-side partial aggregation bounds
+    * the shuffle at groups × bands rows.
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        (expr("(cast(round(c_acctbal*100) as bigint) + 100000000)" +
+          " div 100000") - 1000L).as("band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("band")).as("l_distinct"))
+      .withColumn("meets_l3", col("l_distinct") >= 3L)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
+  val lDiversitySql: String =
+    """SELECT c_nationkey, c_mktsegment,
+      |  COUNT(*) AS n_rows,
+      |  CAST(COUNT(DISTINCT
+      |    (CAST(ROUND(c_acctbal*100) AS BIGINT) + 100000000) // 100000
+      |      - 1000) AS BIGINT) AS l_distinct,
+      |  COUNT(DISTINCT
+      |    (CAST(ROUND(c_acctbal*100) AS BIGINT) + 100000000) // 100000
+      |      - 1000) >= 3 AS meets_l3
+      |FROM customer
+      |GROUP BY c_nationkey, c_mktsegment
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   /** DSIR-style domain-importance weighting (Xie et al. 2302.03169,
     * simplified to exact unigram ratios): each document scores by how
     * much its token distribution resembles a TARGET domain (here the
@@ -720,6 +760,7 @@ object Prep {
     "doc_domain_weight" -> (domainWeight _),
     "dataset_profile" -> (datasetProfile _),
     "q_kanon" -> (kAnonymity _),
+    "q_ldiversity" -> (lDiversity _),
     "doc_curriculum" -> (curriculum _),
     "doc_chunk" -> (docChunk _),
     "pack_sequences" -> (packSequences _),
@@ -739,6 +780,7 @@ object Prep {
     "doc_domain_weight" -> domainWeightSql,
     "dataset_profile" -> datasetProfileSql,
     "q_kanon" -> kAnonymitySql,
+    "q_ldiversity" -> lDiversitySql,
     "doc_curriculum" -> curriculumSql,
     "doc_chunk" -> docChunkSql,
     "pack_sequences" -> packSequencesSql,

@@ -320,6 +320,8 @@ object Sources {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val jsonlDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val orcDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Timestamps survive the text round-trip bit-exactly only with an
     * explicit micros-precision format (the default CSV writer keeps
@@ -399,13 +401,51 @@ object Sources {
       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** `q_orc_source` — the OTHER self-describing columnar format as an
+    * oracle-checked round trip: export events to zstd ORC through
+    * [[writeOrc]], read back through the vectorized [[orc]] reader (no
+    * explicit schema — ORC self-describes, unlike the text formats),
+    * and aggregate per event type. The events table stresses the
+    * timestamp path: the nanos-parquet column normalizes to a micros
+    * TIMESTAMP before the write, and any precision loss in ORC's
+    * timestamp encoding breaks the epoch_us hash against the parquet
+    * base table. Scale shape: columnar scan with pushdown/pruning like
+    * parquet; one map-side-combined 5-group aggregate after.
+    */
+  def orcEventsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val uri = orcDirs.computeIfAbsent(sfDir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_orc_src").toString
+      writeOrc(Tables.events(spark, sfDir).coalesce(4), s"$root/events")
+      s"$root/events"
+    })
+    orc(spark, uri)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(Portable.cents(col("value"))).cast("bigint").as("value_cents"),
+        min(unix_micros(col("ts"))).as("min_ts_us"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val orcEventsAggSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+      |  MIN(epoch_us(ts)) AS min_ts_us,
+      |  MAX(epoch_us(ts)) AS max_ts_us
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_lake" -> (eventsLakeAgg _),
     "q_csv_source" -> (csvOrdersAgg _),
-    "q_jsonl_source" -> (jsonlDocsAgg _))
+    "q_jsonl_source" -> (jsonlDocsAgg _),
+    "q_orc_source" -> (orcEventsAgg _))
 
   val oracles: Map[String, String] = Map(
     "q_events_lake" -> eventsLakeAggSql,
     "q_csv_source" -> csvOrdersAggSql,
-    "q_jsonl_source" -> jsonlDocsAggSql)
+    "q_jsonl_source" -> jsonlDocsAggSql,
+    "q_orc_source" -> orcEventsAggSql)
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.Insights
+
+/** Semantic checks for the statistical-insight operators (the DuckDB
+  * hash-compare is the driver's job; these pin the invariants that make
+  * the numbers MEAN what they claim).
+  */
+class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("benford: nine digits, expected shares sum to exactly 1e6, counts conserve") {
+    val rows = Insights.benford(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    assert(rows.map(_.getAs[Long]("exp_ppm")).sum == 1000000L)
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == total)
+    assert(rows.forall(_.getAs[Long]("n_total") == total))
+    // truncated observed shares can undershoot 1e6 by at most 9 ulps
+    val obsSum = rows.map(_.getAs[Long]("obs_ppm")).sum
+    assert(obsSum > 1000000L - 10 && obsSum <= 1000000L)
+  }
+
+  test("seasonality: seven weekdays, indices average to ~1e6, cents conserve") {
+    val rows = Insights.seasonality(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("dow")).toSeq == (0 to 6))
+    val total = rows.map(_.getAs[Long]("sum_cents")).sum
+    import org.apache.spark.sql.functions._
+    val expect = Tables.orders(spark, sf)
+      .agg(sum(graft.functions.Portable.cents(col("o_totalprice"))))
+      .head.getLong(0)
+    assert(total == expect)
+    // day-weighted mean of the index is 1 by construction (up to div floor)
+    val wmean = rows.map(r =>
+      r.getAs[Long]("idx_ppm") * r.getAs[Long]("n_days")).sum.toDouble /
+      rows.map(_.getAs[Long]("n_days")).sum
+    assert(math.abs(wmean - 1000000.0) < 1000.0, s"weighted mean $wmean")
+  }
+
+  test("assoc rules: pair counts bounded by marginals, lift symmetric in its inputs") {
+    val rows = Insights.assocRules(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 300)
+    rows.foreach { r =>
+      val (nab, na, nb, n) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("n_orders"))
+      assert(nab <= na && nab <= nb && na <= n && nb <= n)
+      assert(r.getAs[String]("a") < r.getAs[String]("b"))
+      // confidence is a probability: ≤ 1e6 ppm
+      assert(r.getAs[Long]("conf_ab_ppm") <= 1000000L)
+      assert(r.getAs[Long]("conf_ba_ppm") <= 1000000L)
+      // lift = conf_ab / P(b): recompute from the exact integers
+      val lift = nab.toDouble * n / (na.toDouble * nb)
+      assert(math.abs(r.getAs[Long]("lift_ppm") - lift * 1e6) <= 1.0)
+    }
+  }
+
+  test("cuped: adjusted means preserve the overall post mean and cut arm variance bias") {
+    val rows = Insights.cuped(spark, sf).collect()
+    assert(rows.length == 2)
+    val n = rows.map(_.getAs[Long]("n_users")).sum
+    // CUPED is mean-preserving: Σ n_g·adj_g == Σ n_g·post_g (the θ terms
+    // cancel against the overall pre mean by construction)
+    val post = rows.map(r => r.getAs[Long]("n_users") * r.getAs[Double]("mean_post")).sum / n
+    val adj = rows.map(r => r.getAs[Long]("n_users") * r.getAs[Double]("mean_adj")).sum / n
+    assert(math.abs(post - adj) < math.abs(post) * 1e-6 + 1e-6)
+    // variance reduction is a squared correlation: within [0, 1e6] ppm
+    rows.foreach { r =>
+      val v = r.getAs[Long]("varred_ppm")
+      assert(v >= 0L && v <= 1000000L)
+    }
+    // pre/post spend per customer correlates positively → real reduction
+    assert(rows.head.getAs[Long]("varred_ppm") > 0L)
+  }
+
+  test("mann-whitney: U bounded by nA*nB, recomputes from raw bucket walk") {
+    val row = Insights.mannWhitney(spark, sf).head()
+    val (na, nb) = (row.getAs[Long]("n_a"), row.getAs[Long]("n_b"))
+    val u2 = row.getAs[java.math.BigDecimal]("u2").longValueExact()
+    assert(na > 0 && nb > 0)
+    assert(u2 >= 0 && u2 <= 2 * na * nb)
+    // priorities are assigned independently of price → z near 0 at this SF
+    val z = row.getAs[Double]("z")
+    assert(math.abs(z) < 6.0, s"|z|=$z unexpectedly extreme")
+  }
+
+  test("ldiversity: group counts conserve customers, l bounded by band domain") {
+    val rows = graft.pipeline.Prep.lDiversity(spark, sf).collect()
+    val total = Tables.customer(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total)
+    rows.foreach { r =>
+      val l = r.getAs[Long]("l_distinct")
+      assert(l >= 1L && l <= 12L) // acctbal ∈ [-1000, 10000) → ≤ 12 bands
+      assert(r.getAs[Boolean]("meets_l3") == (l >= 3L))
+      assert(l <= r.getAs[Long]("n_rows"))
+    }
+  }
+
+  test("orc source: round trip matches the parquet base aggregate") {
+    val viaOrc = graft.sources.Sources.orcEventsAgg(spark, sf).collect()
+    import org.apache.spark.sql.functions._
+    val base = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(graft.functions.Portable.cents(col("value"))).cast("bigint").as("value_cents"),
+        min(unix_micros(col("ts"))).as("min_ts_us"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+      .orderBy(col("event_type")).collect()
+    assert(viaOrc.toSeq == base.toSeq)
+  }
+}

@@ -44,7 +44,11 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_autocorr" -> "global-window",
       // rank window runs on the B=200-row replicate-mean aggregate —
       // bounded by the literal resampling budget at any corpus size
-      "q_bootstrap_ci" -> "global-window")
+      "q_bootstrap_ci" -> "global-window",
+      // cumulative walk over $100 price buckets: rows ≤ 5001 by the
+      // audited price-domain contract (q_data_audit's range check),
+      // regardless of corpus size
+      "q_mann_whitney" -> "global-window")
     // a GLOBAL window is a Window node feeding from Exchange
     // SinglePartition (possibly through its Sort) — matching the node
     // STRUCTURE, not bare substrings: a runtime bloom-filter subquery
