@@ -1820,7 +1820,51 @@ object Events {
        |ORDER BY u.ta, u.tb""".stripMargin
   }
 
+  /** Daily new-vs-returning split — the growth-accounting top line
+    * (every active day decomposes into first-ever-seen users and
+    * returners) behind acquisition/retention dashboards. A user is
+    * "new" on their lifetime-first active day, "returning" on every
+    * later active day; the new share is exact integer ppm.
+    *
+    * Scale shape: one (user, day) distinct, a user-keyed min-day
+    * aggregate, a user-keyed join (same partitioning — no extra
+    * exchange), then a days-bounded group aggregate. Nothing
+    * corpus-payload-sized moves; no global window.
+    */
+  def newReturning(spark: SparkSession, dir: String): DataFrame = {
+    val acts = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val first = acts.groupBy(col("user_id")).agg(min(col("day")).as("fd"))
+    acts.join(first, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("fd"), 1L).otherwise(0L))
+          .cast("bigint").as("n_new"),
+        sum(when(col("day") > col("fd"), 1L).otherwise(0L))
+          .cast("bigint").as("n_returning"))
+      .withColumn("new_ppm", expr(
+        "cast(cast(n_new as decimal(38,0)) * 1000000 div n_active as bigint)"))
+      .orderBy(col("day"))
+  }
+
+  val newReturningSql: String =
+    """WITH acts AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |first AS (SELECT user_id, MIN(day) AS fd FROM acts GROUP BY 1)
+      |SELECT day, COUNT(*) AS n_active,
+      |  CAST(SUM(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(SUM(CASE WHEN day > fd THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_returning,
+      |  CAST(CAST(SUM(CASE WHEN day = fd THEN 1 ELSE 0 END) AS HUGEINT)
+      |    * 1000000 // COUNT(*) AS BIGINT) AS new_ppm
+      |FROM acts JOIN first USING (user_id)
+      |GROUP BY day ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_new_returning" -> (newReturning _),
     "q_rolling_active" -> (rollingActive _),
     "q_kmv_diff" -> (kmvDiff _),
     "q_funnel_time" -> (funnelTime _),
@@ -1860,6 +1904,7 @@ object Events {
     "q_asof_tolerance" -> (asofJoinTolerance _))
 
   val oracles: Map[String, String] = Map(
+    "q_new_returning" -> newReturningSql,
     "q_rolling_active" -> rollingActiveSql,
     "q_kmv_diff" -> kmvDiffSql,
     "q_funnel_time" -> funnelTimeSql,

@@ -375,7 +375,53 @@ object Insights {
       |                * (CAST(n_a + n_b AS DOUBLE) - 1.0))))) AS z
       |FROM m""".stripMargin
 
+  /** Herfindahl–Hirschman concentration index of supplier revenue per
+    * nation — the market-concentration read (is one supplier carrying a
+    * whole nation's volume?) behind sourcing-risk dashboards. HHI =
+    * Σᵢ shareᵢ² over each nation's suppliers, in exact ppm: the share
+    * squares never materialize as ratios — Σrᵢ² and (Σrᵢ)² stay exact
+    * integers and ONE integer division produces the index. The divisor
+    * is pre-scaled (tot² div 10⁶) so the numerator never multiplies by
+    * 10⁶ — Σrᵢ² ≤ tot² can sit near the 38-digit ceiling at 100 TB and
+    * a ×10⁶ on top would overflow.
+    *
+    * Scale shape: corpus → (nation, supplier) aggregate in one shuffle
+    * (supplier dim joins broadcast-sized), then a |nations|-group
+    * aggregate; output 25 rows.
+    */
+  def hhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("r"))
+    rev.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("r")).cast("bigint").as("rev_cents"),
+        sum(expr(s"cast(r as $d38) * r")).as("sum_sq"))
+      .select(col("s_nationkey"), col("n_suppliers"), col("rev_cents"),
+        expr(s"cast(sum_sq div greatest(cast(rev_cents as $d38)" +
+          s" * rev_cents div 1000000, 1) as bigint)").as("hhi_ppm"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val hhiSql: String =
+    """WITH rev AS (
+      |  SELECT s_nationkey, s_suppkey,
+      |    SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS r
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2)
+      |SELECT s_nationkey, COUNT(*) AS n_suppliers,
+      |  CAST(SUM(r) AS BIGINT) AS rev_cents,
+      |  CAST(SUM(CAST(r AS HUGEINT) * r)
+      |    // GREATEST(CAST(SUM(r) AS HUGEINT) * SUM(r) // 1000000, 1)
+      |    AS BIGINT) AS hhi_ppm
+      |FROM rev GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hhi" -> (hhi _),
     "q_benford" -> (benford _),
     "q_seasonality" -> (seasonality _),
     "q_assoc_rules" -> (assocRules _),
@@ -383,6 +429,7 @@ object Insights {
     "q_mann_whitney" -> (mannWhitney _))
 
   val oracles: Map[String, String] = Map(
+    "q_hhi" -> hhiSql,
     "q_benford" -> benfordSql,
     "q_seasonality" -> seasonalitySql,
     "q_assoc_rules" -> assocRulesSql,

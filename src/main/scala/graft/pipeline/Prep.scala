@@ -597,6 +597,53 @@ object Prep {
       |    AS n_docs_below
       |FROM g, ks GROUP BY k""".stripMargin
 
+  /** Deterministic training-order interleave — the "global shuffle" a
+    * training run needs WITHOUT a global sort: hash docs to 16 shards
+    * (md5, the shard-assign convention), order WITHIN each shard by a
+    * second independent md5 (so within-shard order is uncorrelated with
+    * doc_id), and give row i of shard s global position i·16 + s — the
+    * round-robin reader order across shard files. Reproducible across
+    * engines, retries, and re-partitionings; output is the per-shard
+    * position audit (count, min/max position, exact position sum) that
+    * pins the full assignment without materializing corpus rows.
+    *
+    * Scale shape: the ONLY ordering is a per-shard window (16
+    * corpus/16-sized partitions — never a global sort); positions are
+    * map-side arithmetic after it; output 16 rows.
+    */
+  def interleave(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (md5Byte0 % 16).as("shard"),
+        expr("md5(concat(cast(doc_id as string), ':order'))").as("ord"))
+      .withColumn("pos",
+        (row_number().over(w).cast("bigint") - 1L) * 16L + col("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("pos")).as("min_pos"),
+        max(col("pos")).as("max_pos"),
+        sum(col("pos").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("sum_pos"))
+      .orderBy(col("shard"))
+  }
+
+  val interleaveSql: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, ($md5Byte0Sql) % 16 AS shard,
+       |    md5(CAST(doc_id AS VARCHAR) || ':order') AS ord
+       |  FROM documents),
+       |p AS (
+       |  SELECT shard,
+       |    (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1)
+       |      * 16 + shard AS pos
+       |  FROM a)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  MIN(pos) AS min_pos, MAX(pos) AS max_pos,
+       |  SUM(CAST(pos AS HUGEINT)) AS sum_pos
+       |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+
   /** l-diversity audit — k-anonymity's complement (Machanavajjhala et
     * al., ICDE'06): a quasi-identifier group can be large (k-anonymous)
     * yet still leak if every member shares the same SENSITIVE value.
@@ -761,6 +808,7 @@ object Prep {
     "dataset_profile" -> (datasetProfile _),
     "q_kanon" -> (kAnonymity _),
     "q_ldiversity" -> (lDiversity _),
+    "doc_interleave" -> (interleave _),
     "doc_curriculum" -> (curriculum _),
     "doc_chunk" -> (docChunk _),
     "pack_sequences" -> (packSequences _),
@@ -781,6 +829,7 @@ object Prep {
     "dataset_profile" -> datasetProfileSql,
     "q_kanon" -> kAnonymitySql,
     "q_ldiversity" -> lDiversitySql,
+    "doc_interleave" -> interleaveSql,
     "doc_curriculum" -> curriculumSql,
     "doc_chunk" -> docChunkSql,
     "pack_sequences" -> packSequencesSql,

@@ -103,6 +103,54 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hhi: bounded by [1/n, 1] band, revenue conserves") {
+    val rows = Insights.hhi(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { r =>
+      val (n, h) = (r.getAs[Long]("n_suppliers"), r.getAs[Long]("hhi_ppm"))
+      // HHI of n equal shares = 1/n; of a monopoly = 1 (1e6 ppm)
+      assert(h >= 1000000L / n - 1 && h <= 1000000L, s"hhi $h n $n")
+    }
+    import org.apache.spark.sql.functions._
+    val expect = Tables.lineitem(spark, sf)
+      .agg(sum(graft.functions.Portable.cents(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+      .head.getLong(0)
+    assert(rows.map(_.getAs[Long]("rev_cents")).sum == expect)
+  }
+
+  test("new/returning: day-1 users all new, splits conserve actives") {
+    val rows = graft.operators.Events.newReturning(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the corpus's first day has no history: everyone is new
+    assert(rows.head.getAs[Long]("n_new") == rows.head.getAs[Long]("n_active"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_new") + r.getAs[Long]("n_returning")
+        == r.getAs[Long]("n_active"))
+      assert(r.getAs[Long]("new_ppm") <= 1000000L)
+    }
+    // each user is new exactly once
+    import org.apache.spark.sql.functions._
+    val users = Tables.events(spark, sf).select(countDistinct(col("user_id")))
+      .head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_new")).sum == users)
+  }
+
+  test("interleave: positions are the exact round-robin arithmetic per shard") {
+    val rows = graft.pipeline.Prep.interleave(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("shard")).toSet.subsetOf((0 until 16).toSet))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      val (s, n) = (r.getAs[Int]("shard"), r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("min_pos") == s)
+      assert(r.getAs[Long]("max_pos") == (n - 1) * 16 + s)
+      // Σ((i·16)+s) for i in 0..n-1 = 16·n(n-1)/2 + n·s
+      val expectSum = BigDecimal(16) * n * (n - 1) / 2 + BigDecimal(n) * s
+      assert(BigDecimal(r.getAs[java.math.BigDecimal]("sum_pos")) == expectSum)
+    }
+  }
+
   test("orc source: round trip matches the parquet base aggregate") {
     val viaOrc = graft.sources.Sources.orcEventsAgg(spark, sf).collect()
     import org.apache.spark.sql.functions._
