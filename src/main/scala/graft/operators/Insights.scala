@@ -420,7 +420,61 @@ object Insights {
       |FROM rev GROUP BY s_nationkey
       |ORDER BY s_nationkey""".stripMargin
 
+  /** Inter-purchase-time distribution — the replenishment-cycle read
+    * (how many weeks between a customer's consecutive orders?) behind
+    * lifecycle messaging and demand forecasting. Consecutive-order gaps
+    * come from a CUSTOMER-partitioned lag window (deterministic
+    * tie-break on orderkey for same-day orders), bucketed into weeks
+    * capped at 52+, with each bucket's exact share in ppm.
+    *
+    * Scale shape: the window partitions by customer (corpus/|customers|
+    * rows per partition — never global); gaps collapse map-side into
+    * ≤ 53 week buckets; the share join is a broadcast 1-row total.
+    */
+  def interpurchase(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"))
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(expr(
+        "least(cast(day - prev as bigint) div 7, cast(52 as bigint))")
+        .as("week_bucket"))
+    val per = gaps.groupBy(col("week_bucket"))
+      .agg(count(lit(1)).as("n_gaps"))
+    val tot = per.agg(sum(col("n_gaps")).cast("bigint").as("n_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("week_bucket"), col("n_gaps"),
+        expr(s"cast(cast(n_gaps as $d38) * 1000000 div n_total as bigint)")
+          .as("share_ppm"))
+      .orderBy(col("week_bucket"))
+  }
+
+  val interpurchaseSql: String =
+    """WITH gaps AS (
+      |  SELECT day - LAG(day, 1) OVER (PARTITION BY o_custkey
+      |           ORDER BY day, o_orderkey) AS gap
+      |  FROM (SELECT o_custkey, o_orderkey,
+      |          date_diff('day', DATE '1970-01-01',
+      |            CAST(o_orderdate AS DATE)) AS day
+      |        FROM orders)),
+      |-- the NULL filter must precede LEAST: DuckDB's LEAST IGNORES
+      |-- NULLs (LEAST(NULL, 52) = 52), so first orders would leak into
+      |-- the 52+ bucket instead of dropping out
+      |g AS (SELECT LEAST(gap // 7, 52) AS week_bucket FROM gaps
+      |      WHERE gap IS NOT NULL),
+      |per AS (SELECT week_bucket, COUNT(*) AS n_gaps FROM g GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_gaps) AS BIGINT) AS n_total FROM per)
+      |SELECT week_bucket, n_gaps,
+      |  CAST(CAST(n_gaps AS HUGEINT) * 1000000 // n_total AS BIGINT)
+      |    AS share_ppm
+      |FROM per CROSS JOIN tot
+      |ORDER BY week_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interpurchase" -> (interpurchase _),
     "q_hhi" -> (hhi _),
     "q_benford" -> (benford _),
     "q_seasonality" -> (seasonality _),
@@ -429,6 +483,7 @@ object Insights {
     "q_mann_whitney" -> (mannWhitney _))
 
   val oracles: Map[String, String] = Map(
+    "q_interpurchase" -> interpurchaseSql,
     "q_hhi" -> hhiSql,
     "q_benford" -> benfordSql,
     "q_seasonality" -> seasonalitySql,

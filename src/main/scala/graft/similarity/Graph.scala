@@ -489,7 +489,70 @@ object Graph {
        |FROM r3 GROUP BY 1 ORDER BY hop""".stripMargin
   }
 
+  /** Degree assortativity — Newman's r (Pearson correlation of the
+    * endpoint degrees over every directed edge): do hubs link to hubs
+    * (r > 0, social-graph shape) or to leaves (r < 0, kNN/star shape)?
+    * The one-number structure read that tells a curation pipeline
+    * whether its similarity graph has hub-and-spoke near-dup families.
+    * All five moments are exact decimal(38,0) sums of integer degrees;
+    * r divides by the two sqrts sequentially (the autocorr convention —
+    * denx·deny would overflow 38 digits).
+    *
+    * Scale shape: one vertex-sized degree aggregate, two edge-keyed
+    * joins to attach endpoint degrees (edge-sized shuffles), one
+    * 5-moment aggregate; output 1 row.
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityOf(edges(spark, dir))
+
+  def assortativityOf(edgeSrc: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val e = edgeSrc.cutLineage()
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = degreesOf(e)
+    val pairs = adj
+      .join(deg.select(col("vec_id").as("src"), col("degree").as("dx")),
+        Seq("src"))
+      .join(deg.select(col("vec_id").as("dst"), col("degree").as("dy")),
+        Seq("dst"))
+    pairs.agg(
+        count(lit(1)).cast(d38).as("n"),
+        sum(col("dx").cast(d38)).as("sx"),
+        sum(col("dy").cast(d38)).as("sy"),
+        sum(expr(s"cast(dx as $d38) * dy")).as("sxy"),
+        sum(expr(s"cast(dx as $d38) * dx")).as("sxx"),
+        sum(expr(s"cast(dy as $d38) * dy")).as("syy"))
+      .select(col("n").cast("long").as("n_directed_edges"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("denx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("deny"))
+      .select(col("n_directed_edges"),
+        (col("num").cast("double") / sqrt(col("denx").cast("double"))
+          / sqrt(col("deny").cast("double"))).as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    s"""$edgeCtes,
+       |pairs AS (
+       |  SELECT dx.degree AS dx, dy.degree AS dy
+       |  FROM adj JOIN deg dx ON adj.src = dx.vec_id
+       |           JOIN deg dy ON adj.dst = dy.vec_id),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+       |    SUM(CAST(dx AS HUGEINT)) AS sx, SUM(CAST(dy AS HUGEINT)) AS sy,
+       |    SUM(CAST(dx AS HUGEINT) * dy) AS sxy,
+       |    SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+       |    SUM(CAST(dy AS HUGEINT) * dy) AS syy
+       |  FROM pairs)
+       |SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       |  CAST(n * sxy - sx * sy AS DOUBLE)
+       |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       |    / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS assortativity
+       |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> (assortativity _),
     "graph_reach" -> (reach _),
     "graph_modularity" -> (modularity _),
     "graph_label_prop" -> (labelProp _),
@@ -500,6 +563,7 @@ object Graph {
     "graph_kcore" -> (kcore _))
 
   val oracles: Map[String, String] = Map(
+    "graph_assortativity" -> assortativitySql,
     "graph_reach" -> reachSql,
     "graph_modularity" -> modularitySql,
     "graph_label_prop" -> labelPropSql,

@@ -97,6 +97,25 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getAs[Long]("hop")).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
   }
 
+  test("assortativity: r in [-1,1], directed-edge count = 2|E|, matches a local recompute") {
+    val row = similarity.Graph.assortativity(spark, sf).head()
+    val r = row.getAs[Double]("assortativity")
+    assert(r >= -1.0 && r <= 1.0, s"r=$r out of range")
+    val e = edges.collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(row.getAs[Long]("n_directed_edges") == 2L * e.length)
+    // recompute Newman's r locally from the same edge set
+    val deg = e.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    val pairs = e.flatMap(p => Seq((deg(p._1), deg(p._2)), (deg(p._2), deg(p._1))))
+    val n = pairs.length.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum.toDouble, pairs.map(_._2).sum.toDouble)
+    val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+    val expected = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * sxx - sx * sx))
+    assert(math.abs(r - expected) < 1e-9, s"r=$r local=$expected")
+  }
+
   test("modularity: degree mass and internal edges conserve; q_ppm bounded") {
     val mod = similarity.Graph.modularity(spark, sf).cache()
     val m = edges.count()

@@ -151,6 +151,22 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("interpurchase: gap count = orders - customers-with-orders; shares bounded") {
+    val rows = Insights.interpurchase(spark, sf).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sf)
+    val nOrders = orders.count()
+    val nCusts = orders.select(countDistinct(col("o_custkey"))).head.getLong(0)
+    // each customer contributes (their order count - 1) gaps
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum == nOrders - nCusts)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("week_bucket") >= 0L
+        && r.getAs[Long]("week_bucket") <= 52L)
+      assert(r.getAs[Long]("share_ppm") <= 1000000L)
+    }
+  }
+
   test("orc source: round trip matches the parquet base aggregate") {
     val viaOrc = graft.sources.Sources.orcEventsAgg(spark, sf).collect()
     import org.apache.spark.sql.functions._
