@@ -135,12 +135,18 @@ object Insights {
     * aggregate is |brands|²-grouped with map-side combine.
     */
   def assocRules(spark: SparkSession, dir: String): DataFrame = {
-    val sets = Tables.lineitem(spark, dir)
+    import graft.Checkpoints.CheckpointOps
+    // the per-order sets feed THREE consumers (pairs, marginals, total);
+    // without the lineage cut the lazy plan re-scans lineitem for the
+    // total leg (Spark's exchange reuse misses it — the count prunes
+    // columns differently, so the exchanges don't match)
+    val setsCached = Tables.lineitem(spark, dir)
       .join(Tables.part(spark, dir),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(collect_set(col("p_brand")).as("bs"))
-    val setsCached = sets.select(col("bs"))
+      .select(col("bs"))
+      .cutLineage()
     val pairs = setsCached
       .select(explode(col("bs")).as("a"), col("bs"))
       .select(col("a"), explode(col("bs")).as("b"))

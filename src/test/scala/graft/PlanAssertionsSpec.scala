@@ -459,4 +459,96 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), s"totals must broadcast:\n$p")
   }
+
+  test("q_benford: scan pruned to the amount column; digit agg is map-side combined") {
+    val p = planOf("q_benford")
+    assert(p.contains("ReadSchema: struct<o_totalprice:double>"), p)
+    // the 9-group aggregate must have a partial (map-side) pass so the
+    // exchange carries <=9 rows per partition, never corpus rows
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), s"all 9/1-row joins broadcast:\n$p")
+  }
+
+  test("q_seasonality: scan pruned to (date, amount); totals broadcast") {
+    val p = planOf("q_seasonality")
+    assert(p.contains("ReadSchema: struct<o_totalprice:double,o_orderdate:timestamp>")
+      || p.contains("ReadSchema: struct<o_orderdate:timestamp,o_totalprice:double>"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"1-row total must broadcast:\n$p")
+  }
+
+  test("q_assoc_rules: pair expansion is in-row (Generate), never a corpus self-join") {
+    val p = planOf("q_assoc_rules")
+    val finalP = p.split("== Initial Plan ==").head
+    // the double explode of the per-order brand set
+    assert("Generate explode".r.findAllIn(finalP).size >= 2, p)
+    // ONE corpus-sized scan of lineitem feeds ONE collect_set shuffle —
+    // the marginal/total legs consume the lineage-cut per-order sets,
+    // never a second scan; the joins on the bounded sides are broadcast
+    assert(s"FileScan parquet .*lineitem".r.findAllIn(finalP).size <= 1, p)
+    assert(!finalP.contains("SortMergeJoin"), s"no shuffle pair join:\n$p")
+  }
+
+  test("q_cuped: both periods from ONE orders scan; arm stats join the 1-row moments by broadcast") {
+    val p = planOf("q_cuped")
+    val finalP = p.split("== Initial Plan ==").head
+    assert(s"FileScan parquet .*orders".r.findAllIn(finalP).size == 1,
+      s"pre/post must come from one conditional-aggregate pass:\n$p")
+    assert(finalP.contains("BroadcastNestedLoopJoin"), s"moments broadcast:\n$p")
+  }
+
+  test("q_mann_whitney: corpus collapses to buckets BEFORE the single-partition walk") {
+    val p = planOf("q_mann_whitney")
+    // the bucket aggregate (with its partial pass) must sit below the
+    // Window's SinglePartition exchange: the walk sees <=5001 rows
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, p)
+    val below = p.substring(winIdx)
+    assert(below.contains("HashAggregate"),
+      s"bucket aggregate must feed the window:\n$p")
+    assert(p.indexOf("FileScan") > winIdx,
+      s"scan must be below the window in the tree:\n$p")
+  }
+
+  test("q_hhi: supplier dim broadcasts; one lineitem scan") {
+    val p = planOf("q_hhi")
+    val finalP = p.split("== Initial Plan ==").head
+    assert(finalP.contains("BroadcastHashJoin"), p)
+    assert(s"FileScan parquet .*lineitem".r.findAllIn(finalP).size == 1, p)
+  }
+
+  test("q_new_returning: any broadcast side is a cardinality-bounding aggregate, never a raw scan") {
+    // at toy SF AQE may legitimately broadcast the per-user min-day
+    // AGGREGATE (it is user-count-sized, and there is no broadcast HINT
+    // forcing it at scale); what must never happen is a raw corpus scan
+    // under a BroadcastExchange
+    val p = planOf("q_new_returning")
+    val bIdx = p.indexOf("BroadcastExchange")
+    if (bIdx >= 0) {
+      val toFirstScan = p.substring(bIdx).split("FileScan").head
+      assert(toFirstScan.contains("HashAggregate"),
+        s"broadcast side must aggregate before broadcasting:\n$p")
+    }
+    assert("Join".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("doc_interleave / q_interpurchase: windows are key-partitioned (no global sort)") {
+    for (name <- Seq("doc_interleave", "q_interpurchase")) {
+      val p = planOf(name)
+      val lines = p.split("\n")
+      val global = lines.zipWithIndex.exists { case (l, i) =>
+        l.contains("Window") &&
+          lines.slice(i + 1, i + 4).exists(_.contains("Exchange SinglePartition"))
+      }
+      assert(!global, s"$name: window must partition by shard/customer:\n$p")
+      assert(p.contains("Window"), s"$name: window missing:\n$p")
+    }
+  }
+
+  test("q_ldiversity / q_orc_source: single pruned scan each") {
+    val pl = planOf("q_ldiversity")
+    val finalL = pl.split("== Initial Plan ==").head
+    assert(s"FileScan parquet .*customer".r.findAllIn(finalL).size == 1, pl)
+    val po = planOf("q_orc_source")
+    assert(po.contains("FileScan orc"), s"vectorized ORC scan expected:\n$po")
+  }
 }
