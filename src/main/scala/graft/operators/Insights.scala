@@ -354,10 +354,10 @@ object Insights {
   val mannWhitneySql: String =
     """WITH b AS (
       |  SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) // 10000 AS bk,
-      |    SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      |        THEN 1 ELSE 0 END) AS ca,
-      |    SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      |        THEN 0 ELSE 1 END) AS cb
+      |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |        THEN 0 ELSE 1 END) AS BIGINT) AS cb
       |  FROM orders GROUP BY 1),
       |c AS (
       |  SELECT bk, ca, cb,

@@ -489,6 +489,75 @@ object Graph {
        |FROM r3 GROUP BY 1 ORDER BY hop""".stripMargin
   }
 
+  /** Similarity histogram of the kNN edges — the "are my neighbors
+    * actually close?" sanity report a curation pipeline reads before
+    * trusting graph-derived decisions (semantic dedup thresholds,
+    * community cuts). Entirely engine-exact: instead of hashing IEEE
+    * cosines (whose last ulp can differ between engines at bucket
+    * boundaries), each edge buckets by the SIGNED SQUARED cosine in
+    * exact integer per-mille — sign(dot)·(dot²·1000 div (‖x‖²·‖y‖²))
+    * over the round(v·10⁶) integer components, a monotone transform of
+    * cosine with zero float steps.
+    *
+    * Scale shape: two edge-sized id joins attach the integer component
+    * arrays; dot and norms are row-local higher-order-function folds
+    * (no explode — the 64-dim arrays never become rows on the Spark
+    * side); the histogram is a ≤ 2001-group aggregate.
+    */
+  def cosineHist(spark: SparkSession, dir: String): DataFrame =
+    cosineHistOf(spark, dir, edges(spark, dir))
+
+  def cosineHistOf(spark: SparkSession, dir: String,
+      edgeSrc: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val xint = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        "transform(cast(embedding as array<double>)," +
+          " v -> cast(round(v * 1000000.0) as bigint))").as("xi"))
+    edgeSrc
+      .join(xint.select(col("vec_id").as("u"), col("xi").as("xu")), Seq("u"))
+      .join(xint.select(col("vec_id").as("v"), col("xi").as("xv")), Seq("v"))
+      .select(
+        expr("aggregate(zip_with(xu, xv, (a, b) -> a * b)," +
+          " cast(0 as bigint), (acc, x) -> acc + x)").as("dot"),
+        expr("aggregate(zip_with(xu, xu, (a, b) -> a * b)," +
+          " cast(0 as bigint), (acc, x) -> acc + x)").as("nx"),
+        expr("aggregate(zip_with(xv, xv, (a, b) -> a * b)," +
+          " cast(0 as bigint), (acc, x) -> acc + x)").as("ny"))
+      .select(expr(
+        s"""(case when dot < 0 then -1 else 1 end)
+           | * cast(cast(dot as $d38) * dot * 1000
+           |        div (cast(nx as $d38) * ny) as bigint)""".stripMargin)
+        .as("cos2_permille"))
+      .groupBy(col("cos2_permille"))
+      .agg(count(lit(1)).as("n_edges"))
+      .orderBy(col("cos2_permille"))
+  }
+
+  val cosineHistSql: String =
+    s"""$edgeCtes,
+       |x2 AS (
+       |  SELECT vec_id, i - 1 AS dim,
+       |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+       |norms AS (
+       |  SELECT vec_id, SUM(CAST(xi AS HUGEINT) * xi) AS nsq
+       |  FROM x2 GROUP BY 1),
+       |dots AS (
+       |  SELECT e.u, e.v, SUM(CAST(xu.xi AS HUGEINT) * xv.xi) AS dot
+       |  FROM e JOIN x2 xu ON xu.vec_id = e.u
+       |         JOIN x2 xv ON xv.vec_id = e.v AND xu.dim = xv.dim
+       |  GROUP BY 1, 2),
+       |b AS (
+       |  SELECT (CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+       |    * CAST(CAST(dot AS HUGEINT) * dot * 1000
+       |           // (CAST(nu.nsq AS HUGEINT) * nv.nsq) AS BIGINT)
+       |    AS cos2_permille
+       |  FROM dots JOIN norms nu ON dots.u = nu.vec_id
+       |            JOIN norms nv ON dots.v = nv.vec_id)
+       |SELECT cos2_permille, COUNT(*) AS n_edges
+       |FROM b GROUP BY 1 ORDER BY cos2_permille""".stripMargin
+
   /** Degree assortativity — Newman's r (Pearson correlation of the
     * endpoint degrees over every directed edge): do hubs link to hubs
     * (r > 0, social-graph shape) or to leaves (r < 0, kNN/star shape)?
@@ -552,6 +621,7 @@ object Graph {
        |FROM m""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_cosine_hist" -> (cosineHist _),
     "graph_assortativity" -> (assortativity _),
     "graph_reach" -> (reach _),
     "graph_modularity" -> (modularity _),
@@ -563,6 +633,7 @@ object Graph {
     "graph_kcore" -> (kcore _))
 
   val oracles: Map[String, String] = Map(
+    "emb_cosine_hist" -> cosineHistSql,
     "graph_assortativity" -> assortativitySql,
     "graph_reach" -> reachSql,
     "graph_modularity" -> modularitySql,

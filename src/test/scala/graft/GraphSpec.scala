@@ -97,6 +97,21 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getAs[Long]("hop")).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
   }
 
+  test("cosine hist: buckets in [-1000,1000], counts conserve edges, kNN mass skews similar") {
+    val rows = similarity.Graph.cosineHist(spark, sf).collect()
+    val nEdges = edges.count()
+    assert(rows.map(_.getAs[Long]("n_edges")).sum == nEdges)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("cos2_permille")
+      assert(b >= -1000L && b <= 1000L, s"bucket $b out of range")
+    }
+    // a top-5 kNN graph's edges are the MOST similar pairs: the
+    // edge-weighted mean signed squared cosine must be positive
+    val mean = rows.map(r =>
+      r.getAs[Long]("cos2_permille") * r.getAs[Long]("n_edges")).sum.toDouble / nEdges
+    assert(mean > 0.0, s"mean signed cos2 $mean not positive")
+  }
+
   test("assortativity: r in [-1,1], directed-edge count = 2|E|, matches a local recompute") {
     val row = similarity.Graph.assortativity(spark, sf).head()
     val r = row.getAs[Double]("assortativity")
