@@ -544,6 +544,21 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     }
   }
 
+  test("emb_cosine_hist: arrays fold row-locally — no Generate, histogram agg map-side combined") {
+    val p = planOf("emb_cosine_hist")
+    val finalP = p.split("== Initial Plan ==").head
+    // the dot/norm folds are higher-order functions over the embedding
+    // arrays: a Generate (explode to corpus×64 rows) here would 64× the
+    // shuffle volume for no reason
+    // tree prints parents first: the histogram/join stage is the text
+    // ABOVE the kNN build's TopKPerKey (the build itself legitimately
+    // explodes for its integer-quantizer centroids)
+    val aboveKnn = finalP.split("TopKPerKey").head
+    assert(!aboveKnn.contains("Generate"),
+      s"array explode in the histogram stage:\n$p")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(finalP).nonEmpty, p)
+  }
+
   test("q_ldiversity / q_orc_source: single pruned scan each") {
     val pl = planOf("q_ldiversity")
     val finalL = pl.split("== Initial Plan ==").head
