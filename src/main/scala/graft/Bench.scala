@@ -367,6 +367,42 @@ object Bench {
       "tws_errctx_rows_per_sec" -> rps(errctxT)))
   }
 
+  /** Graph analytics over the write-once edge artifact (round-9 verdict
+    * item 5's executable composition story, now measured): build the
+    * clustered (u, v) parquet ONCE (timed as `edge_build`), then run each
+    * graph operator's `*Of` variant against the artifact. This is the
+    * production shape — the honest per-query floors keep rebuilding the
+    * kNN graph under bench isolation; this sidecar shows what a pipeline
+    * that materializes the edge set actually pays per analysis.
+    */
+  private[graft] def graphCachedBench(spark: SparkSession, sfDir: String): String = {
+    import graft.similarity.Graph
+    val t0 = System.nanoTime()
+    val e = Graph.materializedEdges(spark, sfDir)
+    e.write.format("noop").mode("overwrite").save() // force build + read
+    val buildT = (System.nanoTime() - t0) / 1e9
+    val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "degree_hist" -> (() => Graph.degreeHistOf(e)),
+      "cluster_coeff" -> (() => Graph.clusterCoeffOf(e)),
+      "jaccard" -> (() => Graph.jaccardOf(e)),
+      "kcore" -> (() => Graph.kcoreOf(e, k = 3, rounds = 8)),
+      "centrality" -> (() => Graph.centralityOf(e)),
+      "label_prop" -> (() => Graph.labelPropOf(e)),
+      "modularity" -> (() => Graph.modularityOf(e)),
+      "reach" -> (() => Graph.reachOf(e)),
+      "assortativity" -> (() => Graph.assortativityOf(e)))
+    val timed = ops.map { case (name, mk) =>
+      val t = (1 to 2).map { _ =>
+        val s = System.nanoTime()
+        mk().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - s) / 1e9
+      }.min
+      System.err.println(f"[bench] graph_cached:$name ok $t%.2fs")
+      name -> jcompact(t)
+    }
+    jmap(("edge_build" -> jcompact(buildT)) +: timed)
+  }
+
   private def jnum(d: Double): String = if (d.isNaN || d.isInfinite) "0" else d.toString
   private def jmap(kvs: Seq[(String, String)]): String =
     kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -449,6 +485,7 @@ object Bench {
       "iterations" -> "0", "error" -> jstr("section did not run")))
     var st = jmap(Seq("rows" -> "0", "error" -> jstr("section did not run")))
     var cc = jmap(Seq("error" -> jstr("section did not run")))
+    var gc = jmap(Seq("error" -> jstr("section did not run")))
 
     try if (only.isEmpty) {
       // repeated-scan throughput: rows/s over back-to-back full scans. Runs
@@ -475,6 +512,14 @@ object Bench {
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] streaming section FAILED: $e")
         st = jmap(Seq("rows" -> "0", "error" -> sectionError(e)))
+      }
+
+      // graph analytics over the materialized edge artifact (sidecar —
+      // per-query floors stay honest and keep rebuilding the kNN graph)
+      try gc = graphCachedBench(spark, sfDir)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] graph_cached section FAILED: $e")
+        gc = jmap(Seq("error" -> sectionError(e)))
       }
 
       // concurrent streams of the reference's own three plans (pool must be
@@ -535,6 +580,7 @@ object Bench {
         s"concurrent_x$ConcurrentStreams" -> cc,
         "throughput" -> tp,
         "streaming" -> st,
+        "graph_cached" -> gc,
         "retimed" -> jarr(retimedNames),
         "sf" -> jstr(sfDir),
         "cpus" -> cpus))
