@@ -479,7 +479,89 @@ object Insights {
       |FROM per CROSS JOIN tot
       |ORDER BY week_bucket""".stripMargin
 
+  /** Wald–Wolfowitz runs test on daily revenue — the randomness check
+    * beside [[graft.operators.Analytics.autocorr]] and q_changepoint:
+    * too FEW runs of above/below-median days means regime persistence
+    * (trend/level shifts), too many means oscillation. The median is an
+    * exact ORDER STATISTIC (rank ⌈n/2⌉ with day tie-break — never an
+    * interpolated quantile), the run count is exact integer window
+    * arithmetic, and z is the single terminal IEEE expression mirrored
+    * token for token.
+    *
+    * Scale shape: the corpus collapses map-side to the calendar-bounded
+    * daily aggregate; every window below runs on |days| rows
+    * (allowlisted global window, the q_autocorr argument).
+    */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).cast("bigint").as("r"))
+    val n1row = daily.agg(count(lit(1)).cast("bigint").as("n_days"))
+    val med = daily
+      .withColumn("rn", row_number().over(Window.orderBy(col("r"), col("day"))))
+      .crossJoin(broadcast(n1row))
+      .filter(col("rn") === expr("cast((n_days + 1) div 2 as int)"))
+      .select(col("r").as("med"))
+    val walked = daily.crossJoin(broadcast(med))
+      .select(col("day"), (col("r") > col("med")).cast("int").as("x"))
+      .withColumn("prev", lag(col("x"), 1).over(Window.orderBy(col("day"))))
+    walked.agg(
+        count(lit(1)).cast("bigint").as("n_days"),
+        sum(col("x")).cast("bigint").as("n_above"),
+        (sum(when(col("prev").isNotNull && col("x") =!= col("prev"), 1L)
+          .otherwise(0L)) + 1L).cast("bigint").as("n_runs"))
+      .select(col("n_days"), col("n_above"), col("n_runs"),
+        // z over exact ints: E[R] = 2ab/n + 1, Var = 2ab(2ab-n)/(n²(n-1))
+        ((col("n_runs").cast("double")
+          - (lit(2.0) * col("n_above").cast("double")
+            * (col("n_days") - col("n_above")).cast("double")
+            / col("n_days").cast("double") + lit(1.0)))
+          / sqrt(lit(2.0) * col("n_above").cast("double")
+            * (col("n_days") - col("n_above")).cast("double")
+            * (lit(2.0) * col("n_above").cast("double")
+              * (col("n_days") - col("n_above")).cast("double")
+              - col("n_days").cast("double"))
+            / (col("n_days").cast("double") * col("n_days").cast("double")
+              * (col("n_days").cast("double") - lit(1.0)))))
+          .as("z"))
+  }
+
+  val runsTestSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS r
+      |  FROM orders GROUP BY 1),
+      |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+      |med AS (
+      |  SELECT r AS med FROM (
+      |    SELECT r, ROW_NUMBER() OVER (ORDER BY r, day) AS rn FROM daily)
+      |  CROSS JOIN nr WHERE rn = (n_days + 1) // 2),
+      |walked AS (
+      |  SELECT day, CAST(r > med AS INT) AS x,
+      |    LAG(CAST(r > med AS INT), 1) OVER (ORDER BY day) AS prev
+      |  FROM daily CROSS JOIN med),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(x) AS BIGINT) AS n_above,
+      |    CAST(SUM(CASE WHEN prev IS NOT NULL AND x <> prev
+      |        THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs
+      |  FROM walked)
+      |SELECT n_days, n_above, n_runs,
+      |  (CAST(n_runs AS DOUBLE)
+      |    - (2.0 * CAST(n_above AS DOUBLE)
+      |       * CAST(n_days - n_above AS DOUBLE)
+      |       / CAST(n_days AS DOUBLE) + 1.0))
+      |  / sqrt(2.0 * CAST(n_above AS DOUBLE)
+      |    * CAST(n_days - n_above AS DOUBLE)
+      |    * (2.0 * CAST(n_above AS DOUBLE)
+      |       * CAST(n_days - n_above AS DOUBLE)
+      |       - CAST(n_days AS DOUBLE))
+      |    / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+      |       * (CAST(n_days AS DOUBLE) - 1.0))) AS z
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_runs_test" -> (runsTest _),
     "q_interpurchase" -> (interpurchase _),
     "q_hhi" -> (hhi _),
     "q_benford" -> (benford _),
@@ -489,6 +571,7 @@ object Insights {
     "q_mann_whitney" -> (mannWhitney _))
 
   val oracles: Map[String, String] = Map(
+    "q_runs_test" -> runsTestSql,
     "q_interpurchase" -> interpurchaseSql,
     "q_hhi" -> hhiSql,
     "q_benford" -> benfordSql,

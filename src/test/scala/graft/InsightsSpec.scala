@@ -167,6 +167,20 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("runs test: run count bounded by [1, n], above-count ~ half, z finite") {
+    val row = Insights.runsTest(spark, sf).head()
+    val (n, a, r) = (row.getAs[Long]("n_days"), row.getAs[Long]("n_above"),
+      row.getAs[Long]("n_runs"))
+    assert(n > 0 && a > 0 && a < n)
+    // strict > median puts at most half the days above
+    assert(a <= n / 2 + 1)
+    assert(r >= 1 && r <= n)
+    val z = row.getAs[Double]("z")
+    assert(!z.isNaN && !z.isInfinite)
+    // independent daily draws: |z| should not be extreme at this SF
+    assert(math.abs(z) < 8.0, s"|z|=$z")
+  }
+
   test("orc source: round trip matches the parquet base aggregate") {
     val viaOrc = graft.sources.Sources.orcEventsAgg(spark, sf).collect()
     import org.apache.spark.sql.functions._

@@ -48,7 +48,11 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // cumulative walk over $100 price buckets: rows ≤ 5001 by the
       // audited price-domain contract (q_data_audit's range check),
       // regardless of corpus size
-      "q_mann_whitney" -> "global-window")
+      "q_mann_whitney" -> "global-window",
+      // median rank + runs walk over the DAILY-REVENUE aggregate: rows =
+      // |days| (calendar-bounded), the corpus collapses map-side first —
+      // the q_autocorr argument
+      "q_runs_test" -> "global-window")
     // a GLOBAL window is a Window node feeding from Exchange
     // SinglePartition (possibly through its Sort) — matching the node
     // STRUCTURE, not bare substrings: a runtime bloom-filter subquery
