@@ -404,7 +404,17 @@ object Events {
         (abs(col("approx_users") - col("exact_users")) * 10 <=
           col("exact_users") + 50).as("hll_ok"),
         (col("n_le") * 100 >= col("n_val") * 40 &&
-          col("n_le") * 100 <= col("n_val") * 60).as("median_ok"))
+          col("n_le") * 100 <= col("n_val") * 60).as("median_ok"),
+        // Diagnostic excess-beyond-bound columns (r9/r10 advice): exactly
+        // 0 on BOTH engines while the sketch sits inside its bound (so
+        // the oracle hash still matches), and the raw integer breach
+        // magnitude when it doesn't — a future fixture regeneration that
+        // flips a boolean leaves the offending distance visible in the
+        // Verify dumps instead of an opaque hash fail.
+        greatest(abs(col("approx_users") - col("exact_users")) * 10 -
+          (col("exact_users") + 50), lit(0L)).as("hll_excess"),
+        greatest(abs(col("n_le") * 100 - col("n_val") * 50) -
+          col("n_val") * 10, lit(0L)).as("median_excess"))
   }
 
   val approxAggSql: String =
@@ -424,7 +434,10 @@ object Events {
       |SELECT ex.event_type, ex.eu AS exact_users, ex.n_events,
       |  (ABS(sk.au - ex.eu) * 10 <= ex.eu + 50) AS hll_ok,
       |  (rk.n_le * 100 >= rk.n_val * 40 AND rk.n_le * 100 <= rk.n_val * 60)
-      |    AS median_ok
+      |    AS median_ok,
+      |  GREATEST(ABS(sk.au - ex.eu) * 10 - (ex.eu + 50), 0) AS hll_excess,
+      |  GREATEST(ABS(rk.n_le * 100 - rk.n_val * 50) - rk.n_val * 10, 0)
+      |    AS median_excess
       |FROM ex JOIN sk USING (event_type) JOIN rk USING (event_type)""".stripMargin
 
   /** ~10% Bernoulli sample + aggregation. Membership is a CONTENT-HASH

@@ -36,7 +36,8 @@ object Insights {
     * log arithmetic.
     */
   def benford(spark: SparkSession, dir: String): DataFrame = {
-    // ⌊log10(1+1/d)·10⁶⌋ for d = 1..9; the floors sum to exactly 10⁶
+    // round(log10(1+1/d)·10⁶) for d = 1..9; the rounded values sum to
+    // exactly 10⁶ (the floors would sum to 999 995)
     val expPpm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
       66947L, 57992L, 51153L, 45757L)
     val expDf = spark.sql(
@@ -244,8 +245,11 @@ object Insights {
         // abs() keeps every div operand non-negative: Spark's `div`
         // truncates toward zero while DuckDB's `//` floors, so a
         // negative covariance would round differently between engines
+        // (1000·|num| div denx)·(1000·|num| div deny) ≈ 10⁶·r² — genuine
+        // ppm; each factor is the per-mille correlation with one of the
+        // two variance denominators, so the product lands in [0, 10⁶].
         expr(s"cast((abs(num) * 1000 div denx) * (abs(num) * 1000 div deny)" +
-          s" div 1000 as bigint)").as("varred_ppm"))
+          s" as bigint)").as("varred_ppm"))
     base.groupBy(col("variant"))
       .agg(count(lit(1)).cast("bigint").as("n_users"),
         sum(col("x").cast(d38)).as("sx_g"),
@@ -288,7 +292,7 @@ object Insights {
       |      / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
       |    CAST((ABS(n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx))
       |      * (ABS(n * sxy - sx * sy) * 1000 // (n * syy - sy * sy))
-      |      // 1000 AS BIGINT) AS varred_ppm
+      |      AS BIGINT) AS varred_ppm
       |  FROM m),
       |arm AS (
       |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
@@ -338,9 +342,13 @@ object Insights {
         .as("u2"),
       sum(expr(s"cast(ca + cb as $d38) * (ca + cb) * (ca + cb) - (ca + cb)"))
         .as("tie_term"))
+    // u2/tie_term are held in decimal(38,0) (nA·nB overflows BIGINT at the
+    // 100 TB row count) but EMITTED as canonical digit strings — Spark
+    // decimal128 and DuckDB HUGEINT agree on the text while their binary
+    // representations hash differently at the driver (r10 verdict).
     m.select(col("n_a"), col("n_b"),
-      col("u2").cast(d38).as("u2"),
-      col("tie_term").cast(d38).as("tie_term"),
+      col("u2").cast(d38).cast("string").as("u2"),
+      col("tie_term").cast(d38).cast("string").as("tie_term"),
       (expr(s"cast(u2 - cast(n_a as $d38) * n_b as double)")
         / (lit(2.0) * sqrt(
           (col("n_a").cast("double") * col("n_b").cast("double") / lit(12.0))
@@ -371,7 +379,8 @@ object Insights {
       |    SUM(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb) - (ca + cb))
       |      AS tie_term
       |  FROM c)
-      |SELECT n_a, n_b, u2, tie_term,
+      |SELECT n_a, n_b,
+      |  CAST(u2 AS VARCHAR) AS u2, CAST(tie_term AS VARCHAR) AS tie_term,
       |  CAST(u2 - CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
       |    / (2.0 * sqrt(
       |        (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
@@ -407,8 +416,12 @@ object Insights {
         sum(col("r")).cast("bigint").as("rev_cents"),
         sum(expr(s"cast(r as $d38) * r")).as("sum_sq"))
       .select(col("s_nationkey"), col("n_suppliers"), col("rev_cents"),
-        expr(s"cast(sum_sq div greatest(cast(rev_cents as $d38)" +
-          s" * rev_cents div 1000000, 1) as bigint)").as("hhi_ppm"))
+        // least(..., 10⁶): the pre-scaled divisor (tot² div 10⁶) floors,
+        // so a group whose tot² < 10¹² could otherwise exceed 10⁶ ppm
+        // and break the documented [10⁶/n, 10⁶] band.
+        expr(s"cast(least(sum_sq div greatest(cast(rev_cents as $d38)" +
+          s" * rev_cents div 1000000, 1), 1000000) as bigint)")
+          .as("hhi_ppm"))
       .orderBy(col("s_nationkey"))
   }
 
@@ -420,9 +433,9 @@ object Insights {
       |  GROUP BY 1, 2)
       |SELECT s_nationkey, COUNT(*) AS n_suppliers,
       |  CAST(SUM(r) AS BIGINT) AS rev_cents,
-      |  CAST(SUM(CAST(r AS HUGEINT) * r)
-      |    // GREATEST(CAST(SUM(r) AS HUGEINT) * SUM(r) // 1000000, 1)
-      |    AS BIGINT) AS hhi_ppm
+      |  CAST(LEAST(SUM(CAST(r AS HUGEINT) * r)
+      |    // GREATEST(CAST(SUM(r) AS HUGEINT) * SUM(r) // 1000000, 1),
+      |    1000000) AS BIGINT) AS hhi_ppm
       |FROM rev GROUP BY s_nationkey
       |ORDER BY s_nationkey""".stripMargin
 

@@ -624,8 +624,12 @@ object Prep {
       .agg(count(lit(1)).as("n_docs"),
         min(col("pos")).as("min_pos"),
         max(col("pos")).as("max_pos"),
+        // Summed in decimal(38,0) (overflow-proof at 100 TB: Σpos ≤ n²·16)
+        // but EMITTED as a canonical digit string — Spark decimal128 and
+        // DuckDB HUGEINT print identically, while their binary/arrow
+        // representations hash differently at the driver (r10 verdict).
         sum(col("pos").cast("decimal(38,0)")).cast("decimal(38,0)")
-          .as("sum_pos"))
+          .cast("string").as("sum_pos"))
       .orderBy(col("shard"))
   }
 
@@ -641,7 +645,7 @@ object Prep {
        |  FROM a)
        |SELECT shard, COUNT(*) AS n_docs,
        |  MIN(pos) AS min_pos, MAX(pos) AS max_pos,
-       |  SUM(CAST(pos AS HUGEINT)) AS sum_pos
+       |  CAST(SUM(CAST(pos AS HUGEINT)) AS VARCHAR) AS sum_pos
        |FROM p GROUP BY shard ORDER BY shard""".stripMargin
 
   /** l-diversity audit — k-anonymity's complement (Machanavajjhala et

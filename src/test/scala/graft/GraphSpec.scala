@@ -126,8 +126,9 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (sx, sy) = (pairs.map(_._1).sum.toDouble, pairs.map(_._2).sum.toDouble)
     val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
     val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+    val syy = pairs.map(p => p._2 * p._2).sum.toDouble
     val expected = (n * sxy - sx * sy) /
-      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * sxx - sx * sx))
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
     assert(math.abs(r - expected) < 1e-9, s"r=$r local=$expected")
   }
 

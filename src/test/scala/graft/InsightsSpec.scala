@@ -76,14 +76,16 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val v = r.getAs[Long]("varred_ppm")
       assert(v >= 0L && v <= 1000000L)
     }
-    // pre/post spend per customer correlates positively → real reduction
-    assert(rows.head.getAs[Long]("varred_ppm") > 0L)
+    // pre/post spend per customer correlates positively → real reduction,
+    // and the value is genuinely PARTS-PER-MILLION scale: the r10-advised
+    // 1000× shrink (an extra `div 1000`) would report 7 here, not ~7100
+    assert(rows.head.getAs[Long]("varred_ppm") > 1000L)
   }
 
   test("mann-whitney: U bounded by nA*nB, recomputes from raw bucket walk") {
     val row = Insights.mannWhitney(spark, sf).head()
     val (na, nb) = (row.getAs[Long]("n_a"), row.getAs[Long]("n_b"))
-    val u2 = row.getAs[java.math.BigDecimal]("u2").longValueExact()
+    val u2 = row.getAs[String]("u2").toLong
     assert(na > 0 && nb > 0)
     assert(u2 >= 0 && u2 <= 2 * na * nb)
     // priorities are assigned independently of price → z near 0 at this SF
@@ -147,7 +149,7 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("max_pos") == (n - 1) * 16 + s)
       // Σ((i·16)+s) for i in 0..n-1 = 16·n(n-1)/2 + n·s
       val expectSum = BigDecimal(16) * n * (n - 1) / 2 + BigDecimal(n) * s
-      assert(BigDecimal(r.getAs[java.math.BigDecimal]("sum_pos")) == expectSum)
+      assert(BigDecimal(r.getAs[String]("sum_pos")) == expectSum)
     }
   }
 

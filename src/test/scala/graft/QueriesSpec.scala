@@ -53,6 +53,32 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"oracles with uncast integer SUM (wrap in CAST(.. AS BIGINT)): $offenders")
   }
 
+  test("no query output schema contains DecimalType (decimal128 hash trap)") {
+    // The driver's hash distinguishes Spark DECIMAL(38,0) from DuckDB
+    // HUGEINT (both arrow decimal128 with different canonicalizations) even
+    // when every value is identical — the r10 doc_interleave/q_mann_whitney
+    // red rows. decimal(38,0) is fine as an INTERNAL accumulator type (it
+    // is the overflow-proof 100 TB sum type); it must never reach an output
+    // column. Allowed output kinds: integral ≤ int64, double/float, string,
+    // boolean, date, timestamp, arrays/structs thereof.
+    import org.apache.spark.sql.types._
+    def hasDecimal(dt: DataType): Boolean = dt match {
+      case _: DecimalType      => true
+      case ArrayType(e, _)     => hasDecimal(e)
+      case MapType(k, v, _)    => hasDecimal(k) || hasDecimal(v)
+      case StructType(fields)  => fields.exists(f => hasDecimal(f.dataType))
+      case _                   => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sf).schema.fields.collect {
+          case f if hasDecimal(f.dataType) => s"$name.${f.name}: ${f.dataType.sql}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"decimal output columns (cast to string or bigint): $offenders")
+  }
+
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name runs and is non-empty") {
       val df = fn(spark, sf)

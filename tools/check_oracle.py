@@ -89,6 +89,24 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             n_bad += 1
             continue
+        # HARD FAIL on any decimal128 output column on EITHER side: the
+        # driver's hash distinguishes Spark DECIMAL(38,0) from DuckDB
+        # HUGEINT even when labels and values agree (r10 verdict —
+        # doc_interleave/q_mann_whitney shipped green here, red at the
+        # driver). Wide-integer results must be emitted as strings or
+        # range-checked BIGINTs; this replica must never under-report.
+        dec_cols = [c for c in got.columns
+                    if spark_types[c].startswith("decimal")
+                    or duck_types[c].startswith("decimal")]
+        if dec_cols:
+            detail = ", ".join(
+                f"{c}: spark={spark_types[c]} duck={duck_types[c]}"
+                for c in dec_cols)
+            print(f"FAIL {name}: decimal output column ({detail}) — "
+                  f"driver hash distinguishes decimal128 representations; "
+                  f"cast to string or bigint")
+            n_bad += 1
+            continue
         type_bad = [c for c in got.columns if spark_types[c] != duck_types[c]]
         if type_bad:
             detail = ", ".join(
