@@ -75,6 +75,32 @@ object Tables {
       fn(spark, dir).createOrReplaceTempView(name)
     }
 
+  /** Round-robin-spread a DataFrame across the cluster before a
+    * compute-heavy map stage — the systemic home for the single-split
+    * defect class (r10: four operators each measured serializing an
+    * expensive per-row stage onto 1-2 cores because the upstream parquet
+    * scan had 1-2 input splits, and map stages inherit the scan's
+    * parallelism).
+    *
+    * Why not `spark.sql.files.minPartitionNum`: Spark splits parquet by
+    * BYTE RANGE but assigns each row group to the single split holding its
+    * midpoint — and every testdata table is ONE row group (verified via
+    * pyarrow, r11), so a smaller split size just manufactures empty splits
+    * while all rows still land on one core. Only a shuffle actually
+    * redistributes rows of a single-row-group file. On a well-laid-out
+    * 100 TB table (many files × many row groups) this exchange is a
+    * round-robin of the operator's already-projected input — a few
+    * narrow columns, far cheaper than the per-row compute it unlocks —
+    * and AQE's coalescing keeps the partition count sane.
+    *
+    * Use it between the scan (after column pruning — call on the
+    * projected frame, not the raw table) and any per-row stage whose
+    * cost dwarfs a row's shuffle bytes: HOF encodes over arrays, ×B row
+    * expansions, n²-candidate probes.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** registerAll for a subset of tables — lets fixture dirs that carry only
     * some tables (e.g. an events-only drift fixture) register just those.
     */

@@ -846,7 +846,7 @@ object Analytics {
       // the x200 hash expansion below inherits the scan's input splits —
       // a single-digit-MB orders file is ONE split, serializing 30M md5s
       // on one core (measured 25 s at sf0.1); spread the base rows first
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(Tables.spread)
       .withColumn("b", explode(expr(s"sequence(1, $B)")))
       .withColumn("u", expr(
         "cast(conv(substring(md5(concat(cast(o_orderkey as string), ':', cast(b as string))), 1, 8), 16, 10) as bigint)"))

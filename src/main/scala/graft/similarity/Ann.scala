@@ -64,12 +64,12 @@ object Ann {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val q = e.select(col("vec_id").as("query_id"), col("emb").as("ea"))
-    // the streamed side must be repartitioned: the corpus parquet file is
+    // the streamed side must be spread: the corpus parquet file is
     // small enough to scan in 1-2 input splits, and under a broadcast join
     // those splits ARE the parallelism — measured at 10× corpus, the whole
     // n² probe ran on 2 cores until this spread it across the cluster
-    val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    val c = graft.Tables.spread(
+      e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb")))
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         native.cosineSim(col("ea"), col("eb")).as("cos"))
@@ -832,7 +832,7 @@ object Ann {
     // ops); the small parquet file scans in 1-2 splits, so without this
     // spread the whole corpus encode ran on 1-2 cores (round-10 scaling
     // measurement at 10x data: the encode stage dominated wall-clock)
-    val withCb = ei.repartition(spark.sparkContext.defaultParallelism)
+    val withCb = graft.Tables.spread(ei)
       .withColumn("cb", typedlit(cbArr))
     val coded = withCb.withColumn("codes", expr(
       s"""transform(sequence(0, ${m - 1}), s ->
@@ -983,7 +983,7 @@ object Ann {
     // ops); the small parquet file scans in 1-2 splits, so without this
     // spread the whole corpus encode ran on 1-2 cores (round-10 scaling
     // measurement at 10x data: the encode stage dominated wall-clock)
-    val withCb = ei.repartition(spark.sparkContext.defaultParallelism)
+    val withCb = graft.Tables.spread(ei)
       .withColumn("cb", typedlit(cbArr))
     val coded = withCb.withColumn("codes", expr(
       s"""transform(sequence(0, ${m - 1}), s ->

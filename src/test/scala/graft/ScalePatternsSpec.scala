@@ -76,6 +76,41 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scale-killer patterns in:\n${offenders.mkString("\n")}")
   }
 
+  test("compute-heavy map stages spread their input (single-split guard)") {
+    // r10's single-split defect class: a map stage inherits the scan's
+    // input splits, and every testdata table is ONE parquet row group —
+    // Spark's byte-range splitting cannot subdivide a row group, so
+    // `spark.sql.files.minPartitionNum` only manufactures EMPTY splits
+    // (measured r11, sf0.1 lineitem with minPartitionNum=16: 3 byte-range
+    // splits, all 600k rows in one of them) and an explicit exchange
+    // (Tables.spread) is the only thing that actually redistributes rows.
+    // This guard pins the four operators measured serializing onto 1-2
+    // cores at 10x data (r10 scaling capture): each must plan a
+    // round-robin exchange, i.e. the spread must survive optimization.
+    val mustSpread = Seq(
+      "q_bootstrap_ci",   // x200 md5 expansion of the orders scan
+      "emb_knn_graph",    // n^2 cosine probe streamed side
+      "emb_pq",           // m*ks*dsub HOF encode per corpus row
+      "ann_topk_ivfpq")   // same encode inside the ADC path
+    val missing = mustSpread.filter { name =>
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      !p.contains("RoundRobinPartitioning")
+    }
+    assert(missing.isEmpty,
+      s"heavy map stage lost its spread exchange: $missing")
+  }
+
+  test("Tables.spread redistributes a single-split scan to full parallelism") {
+    val df = Tables.spread(Tables.embeddings(spark, sf).select(col("vec_id")))
+    assert(df.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    // rows actually move: no partition holds more than ~2x the fair share
+    val counts = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    val fair = counts.sum.toDouble / counts.length
+    assert(counts.max <= math.max(2 * fair, fair + 8),
+      s"spread left rows concentrated: ${counts.mkString(",")}")
+  }
+
   test("no query broadcast-hints an unbounded corpus-sized side") {
     // Round-7 verdict item 4: the cartesian/global-window guard above let
     // a FULL-CORPUS broadcast sail through (graph_triangles over the exact
