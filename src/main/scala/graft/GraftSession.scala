@@ -27,6 +27,17 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Write timestamps as INT64 micros, not Spark's default INT96:
+      // parquet readers DISTRUST INT96 min/max stats (the format's
+      // deprecated encoding), so a time-clustered layout written as
+      // INT96 silently loses row-group skipping on time-range predicates
+      // — measured r11 via the graft:// IO counters: a no-match
+      // timestamp filter read every data page under INT96 (preads 4,
+      // 15.2 KB) vs footers only under micros (preads 0, 9.8 KB). At
+      // 100 TB, time-range scans over time-clustered facts are the
+      // dominant pattern; this conf is the difference between reading
+      // stats and reading the table.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")

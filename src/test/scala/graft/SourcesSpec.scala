@@ -289,4 +289,88 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val back = Sources.jsonLines(spark, s"$root/d", base.schema)
     assert(back.exceptAll(base).count() == 0 && base.exceptAll(back).count() == 0)
   }
+
+  test("graft:// shim: plan shape measurably changes object-store IO (r10 verdict #6)") {
+    import graft.sources.LatencyFs
+    // A clustered multi-file layout read through the latency-injecting
+    // graft:// FileSystem — the first OBSERVED (not wiring-asserted)
+    // object-store behavior: every open and byte is counted, so the test
+    // asserts that column pruning and clustered predicate pushdown reduce
+    // the IO an object store would serve, instead of arguing it from the
+    // plan. Zero injected latency here (counters only); the wall-clock
+    // effect under injected latency is captured in BENCH_NOTES.
+    val root = Files.createTempDirectory("graftfs").toFile.getAbsolutePath
+    val li = Tables.lineitem(spark, sf)
+    Sources.writeClustered(li, s"$root/li", Seq("l_orderkey"), 4)
+    LatencyFs.install(spark)
+    val uri = s"graft://$root/li"
+    val direct = li.agg(sum(col("l_quantity"))).head.getDouble(0)
+
+    def measured[T](f: => T): (T, Long, Long, Long) = {
+      LatencyFs.resetCounters()
+      val r = f
+      val (o, p, b) = LatencyFs.snapshot()
+      (r, o, p, b)
+    }
+    // correctness through the shim + narrow read (1 of 16 columns)
+    val pre = spark.read.parquet(uri)
+    val (narrow, opensNarrow, preadsNarrow, bytesNarrow) = measured {
+      pre.agg(sum(col("l_quantity"))).head.getDouble(0)
+    }
+    assert(narrow == direct, "graft:// read must be value-identical")
+    assert(opensNarrow > 0 && bytesNarrow > 0, "shim saw no IO — not installed?")
+    // full-width read (hash(*) defeats column pruning: every column chunk)
+    val (_, _, _, bytesWide) = measured {
+      pre.agg(sum(hash(col("*")))).head
+    }
+    // pruning to 1 of 16 columns must cut object-store bytes hard
+    assert(bytesWide > 2 * bytesNarrow,
+      s"column pruning invisible to the store: wide=$bytesWide narrow=$bytesNarrow")
+    // clustered stats skipping: a key predicate outside every file's
+    // [min,max] range still opens footers but fetches ZERO data pages —
+    // measured as no positioned reads and sub-narrow bytes. (Clustering
+    // key is the BIGINT l_orderkey on purpose: integer stats skip
+    // reliably; see BENCH_NOTES r11 on timestamp-stats behavior.)
+    val (nRows, _, preadsSkipped, bytesSkipped) = measured {
+      pre.filter(col("l_orderkey") > lit(999999999L))
+        .agg(count(col("l_quantity"))).head.getLong(0)
+    }
+    assert(nRows == 0)
+    assert(preadsSkipped == 0,
+      s"stats skip should fetch no data pages, saw $preadsSkipped ranged reads")
+    assert(bytesSkipped < bytesNarrow,
+      s"row-group skipping invisible: skipped=$bytesSkipped narrow=$bytesNarrow")
+    // point lookup on the cluster key touches a strict subset of files'
+    // data pages (file-level pruning via disjoint ranges)
+    val (_, _, preadsPoint, _) = measured {
+      pre.filter(col("l_orderkey") === lit(1L))
+        .agg(sum(col("l_quantity"))).head
+    }
+    assert(preadsPoint > 0 && preadsPoint < preadsNarrow,
+      s"clustered point lookup should read fewer chunks: $preadsPoint vs $preadsNarrow")
+    // TIME-clustered layout skips too — only because GraftSession writes
+    // timestamps as INT64 micros. Spark's default INT96 encoding has
+    // DISTRUSTED parquet stats: the same no-match time filter read every
+    // data page under INT96 (measured r11). This leg pins the conf.
+    Sources.writeClustered(li, s"$root/lits", Seq("l_shipdate"), 4)
+    val prets = spark.read.parquet(s"graft://$root/lits")
+    val (tsRows, _, preadsTs, _) = measured {
+      prets.filter(col("l_shipdate") > lit("9999-01-01").cast("timestamp"))
+        .agg(count(col("l_quantity"))).head.getLong(0)
+    }
+    assert(tsRows == 0)
+    assert(preadsTs == 0,
+      s"timestamp stats skip lost (INT96 regression?): $preadsTs ranged reads")
+    // injected open latency is actually injected (the TTFB model): 25ms
+    // x >=4 files is an easily-measurable floor even on a noisy VM
+    LatencyFs.install(spark, openLatencyMs = 25)
+    val t0 = System.nanoTime()
+    val (_, opensLat, _, _) = measured {
+      spark.read.parquet(uri).agg(sum(col("l_quantity"))).head
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(elapsedMs >= 25L * opensLat / 8,
+      s"latency not injected: $elapsedMs ms for $opensLat opens")
+    LatencyFs.install(spark) // restore zero-latency for later tests
+  }
 }

@@ -63,10 +63,26 @@ def schema_types(schema: pa.Schema) -> dict:
 
 
 def main(sf_dir: str, out_dir: str) -> int:
+    import os
     con = duckdb.connect()
     for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        # multi-file fixture layout (MakeFixture): <name>.parquet/ is a
+        # DIRECTORY of clustered part files — the reference's
+        # register-a-file-set table shape
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
+    # mirror Tables.normalizeEventsTs: a fixture written from a session
+    # with nanosAsLong carries events.ts as BIGINT nanos — convert with
+    # the same ns→us floor division the Spark loader applies
+    ts_type = con.execute(
+        "SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+    if ts_type and ts_type[0] == "BIGINT":
+        p = f"{sf_dir}/events.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+            f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet({src})")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_bad = 0
     for name, sql in sorted(oracle.items()):
