@@ -601,4 +601,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == Set(("a", burstEpoch, 14L, 6L)), s"got $got")
     } finally q.stop()
   }
+
+  test("transformWithState state stays O(keys) at 1M events (RocksDB metrics)") {
+    // The 100 TB-stream analogue of the batch scale guards (r10 verdict
+    // #8): a stateful stream is only production-viable if state grows
+    // with DISTINCT KEYS, not stream length. Push 1M events from 10k
+    // users through the RocksDB-backed burst detector across multiple
+    // micro-batches and assert — from the state-store METRICS, not the
+    // code's intent — that the store holds exactly one row per user and
+    // its on-disk footprint is key-bounded.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val nUsers = 10000L
+    val perBatch = 250000L
+    val nBatches = 4
+    val input = MemoryStream[Event]
+    val q = EventStreams.burstStream(input.toDS(), maxPerMinute = 1000000)
+      .writeStream.format("memory").queryName("state_scale")
+      .outputMode("append").start()
+    try {
+      var id = 0L
+      for (b <- 0 until nBatches) {
+        // users round-robin within each batch; event time advances one
+        // minute per batch so the per-user (minute, count) pair is
+        // OVERWRITTEN, never appended — the bounded-state contract
+        val batch = (0L until perBatch).map { i =>
+          id += 1
+          Event(id, new Timestamp(86400000L + b * 60000L + (i % 50) * 1000L),
+            i % nUsers, "view", 1.0)
+        }
+        input.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val so = q.recentProgress.flatMap(p => p.stateOperators).lastOption
+        .getOrElse(fail("no stateOperators progress reported"))
+      assert(so.numRowsTotal == nUsers,
+        s"state rows ${so.numRowsTotal} != distinct users $nUsers " +
+          s"after ${nBatches * perBatch} events — state is not O(keys)")
+      // RocksDB's own accounting: total SST + memtable footprint must be
+      // key-scale (10k tiny rows), nowhere near event-scale. 32 MB is
+      // ~3 KB/user of slack — a per-event leak at 1M events x ~24 B/row
+      // would blow through it even before compaction.
+      val sst = Option(so.customMetrics.get("rocksdbSstFileSize"))
+        .map(_.longValue).getOrElse(0L)
+      val mem = Option(so.customMetrics.get("rocksdbMemoryUsageBytes"))
+        .map(_.longValue).getOrElse(0L)
+      assert(sst + mem > 0L, "RocksDB metrics absent — wrong provider?")
+      assert(sst + mem < 32L * 1024 * 1024,
+        s"state footprint ${sst + mem} B is not key-bounded (sst=$sst mem=$mem)")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
