@@ -396,7 +396,10 @@ object Dedup {
     val lgRight = lg.select(col("block"), col("doc_id").as("idb"),
       col("grams").as("gb"), explode(expr(s"sequence(0, g)")).as("i"),
       col("g").as("j"))
-    val largePairs = lgLeft.hint("shuffle_hash").join(lgRight, Seq("block", "i", "j"))
+    // merge, not shuffle_hash: same broadcast-avoidance, but spill-safe
+    // when a (block, i, j) group outgrows task memory (the r11 SHJ
+    // hash-build hard-fail on the 2M-vector corpus)
+    val largePairs = lgLeft.hint("merge").join(lgRight, Seq("block", "i", "j"))
       .filter(col("i") =!= col("j") || col("ida") < col("idb"))
       .select(least(col("ida"), col("idb")).as("id_a"),
         greatest(col("ida"), col("idb")).as("id_b"),
@@ -516,11 +519,15 @@ object Dedup {
       col("g").as("i"), explode(expr(s"sequence(g, ${nBlocks - 1})")).as("j"))
     val right = e.select(col("vec_id").as("idb"), col("emb").as("eb"),
       explode(expr(s"sequence(0, g)")).as("i"), col("g").as("j"))
-    // shuffle_hash hint: Catalyst would otherwise broadcast one replicated
+    // merge hint: Catalyst would otherwise broadcast one replicated
     // leg and probe it with the parquet scan's 1-2 input partitions —
     // measured single-digit-core utilization on the 10× corpus; the
-    // shuffled join keys (i, j) spread the B(B+1)/2 groups over every core
-    left.hint("shuffle_hash").join(right, Seq("i", "j"))
+    // shuffled join keys (i, j) spread the B(B+1)/2 groups over every
+    // core. Sort-merge, not shuffle_hash: each (i, j) group is a whole
+    // corpus block, so the SHJ per-partition hash build grows with the
+    // corpus and hard-failed at a 2M-vector corpus (r11 capture,
+    // "Can't acquire ... hash relation"); SMJ spills the key run instead.
+    left.hint("merge").join(right, Seq("i", "j"))
       .filter(col("i") =!= col("j") || col("ida") < col("idb"))
       .withColumn("cos", native.cosineSim(col("ea"), col("eb")))
       .filter(col("cos") >= 0.4)

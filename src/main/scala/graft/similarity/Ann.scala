@@ -141,8 +141,21 @@ object Ann {
     members.join(broadcast(hot), Seq("cell"), "left_anti").unionByName(kept)
   }
 
+  /** maxCell = 2000, the bounded-work budget (r11): the coarse quantizer
+    * here is the bounded label domain, so per-cell membership grows
+    * LINEARLY with the corpus and the cell-routed candidate volume grows
+    * QUADRATICALLY — measured r11: 200k vectors (40k members/cell,
+    * ~1.6e10 cosines) did not finish in 25 min on 32 cores; the same
+    * corpus under the cap (2000 centroid-closest members/cell, ~8e8
+    * cosines) completes in minutes and scales linearly from there. The
+    * cap never binds at the oracle SFs (≤ 400 members/cell at sf0.1), so
+    * results and the DuckDB mirror are unchanged where checked; at
+    * capped scale the recall/work tradeoff moves to the production knob:
+    * a corpus-scaled centroid count (k ≈ n/2000 via [[kmeans]]-style
+    * quantizers, hierarchical above ~10⁵ cells) instead of a deeper cap.
+    */
   def knnGraphIvf(spark: SparkSession, dir: String): DataFrame =
-    knnGraphIvfTuned(spark, dir, probes = 2, replicas = 2, maxCell = 100000)
+    knnGraphIvfTuned(spark, dir, probes = 2, replicas = 2, maxCell = 2000)
 
   private[graft] def knnGraphIvfTuned(spark: SparkSession, dir: String,
       probes: Int, replicas: Int, maxCell: Int): DataFrame = {
@@ -198,7 +211,13 @@ object Ann {
       .select(col("vec_id").as("neighbor_id"), col("emb").as("eb"), col("mcs"),
         explode(col("mcs")).as("cell"),
         pmod(col("vec_id"), lit(salts)).cast("int").as("salt"))
-    val scored = qside.hint("shuffle_hash").join(mside, Seq("cell", "salt"))
+    // merge (not shuffle_hash) hint: both forbid the broadcast mis-plan
+    // that serialized the probe on 1-2 input splits (r10), but the SHJ
+    // build side is corpus-sized and HARD-FAILS when a partition's hash
+    // map outgrows task memory — measured r11 at a 2M-vector corpus
+    // ("Can't acquire 536870912 bytes to build hash relation"). Sort-merge
+    // spills instead: same shuffle layout, graceful at any corpus size.
+    val scored = qside.hint("merge").join(mside, Seq("cell", "salt"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .filter(col("cell") === array_min(array_intersect(col("qcs"), col("mcs"))))
       .select(col("query_id"), col("neighbor_id"),

@@ -417,7 +417,17 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     // pre-round-10 plan distinct()ed the candidate pairs (a candidate-
     // sized exchange) before attaching embeddings
     assert(p.contains("TopKPerKey"), p)
-    assert(p.contains("ShuffledHashJoin"), s"salted cell join must shuffle:\n$p")
+    // SortMergeJoin since r11 (was ShuffledHashJoin): same shuffled
+    // layout, but the hash build hard-failed at a 2M-vector corpus
+    // assert on the CELL-SALT join line specifically: the id-attach joins
+    // legitimately broadcast at toy SF (AQE sizes them), and capCells'
+    // hot-cell anti-join is a bounded broadcast by design
+    val cellJoin = p.split("\n").filter(l =>
+      l.contains("Join") && l.contains("cell#") && l.contains("salt#"))
+    assert(cellJoin.nonEmpty, s"cell-salt join not found:\n$p")
+    assert(cellJoin.forall(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")),
+      s"salted cell join must shuffle, not broadcast:\n${cellJoin.mkString("\n")}")
   }
 
   test("q_name_match: pair generator is a non-broadcast equi-join on the blocking key") {
