@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Min-merge bench_detail.json captures into the committed floor.
 
-Usage: python3 tools/merge_floor.py <cap1.json> <cap2.json> [...] > bench_detail.json
+Usage: python3 tools/merge_floor.py [--rebase q1,q2,...] <cap1.json> ... > bench_detail.json
 
 The committed floor is the per-query MIN over clean solo captures (the
 VM shows ±15% noise windows; min-of-captures is the stable statistic —
@@ -9,25 +9,43 @@ docs/BENCH_NOTES.md). Sidecar sections keep the best observation too:
 min seconds for concurrent streams, max rows/s for throughput and
 streaming. stddev / n_samples come from whichever capture supplied the
 winning min, so the sidecar stays self-consistent per query.
+
+--rebase q1,q2,...: queries whose ALGORITHM intentionally changed (so the
+old floor is no longer attainable by design — e.g. r11's SHJ→SMJ
+spill-safety swap). For those, the floor is the min over captures that
+list the flag (i.e. the NEW captures only — pass old floors without the
+flag); all other queries min-merge across everything as usual. The flag
+set is recorded in the output under "rebased" for the notes.
 """
 import json
 import sys
 
 
-def main(paths):
+def main(argv):
+    rebase = set()
+    if argv and argv[0] == "--rebase":
+        rebase = set(argv[1].split(","))
+        argv = argv[2:]
+    paths = argv
     caps = [json.load(open(p)) for p in paths]
+    # captures carrying prior floors are exactly those that already have a
+    # floor_of list (a merged floor); fresh solo captures don't
+    fresh = [c for c in caps if "floor_of" not in c] or caps
+    missing = {n for n in rebase if not any(n in c["queries"] for c in fresh)}
+    assert not missing, f"--rebase keys absent from fresh captures: {missing}"
     base = dict(caps[-1])  # newest capture's metadata (sf, cpus, ...)
     names = sorted({n for c in caps for n in c["queries"]})
     queries, p50, stddev, n_samples = {}, {}, {}, {}
     for n in names:
-        best = min((c for c in caps if n in c["queries"]),
+        pool = fresh if n in rebase else caps
+        best = min((c for c in pool if n in c["queries"]),
                    key=lambda c: c["queries"][n])
         queries[n] = best["queries"][n]
         # p50 comes from the NEWEST capture that records one (min is the
         # min-merge over all captures): the floor documents the best case,
         # p50 the current steady-state, so floor-luck on the iterative
         # queries is visible without re-measuring
-        p50[n] = next((c["p50"][n] for c in reversed(caps)
+        p50[n] = next((c["p50"][n] for c in reversed(pool)
                        if n in c.get("p50", {})), best["queries"][n])
         stddev[n] = best.get("stddev", {}).get(n, 0.0)
         n_samples[n] = best.get("n_samples", {}).get(n, "0")
@@ -69,6 +87,8 @@ def main(paths):
                 merged_st[k] = max(vs)
         base["streaming"] = merged_st
     base["floor_of"] = paths
+    if rebase:
+        base["rebased"] = sorted(rebase)
     # compact separators: Bench.committedMins regex-parses '"queries":{...}'
     json.dump(base, sys.stdout, separators=(",", ":"))
     print()
