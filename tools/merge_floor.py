@@ -87,8 +87,12 @@ def main(argv):
                 merged_st[k] = max(vs)
         base["streaming"] = merged_st
     base["floor_of"] = paths
-    if rebase:
-        base["rebased"] = sorted(rebase)
+    # the "rebased" record documents which floors historically came from a
+    # fresh-only pool (an intentional algorithm change) — preserve the
+    # union across inputs so a later plain merge doesn't erase the note
+    recorded = {n for c in caps for n in c.get("rebased", [])} | rebase
+    if recorded:
+        base["rebased"] = sorted(recorded)
     # compact separators: Bench.committedMins regex-parses '"queries":{...}'
     json.dump(base, sys.stdout, separators=(",", ":"))
     print()
