@@ -16,8 +16,9 @@ import graft.Tables
   * the oracle mirrors), but since round 11 the plumbing ALSO carries real
   * codecs — the JDK's own PNG/JPEG (javax.imageio) and RIFF/WAVE
   * (javax.sound.sampled) implementations in [[codecRoundtrip]] and
-  * [[wavStats]]; only video decode stays stubbed (no video codec exists in
-  * the JDK, and this container has no native media libs).
+  * [[wavStats]], and a real multi-frame container (animated GIF) in
+  * [[gifFrames]]. True video codecs (H.264 etc.) stay stubbed — none
+  * exists in the JDK and this container has no native media libs.
   */
 object Blobs {
 
@@ -651,6 +652,97 @@ object Blobs {
       |       TRUE AS wav_ok
       |FROM smp GROUP BY doc_id""".stripMargin
 
+  case class GifFrame(doc_id: Long, n_frames: Int, frame_idx: Int,
+      fr_sum: Long, fr_min: Int, fr_max: Int, gif_ok: Boolean)
+
+  /** Real multi-frame container (animated GIF, javax.imageio): the video
+    * frame-sampling pipeline shape with a GENUINE codec. Per doc, four
+    * payload-seeded 8×8 grayscale frames are written as one animated GIF
+    * by the JDK GIF writer (`prepareWriteSequence`/`writeToSequence`),
+    * then the container is re-parsed: `getNumImages(true)` walks the
+    * frame directory and each frame decodes through the LZW/palette path.
+    * GIF's 256-entry palette holds 8-bit grayscale exactly, so the
+    * round-trip is lossless and the DECODED per-frame stats hash-check
+    * against the closed-form generator (one row per (doc, frame)).
+    *
+    * Scale shape: map-only; writer/reader instances are created once per
+    * partition and reused per row (the codec-amortization argument the
+    * mapPartitions plumbing exists for); ~1 KB container per doc bounds
+    * the transient allocation.
+    */
+  def gifFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nFrames = 4
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        it.flatMap { case (id, payload) =>
+          val seed = md5Hex(payload)
+          val frames = (0 until nFrames).map(f => pixelStream(seed, s"gif$f"))
+          val baos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          frames.foreach { px =>
+            val img = new java.awt.image.BufferedImage(
+              8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            img.getRaster.setDataElements(0, 0, 8, 8, px)
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          }
+          writer.endWriteSequence()
+          ios.close()
+          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(baos.toByteArray)))
+          val n = reader.getNumImages(true)
+          (0 until n).map { f =>
+            val dec = reader.read(f)
+            var sum = 0L; var mn = 255; var mx = 0; var exact = true
+            val exp = frames(f)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val v = dec.getRGB(x, y) & 0xff
+                sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+                if (v != (exp(y * 8 + x) & 0xff)) exact = false
+                x += 1
+              }
+              y += 1
+            }
+            GifFrame(id, n, f, sum, mn, mx,
+              exact && dec.getWidth == 8 && dec.getHeight == 8)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** DuckDB mirror of [[gifFrames]] — closed-form generator per (doc,
+    * frame); `n_frames` is a literal 4 the DECODER must agree with (a
+    * frame-directory misparse changes Spark's row count → hash fail). */
+  val gifFramesSql: String =
+    """WITH d AS (SELECT doc_id, md5(text) AS seed FROM documents),
+      |grid AS (SELECT f, k, j
+      |         FROM (SELECT unnest(generate_series(0, 3)) AS f),
+      |              (SELECT unnest(generate_series(0, 3)) AS k),
+      |              (SELECT unnest(generate_series(0, 15)) AS j)),
+      |px AS (
+      |  SELECT d.doc_id, g.f,
+      |         (strpos('0123456789abcdef',
+      |            substring(md5(d.seed || ':gif' || g.f || ':' || g.k), g.j*2+1, 1)) - 1) * 16
+      |       + (strpos('0123456789abcdef',
+      |            substring(md5(d.seed || ':gif' || g.f || ':' || g.k), g.j*2+2, 1)) - 1) AS v
+      |  FROM d, grid g)
+      |SELECT doc_id, CAST(4 AS INT) AS n_frames, CAST(f AS INT) AS frame_idx,
+      |       CAST(SUM(v) AS BIGINT) AS fr_sum,
+      |       CAST(MIN(v) AS INT) AS fr_min, CAST(MAX(v) AS INT) AS fr_max,
+      |       TRUE AS gif_ok
+      |FROM px GROUP BY doc_id, f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_scene_cuts" -> (sceneCuts _),
     "mm_embed" -> (embedExploded _),
@@ -659,7 +751,8 @@ object Blobs {
     "mm_resize" -> (resize _),
     "mm_frame_sample" -> (frameSample _),
     "mm_codec_roundtrip" -> (codecRoundtrip _),
-    "mm_wav_stats" -> (wavStats _))
+    "mm_wav_stats" -> (wavStats _),
+    "mm_gif_frames" -> (gifFrames _))
 
   val oracles: Map[String, String] = Map(
     "mm_scene_cuts" -> sceneCutsSql,
@@ -669,5 +762,6 @@ object Blobs {
     "mm_resize" -> resizeSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_codec_roundtrip" -> codecRoundtripSql,
-    "mm_wav_stats" -> wavStatsSql)
+    "mm_wav_stats" -> wavStatsSql,
+    "mm_gif_frames" -> gifFramesSql)
 }

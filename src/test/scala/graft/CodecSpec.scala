@@ -18,9 +18,10 @@ import graft.multimodal.Blobs
   *
   * What this buys beyond mm_decode_stats' stub: an actual container
   * format is encoded and parsed per row (PNG chunk structure, JPEG DCT,
-  * WAV fmt-chunk), so the mapPartitions plumbing has carried a REAL
-  * codec, not only byte arithmetic. Video remains stubbed — the JDK has
-  * no video codec — which keeps the honesty line where it was.
+  * WAV fmt-chunk, animated-GIF frame directory + LZW), so the
+  * mapPartitions plumbing has carried REAL codecs, not only byte
+  * arithmetic. True video codecs (H.264 …) remain stubbed — none exists
+  * in the JDK — which keeps the honesty line where it was.
   */
 class CodecSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -78,8 +79,25 @@ class CodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mm_gif_frames: animated-GIF container round-trips 4 frames losslessly") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Blobs.gifFrames(spark, sf).collect()
+    assert(out.length == docs.size * 4, "one row per (doc, frame)")
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val f = r.getInt(2)
+      val exp = expectedStream(docs(id), s"gif$f")
+      assert(r.getInt(1) == 4, s"decoder frame count for $id")
+      assert(r.getLong(3) == exp.map(_.toLong).sum, s"fr_sum for $id/$f")
+      assert(r.getInt(4) == exp.min && r.getInt(5) == exp.max, s"fr min/max for $id/$f")
+      assert(r.getBoolean(6), s"gif_ok for $id/$f — palette round-trip broke")
+    }
+  }
+
   test("real-codec queries register with oracle SQL and pass the no-decimal lint") {
-    Seq("mm_codec_roundtrip", "mm_wav_stats").foreach { q =>
+    Seq("mm_codec_roundtrip", "mm_wav_stats", "mm_gif_frames").foreach { q =>
       assert(SparkEntry.queries.contains(q), s"$q not registered")
       assert(SparkEntry.oracleSql.contains(q), s"$q has no oracle")
       val schema = SparkEntry.queries(q)(spark, sf).schema
