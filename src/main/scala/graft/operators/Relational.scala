@@ -298,14 +298,26 @@ object Relational {
   /** TPC-H Q17 shape — agg subquery per part, join back, filter vs 0.2*avg.
     * The per-key average is a broadcast-able aggregate at typical part
     * cardinalities; avg of integral quantities is exact in double.
+    *
+    * Scale shape (r11): the final result only involves Brand#1 parts, so
+    * the brand restriction (broadcast semi-join) goes BELOW everything
+    * and the per-part average becomes a window over the selected slice —
+    * ONE lineitem scan and ONE shuffle of ~1/|brands| of the fact,
+    * versus the textbook decorrelation's full-catalog aggregate plus a
+    * second scan for the join-back (at 100 TB that is the difference
+    * between shuffling the whole catalog and one brand). The window avg
+    * sums integral-valued quantities (exact in double at any order), so
+    * the unrestricted-oracle SQL still matches bit-for-bit: parts
+    * outside the brand never survive its join anyway.
     */
   def subqueryAvg(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-    val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
-      .agg(avg(col("l_quantity")).as("avg_qty"))
+    import org.apache.spark.sql.expressions.Window
     val p = Tables.part(spark, dir).filter(col("p_brand") === "Brand#1")
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(avgQty, col("l_partkey") === col("ap_partkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .withColumn("avg_qty",
+        avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg((centsSum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
   }
