@@ -51,13 +51,20 @@ object Tpch {
     val s = Tables.supplier(spark, dir)
       .join(broadcast(euro), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val p = Tables.part(spark, dir).filter(col("p_type") === "STANDARD")
+    // r11: the part restriction goes BELOW the catalog aggregate — the
+    // correlated min (minc) only matters for STANDARD parts, so the
+    // (partkey, suppkey) catalog shuffle carries 1/|types| of the fact
+    // instead of all of it. Identical results: minc is per-part over the
+    // euro catalog, and non-STANDARD parts never survive the final join.
     val ps = Tables.lineitem(spark, dir)
+      .join(broadcast(p.select(col("p_partkey").as("std_partkey"))),
+        col("l_partkey") === col("std_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(cents(col("l_extendedprice") / col("l_quantity"))).as("cost_c"))
       .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
     val minc = ps.groupBy(col("l_partkey").as("mp_partkey"))
       .agg(min(col("cost_c")).as("min_c"))
-    val p = Tables.part(spark, dir).filter(col("p_type") === "STANDARD")
     ps.join(minc, col("l_partkey") === col("mp_partkey") && col("cost_c") === col("min_c"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
