@@ -506,10 +506,23 @@ object Blobs {
     */
   def codecRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
+    codecStatsOf(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])])
+      .toDF()
+  }
+
+  /** The codec transformation itself, over any (doc_id, payload) Dataset —
+    * a STATELESS typed mapPartitions, so the identical code path runs in a
+    * batch plan and inside Structured Streaming micro-batches (proven
+    * equivalent in CodecSpec's streaming case).
+    */
+  private[graft] def codecStatsOf(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Byte])]):
+      org.apache.spark.sql.Dataset[CodecStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, payload) =>
           val seed = md5Hex(payload)
@@ -555,7 +568,6 @@ object Blobs {
           CodecStats(id, dec.getWidth, dec.getHeight, sum, mn, mx, pngOk, jpegOk)
         }
       }
-      .toDF()
   }
 
   /** DuckDB mirror of [[codecRoundtrip]]: the generator's closed form —

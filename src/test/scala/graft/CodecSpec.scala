@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -94,6 +95,37 @@ class CodecSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getInt(4) == exp.min && r.getInt(5) == exp.max, s"fr min/max for $id/$f")
       assert(r.getBoolean(6), s"gif_ok for $id/$f — palette round-trip broke")
     }
+  }
+
+  test("streaming codec decode equals batch decode on the same documents") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().take(50)
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val streamed = Blobs.codecStatsOf(
+      input.toDF().toDF("doc_id", "text")
+        .selectExpr("doc_id", "cast(text as binary) as payload")
+        .as[(Long, Array[Byte])])
+    val q = streamed.writeStream.format("memory")
+      .queryName("codec_stream").outputMode("append").start()
+    try {
+      // two micro-batches, so the per-partition codec init runs per batch
+      input.addData(docs.take(25).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(docs.drop(25).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("codec_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getInt(4), r.getInt(5),
+          r.getBoolean(6), r.getBoolean(7))).toSet
+      val batch = Blobs.codecRoundtrip(spark, sf)
+        .filter(col("doc_id").isin(docs.map(_._1): _*)).collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getInt(4), r.getInt(5),
+          r.getBoolean(6), r.getBoolean(7))).toSet
+      assert(got == batch, "streaming micro-batch decode diverged from the batch plan")
+      assert(got.size == 50 && got.forall(t => t._5 && t._6))
+    } finally q.stop()
   }
 
   test("real-codec queries register with oracle SQL and pass the no-decimal lint") {
