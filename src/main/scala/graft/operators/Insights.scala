@@ -573,6 +573,91 @@ object Insights {
       |       * (CAST(n_days AS DOUBLE) - 1.0))) AS z
       |FROM m""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov test — does the order-value
+    * DISTRIBUTION differ between urgent/high-priority and normal orders?
+    * The third leg of the nonparametric family (location shift:
+    * [[mannWhitney]]; sequence randomness: [[runsTest]]; here: maximum
+    * ECDF divergence, sensitive to shape differences a rank-sum misses).
+    *
+    * Same bucket-bounded discipline as mannWhitney: values land in $100
+    * price buckets (≤5001 by q_data_audit's price-domain contract), the
+    * per-bucket (countA, countB) aggregate collapses the corpus map-side,
+    * and the cumulative ECDF walk runs on that bounded set — the global
+    * window is bucket-bounded, not corpus-bounded (ScalePatternsSpec
+    * allowlist argument).
+    *
+    * Exactness: D = max |cumA·n_b − cumB·n_a| / (n_a·n_b). The numerator
+    * is pure integer arithmetic held in decimal(38,0) (cum·n overflows
+    * BIGINT at the 100 TB design point) and EMITTED as a canonical digit
+    * string (the r11 wide-integer rule); `d` and the scaled `ks_stat`
+    * are single terminal IEEE expressions mirrored verbatim in the
+    * oracle.
+    */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val byBucket = Tables.orders(spark, dir)
+      .select(expr("cast(round(o_totalprice*100) as bigint) div 10000")
+        .as("bk"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("isa"))
+      .groupBy(col("bk"))
+      .agg(sum(col("isa")).as("ca"),
+        sum(lit(1L) - col("isa")).as("cb"))
+    val w = Window.orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // whole-set totals as an unordered window over the same bounded bucket
+    // aggregate (default frame = entire partition)
+    val wAll = Window.partitionBy()
+    val walked = byBucket
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .withColumn("ta", sum(col("ca")).over(wAll))
+      .withColumn("tb", sum(col("cb")).over(wAll))
+    val m = walked.agg(
+      max(col("ta")).cast("bigint").as("n_a"),
+      max(col("tb")).cast("bigint").as("n_b"),
+      max(abs(expr(s"cast(cuma as $d38) * tb - cast(cumb as $d38) * ta")))
+        .as("d_num"))
+    m.select(col("n_a"), col("n_b"),
+      col("d_num").cast(d38).cast("string").as("d_num"),
+      (col("d_num").cast("double")
+        / (col("n_a").cast("double") * col("n_b").cast("double"))).as("d"),
+      (sqrt(col("n_a").cast("double") * col("n_b").cast("double")
+        / (col("n_a") + col("n_b")).cast("double"))
+        * (col("d_num").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double"))))
+        .as("ks_stat"))
+  }
+
+  val ksTestSql: String =
+    """WITH b AS (
+      |  SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) // 10000 AS bk,
+      |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |        THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT bk, ca, cb,
+      |    SUM(ca) OVER (ORDER BY bk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    SUM(cb) OVER (ORDER BY bk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+      |    SUM(ca) OVER () AS ta, SUM(cb) OVER () AS tb
+      |  FROM b),
+      |m AS (
+      |  SELECT CAST(MAX(ta) AS BIGINT) AS n_a, CAST(MAX(tb) AS BIGINT) AS n_b,
+      |    MAX(ABS(CAST(cuma AS HUGEINT) * tb - CAST(cumb AS HUGEINT) * ta))
+      |      AS d_num
+      |  FROM c)
+      |SELECT n_a, n_b, CAST(d_num AS VARCHAR) AS d_num,
+      |  CAST(d_num AS DOUBLE)
+      |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d,
+      |  sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |    / CAST(n_a + n_b AS DOUBLE))
+      |    * (CAST(d_num AS DOUBLE)
+      |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS ks_stat
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_runs_test" -> (runsTest _),
     "q_interpurchase" -> (interpurchase _),
@@ -581,7 +666,8 @@ object Insights {
     "q_seasonality" -> (seasonality _),
     "q_assoc_rules" -> (assocRules _),
     "q_cuped" -> (cuped _),
-    "q_mann_whitney" -> (mannWhitney _))
+    "q_mann_whitney" -> (mannWhitney _),
+    "q_ks_test" -> (ksTest _))
 
   val oracles: Map[String, String] = Map(
     "q_runs_test" -> runsTestSql,
@@ -591,5 +677,6 @@ object Insights {
     "q_seasonality" -> seasonalitySql,
     "q_assoc_rules" -> assocRulesSql,
     "q_cuped" -> cupedSql,
-    "q_mann_whitney" -> mannWhitneySql)
+    "q_mann_whitney" -> mannWhitneySql,
+    "q_ks_test" -> ksTestSql)
 }

@@ -183,6 +183,24 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(z) < 8.0, s"|z|=$z")
   }
 
+  test("ks test: D in [0,1], counts conserve orders, statistic consistent with D") {
+    val row = Insights.ksTest(spark, sf).head()
+    val (na, nb) = (row.getAs[Long]("n_a"), row.getAs[Long]("n_b"))
+    val total = Tables.orders(spark, sf).count()
+    assert(na > 0 && nb > 0 && na + nb == total)
+    val dNum = BigInt(row.getAs[String]("d_num"))
+    val d = row.getAs[Double]("d")
+    assert(dNum >= 0 && dNum <= BigInt(na) * BigInt(nb))
+    assert(d >= 0.0 && d <= 1.0)
+    // the emitted double is exactly the terminal division of the integers
+    assert(d == dNum.toDouble / (na.toDouble * nb.toDouble))
+    val ks = row.getAs[Double]("ks_stat")
+    assert(ks == math.sqrt(na.toDouble * nb.toDouble / (na + nb).toDouble) * d)
+    // priority is assigned independently of price in the generator, so
+    // the two ECDFs should not diverge wildly at this SF
+    assert(ks < 8.0, s"ks=$ks")
+  }
+
   test("orc source: round trip matches the parquet base aggregate") {
     val viaOrc = graft.sources.Sources.orcEventsAgg(spark, sf).collect()
     import org.apache.spark.sql.functions._

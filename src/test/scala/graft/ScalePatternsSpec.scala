@@ -49,6 +49,10 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // audited price-domain contract (q_data_audit's range check),
       // regardless of corpus size
       "q_mann_whitney" -> "global-window",
+      // same $100-bucket cumulative walk as q_mann_whitney: the ECDF
+      // window input is <=5001 bucket rows by the audited price-domain
+      // contract, regardless of corpus size
+      "q_ks_test" -> "global-window",
       // median rank + runs walk over the DAILY-REVENUE aggregate: rows =
       // |days| (calendar-bounded), the corpus collapses map-side first —
       // the q_autocorr argument
