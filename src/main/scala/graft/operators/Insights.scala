@@ -658,6 +658,93 @@ object Insights {
       |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS ks_stat
       |FROM m""".stripMargin
 
+  /** Chi-square independence screen — is order PRIORITY associated with
+    * day-of-week? The categorical-association leg of the insight family
+    * (location: mannWhitney, shape: ksTest, randomness: runsTest, fraud:
+    * benford). One corpus aggregate to the |priorities|×|weekdays| ≤ 35
+    * cell grid (map-side combined); marginals derive from the cell table
+    * itself (bounded) via broadcast — no second corpus pass.
+    *
+    * Per cell: the exact observed/marginal integers; the lift deviation
+    * |O·T − R·C|·10⁶ div (R·C) in exact integer ppm (how far the cell
+    * sits from independence, 0 = exactly independent); and the χ²
+    * contribution (O−E)²/E as ONE mirrored terminal IEEE expression over
+    * the exact integers (the z-formula precedent). |O·T − R·C| ≤ T² is
+    * held in decimal(38,0)/HUGEINT and emitted as a digit string — at
+    * the 100 TB design point T² overflows BIGINT (the r11 wide-integer
+    * rule).
+    */
+  def chi2Assoc(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("prio"),
+        (datediff(to_date(col("o_orderdate")), lit("1970-01-01")) % 7)
+          .cast("int").as("dow"))
+      .groupBy(col("prio"), col("dow"))
+      .agg(count(lit(1)).as("n_obs"))
+    val rowTot = cells.groupBy(col("prio"))
+      .agg(sum(col("n_obs")).cast("bigint").as("n_row"))
+    val colTot = cells.groupBy(col("dow"))
+      .agg(sum(col("n_obs")).cast("bigint").as("n_col"))
+    val tot = cells.agg(sum(col("n_obs")).cast("bigint").as("n_total"))
+    cells
+      .join(broadcast(rowTot), Seq("prio"))
+      .join(broadcast(colTot), Seq("dow"))
+      .crossJoin(broadcast(tot))
+      .select(col("prio").as("o_orderpriority"), col("dow"),
+        col("n_obs"), col("n_row"), col("n_col"), col("n_total"),
+        expr(s"cast(abs(cast(n_obs as $d38) * n_total"
+          + s" - cast(n_row as $d38) * n_col) as $d38)")
+          .cast("string").as("dev"),
+        expr(s"cast(abs(cast(n_obs as $d38) * n_total"
+          + s" - cast(n_row as $d38) * n_col) * 1000000"
+          + s" div (cast(n_row as $d38) * n_col) as bigint)")
+          .as("lift_dev_ppm"),
+        // (O-E)² as explicit multiplication, NOT pow(x, 2.0): pow is
+        // only 1-ulp-accurate and the two engines' libm could disagree;
+        // x*x is a single exactly-specified IEEE multiply
+        expr("""(cast(n_obs as double)
+          |  - cast(n_row as double) * cast(n_col as double)
+          |    / cast(n_total as double))
+          | * (cast(n_obs as double)
+          |  - cast(n_row as double) * cast(n_col as double)
+          |    / cast(n_total as double))
+          | / (cast(n_row as double) * cast(n_col as double)
+          |    / cast(n_total as double))""".stripMargin)
+          .as("chi2_contrib"))
+      .orderBy(col("o_orderpriority"), col("dow"))
+  }
+
+  val chi2AssocSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(date_diff('day', DATE '1970-01-01',
+      |      CAST(o_orderdate AS DATE)) % 7 AS INT) AS dow,
+      |    CAST(COUNT(*) AS BIGINT) AS n_obs
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (SELECT prio, CAST(SUM(n_obs) AS BIGINT) AS n_row
+      |      FROM cells GROUP BY 1),
+      |c AS (SELECT dow, CAST(SUM(n_obs) AS BIGINT) AS n_col
+      |      FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM cells)
+      |SELECT cells.prio AS o_orderpriority, cells.dow AS dow,
+      |  n_obs, n_row, n_col, n_total,
+      |  CAST(ABS(CAST(n_obs AS HUGEINT) * n_total
+      |    - CAST(n_row AS HUGEINT) * n_col) AS VARCHAR) AS dev,
+      |  CAST(ABS(CAST(n_obs AS HUGEINT) * n_total
+      |    - CAST(n_row AS HUGEINT) * n_col) * 1000000
+      |    // (CAST(n_row AS HUGEINT) * n_col) AS BIGINT) AS lift_dev_ppm,
+      |  (CAST(n_obs AS DOUBLE)
+      |    - CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE)
+      |      / CAST(n_total AS DOUBLE))
+      |   * (CAST(n_obs AS DOUBLE)
+      |    - CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE)
+      |      / CAST(n_total AS DOUBLE))
+      |   / (CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE)
+      |      / CAST(n_total AS DOUBLE)) AS chi2_contrib
+      |FROM cells JOIN r ON cells.prio = r.prio
+      |  JOIN c ON cells.dow = c.dow CROSS JOIN t
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_runs_test" -> (runsTest _),
     "q_interpurchase" -> (interpurchase _),
@@ -667,7 +754,8 @@ object Insights {
     "q_assoc_rules" -> (assocRules _),
     "q_cuped" -> (cuped _),
     "q_mann_whitney" -> (mannWhitney _),
-    "q_ks_test" -> (ksTest _))
+    "q_ks_test" -> (ksTest _),
+    "q_chi2_assoc" -> (chi2Assoc _))
 
   val oracles: Map[String, String] = Map(
     "q_runs_test" -> runsTestSql,
@@ -678,5 +766,6 @@ object Insights {
     "q_assoc_rules" -> assocRulesSql,
     "q_cuped" -> cupedSql,
     "q_mann_whitney" -> mannWhitneySql,
-    "q_ks_test" -> ksTestSql)
+    "q_ks_test" -> ksTestSql,
+    "q_chi2_assoc" -> chi2AssocSql)
 }

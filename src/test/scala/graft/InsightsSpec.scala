@@ -201,6 +201,25 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ks < 8.0, s"ks=$ks")
   }
 
+  test("chi2 assoc: cells conserve marginals, contributions non-negative and exact") {
+    val rows = Insights.chi2Assoc(spark, sf).collect()
+    assert(rows.length <= 35 && rows.nonEmpty)
+    val total = rows.head.getAs[Long]("n_total")
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == total)
+    rows.foreach { r =>
+      val (o, nr, nc, t) = (r.getAs[Long]("n_obs"), r.getAs[Long]("n_row"),
+        r.getAs[Long]("n_col"), r.getAs[Long]("n_total"))
+      assert(o <= nr && o <= nc && nr <= t && nc <= t)
+      val dev = BigInt(r.getAs[String]("dev"))
+      assert(dev == (BigInt(o) * t - BigInt(nr) * nc).abs)
+      assert(r.getAs[Long]("lift_dev_ppm") ==
+        (dev * 1000000 / (BigInt(nr) * nc)).toLong)
+      val contrib = r.getAs[Double]("chi2_contrib")
+      val e = nr.toDouble * nc.toDouble / t.toDouble
+      assert(contrib >= 0.0 && contrib == (o - e) * (o - e) / e)
+    }
+  }
+
   test("orc source: round trip matches the parquet base aggregate") {
     val viaOrc = graft.sources.Sources.orcEventsAgg(spark, sf).collect()
     import org.apache.spark.sql.functions._
