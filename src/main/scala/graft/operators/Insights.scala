@@ -745,6 +745,246 @@ object Insights {
       |  JOIN c ON cells.dow = c.dow CROSS JOIN t
       |ORDER BY 1, 2""".stripMargin
 
+  /** Spearman rank correlation — how monotone is the quantity→price
+    * relation on line items? The rank-correlation leg of the
+    * nonparametric family (location: [[mannWhitney]], shape: [[ksTest]],
+    * randomness: [[runsTest]], categorical association: [[chi2Assoc]];
+    * here: monotone association, robust to the outliers and curvature
+    * that bend the Pearson r of q_linreg).
+    *
+    * Same bucket-bounded discipline as the other legs: the corpus
+    * collapses map-side to the (quantity, $100-price-bucket) joint grid —
+    * ≤ 50 × ~1100 cells, bounded by the ATTRIBUTE DOMAINS (quantity
+    * 1..50, extendedprice ≤ $110k by the part retail-price domain), not
+    * corpus rows. Midranks come from cumulative walks over the two
+    * MARGINALS (≤ 50 / ≤ ~1100 rows — the global windows are
+    * domain-bounded, ScalePatternsSpec allowlist argument), doubled so
+    * the half-rank of an even tie group stays an exact integer:
+    * u = 2·cumBefore + count + 1 = twice the midrank.
+    *
+    * Exactness: every moment (Σw·u, Σw·u², Σw·u·v, …) is exact integer
+    * arithmetic held in decimal(38,0)/HUGEINT — Σw·u² ≤ 4n³ needs ~37
+    * digits at the 100 TB design point (n = 10¹²) — and EMITTED as a
+    * canonical digit string (the r11 wide-integer rule). rho (identical
+    * under the doubling: both numerator and denominator scale by 4) is
+    * the single terminal IEEE expression mirrored token for token.
+    */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .select(expr("cast(round(l_quantity) as bigint)").as("q"),
+        expr("cast(round(l_extendedprice*100) as bigint) div 10000")
+          .as("pb"))
+      .groupBy(col("q"), col("pb"))
+      .agg(count(lit(1)).as("w"))
+    val wq = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wp = Window.orderBy(col("pb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // doubled midrank per marginal value: 2·(rows strictly below) + ties + 1
+    // = 2·cumIncluding − ties + 1 — an exact odd/even-safe integer
+    val ux = cells.groupBy(col("q")).agg(sum(col("w")).as("wx"))
+      .withColumn("u", lit(2L) * sum(col("wx")).over(wq) - col("wx") + 1L)
+      .select(col("q"), col("wx"), col("u"))
+    val vy = cells.groupBy(col("pb")).agg(sum(col("w")).as("wy"))
+      .withColumn("v", lit(2L) * sum(col("wy")).over(wp) - col("wy") + 1L)
+      .select(col("pb"), col("wy"), col("v"))
+    val m = cells
+      .join(broadcast(ux.select(col("q"), col("u"))), Seq("q"))
+      .join(broadcast(vy.select(col("pb"), col("v"))), Seq("pb"))
+      .agg(sum(col("w")).cast("bigint").as("n"),
+        sum(expr(s"cast(w as $d38) * u")).as("su"),
+        sum(expr(s"cast(w as $d38) * v")).as("sv"),
+        sum(expr(s"cast(w as $d38) * u * u")).as("suu"),
+        sum(expr(s"cast(w as $d38) * v * v")).as("svv"),
+        sum(expr(s"cast(w as $d38) * u * v")).as("suv"))
+    m.select(col("n"),
+      col("su").cast(d38).cast("string").as("su"),
+      col("sv").cast(d38).cast("string").as("sv"),
+      col("suu").cast(d38).cast("string").as("suu"),
+      col("svv").cast(d38).cast("string").as("svv"),
+      col("suv").cast(d38).cast("string").as("suv"),
+      ((col("n").cast("double") * col("suv").cast("double")
+        - col("su").cast("double") * col("sv").cast("double"))
+        / (sqrt(col("n").cast("double") * col("suu").cast("double")
+          - col("su").cast("double") * col("su").cast("double"))
+          * sqrt(col("n").cast("double") * col("svv").cast("double")
+            - col("sv").cast("double") * col("sv").cast("double"))))
+        .as("rho"))
+  }
+
+  val spearmanSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+      |    CAST(ROUND(l_extendedprice*100) AS BIGINT) // 10000 AS pb,
+      |    CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |mx AS (
+      |  SELECT q, CAST(SUM(w) AS BIGINT) AS wx FROM cells GROUP BY 1),
+      |ux AS (
+      |  SELECT q,
+      |    2 * SUM(wx) OVER (ORDER BY q
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - wx + 1 AS u
+      |  FROM mx),
+      |my AS (
+      |  SELECT pb, CAST(SUM(w) AS BIGINT) AS wy FROM cells GROUP BY 1),
+      |vy AS (
+      |  SELECT pb,
+      |    2 * SUM(wy) OVER (ORDER BY pb
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - wy + 1 AS v
+      |  FROM my),
+      |m AS (
+      |  SELECT CAST(SUM(w) AS BIGINT) AS n,
+      |    SUM(CAST(w AS HUGEINT) * u) AS su,
+      |    SUM(CAST(w AS HUGEINT) * v) AS sv,
+      |    SUM(CAST(w AS HUGEINT) * u * u) AS suu,
+      |    SUM(CAST(w AS HUGEINT) * v * v) AS svv,
+      |    SUM(CAST(w AS HUGEINT) * u * v) AS suv
+      |  FROM cells JOIN ux USING (q) JOIN vy USING (pb))
+      |SELECT n, CAST(su AS VARCHAR) AS su, CAST(sv AS VARCHAR) AS sv,
+      |  CAST(suu AS VARCHAR) AS suu, CAST(svv AS VARCHAR) AS svv,
+      |  CAST(suv AS VARCHAR) AS suv,
+      |  (CAST(n AS DOUBLE) * CAST(suv AS DOUBLE)
+      |    - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+      |  / (sqrt(CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+      |      - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+      |    * sqrt(CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+      |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))) AS rho
+      |FROM m""".stripMargin
+
+  /** Kendall tau-b — the pairwise-concordance rank correlation on the
+    * same (quantity, $100-price-bucket) grid as [[spearman]]. tau answers
+    * a subtly different question (probability a random pair is ordered
+    * the same way in both variables vs Spearman's rank-linear fit) and
+    * its tie correction is exact here because BOTH variables are heavily
+    * tied by construction.
+    *
+    * The O(n²) pair space never materializes: the corpus collapses
+    * map-side to the ≤ 50 × ~1100 joint grid (attribute-domain-bounded,
+    * the spearman argument), the grid is DENSIFIED by crossing the two
+    * observed marginals (missing cells w = 0 — required so the window
+    * walks see every column), and the north-east / south-east pair
+    * counts come from two strict-suffix cumulative walks: first over q
+    * within each pb column, then over pb within each q row. Every
+    * window is key-partitioned with a domain-bounded partner dimension.
+    *
+    * Exactness: concordant/discordant counts and the DOUBLED tie terms
+    * (n(n−1), Σt(t−1) — doubled so no halving division ever happens;
+    * every factor-of-2 cancels inside tau) are exact integers in
+    * decimal(38,0)/HUGEINT — pair counts need ~24 digits at the 100 TB
+    * design point — emitted as canonical digit strings (the r11
+    * wide-integer rule). tau_b is the single terminal IEEE expression
+    * mirrored token for token; the ScalaTest invariant pins
+    * n(n−1) − tx − ty + txy = 2(C + D).
+    */
+  def kendall(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .select(expr("cast(round(l_quantity) as bigint)").as("q"),
+        expr("cast(round(l_extendedprice*100) as bigint) div 10000")
+          .as("pb"))
+      .groupBy(col("q"), col("pb"))
+      .agg(count(lit(1)).as("w"))
+    // dense domain grid: every (observed q) × (observed pb) cell exists,
+    // absent combinations carry w = 0 — the window walks below need the
+    // full column/row to run strict suffix sums by position
+    val dense = cells.select(col("q")).distinct()
+      .crossJoin(broadcast(cells.select(col("pb")).distinct()))
+      .join(broadcast(cells), Seq("q", "pb"), "left")
+      .na.fill(0L, Seq("w"))
+    val wPbAll = Window.partitionBy(col("pb"))
+    val wQinPb = Window.partitionBy(col("pb")).orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // gtq(q, pb) = rows with the SAME price bucket and strictly larger q
+    val withGtq = dense.withColumn("gtq",
+      sum(col("w")).over(wPbAll) - sum(col("w")).over(wQinPb))
+    val wQAll = Window.partitionBy(col("q"))
+    val wPbinQ = Window.partitionBy(col("q")).orderBy(col("pb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ne = pairs strictly larger in BOTH dims; se = larger q, smaller pb
+    val walked = withGtq
+      .withColumn("ne",
+        sum(col("gtq")).over(wQAll) - sum(col("gtq")).over(wPbinQ))
+      .withColumn("se", sum(col("gtq")).over(wPbinQ) - col("gtq"))
+    // n and the both-dims tie term fold into the SAME pass over the dense
+    // grid: w = 0 cells contribute nothing to either, so no extra branch
+    val cd = walked.agg(
+      sum(col("w")).cast("bigint").as("n"),
+      sum(expr(s"cast(w as $d38) * ne")).as("conc"),
+      sum(expr(s"cast(w as $d38) * se")).as("disc"),
+      sum(expr(s"cast(w as $d38) * (w - 1)")).as("tie_xy2"))
+    val tx = cells.groupBy(col("q")).agg(sum(col("w")).as("wx"))
+      .agg(sum(expr(s"cast(wx as $d38) * (wx - 1)")).as("tie_x2"))
+    val ty = cells.groupBy(col("pb")).agg(sum(col("w")).as("wy"))
+      .agg(sum(expr(s"cast(wy as $d38) * (wy - 1)")).as("tie_y2"))
+    val m = cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .withColumn("n_pairs2", expr(s"cast(n as $d38) * (n - 1)"))
+    m.select(col("n"),
+      col("n_pairs2").cast(d38).cast("string").as("n_pairs2"),
+      col("tie_x2").cast(d38).cast("string").as("tie_x2"),
+      col("tie_y2").cast(d38).cast("string").as("tie_y2"),
+      col("tie_xy2").cast(d38).cast("string").as("tie_xy2"),
+      col("conc").cast(d38).cast("string").as("conc"),
+      col("disc").cast(d38).cast("string").as("disc"),
+      ((lit(2.0) * col("conc").cast("double")
+        - lit(2.0) * col("disc").cast("double"))
+        / sqrt((col("n_pairs2").cast("double")
+          - col("tie_x2").cast("double"))
+          * (col("n_pairs2").cast("double")
+            - col("tie_y2").cast("double"))))
+        .as("tau_b"))
+  }
+
+  val kendallSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+      |    CAST(ROUND(l_extendedprice*100) AS BIGINT) // 10000 AS pb,
+      |    CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |dense AS (
+      |  SELECT g.q, g.pb, COALESCE(cells.w, 0) AS w
+      |  FROM (SELECT qs.q, pbs.pb
+      |        FROM (SELECT DISTINCT q FROM cells) qs
+      |        CROSS JOIN (SELECT DISTINCT pb FROM cells) pbs) g
+      |  LEFT JOIN cells ON g.q = cells.q AND g.pb = cells.pb),
+      |g1 AS (
+      |  SELECT q, pb, w,
+      |    SUM(w) OVER (PARTITION BY pb)
+      |      - SUM(w) OVER (PARTITION BY pb ORDER BY q
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gtq
+      |  FROM dense),
+      |g2 AS (
+      |  SELECT q, pb, w,
+      |    SUM(gtq) OVER (PARTITION BY q)
+      |      - SUM(gtq) OVER (PARTITION BY q ORDER BY pb
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ne,
+      |    SUM(gtq) OVER (PARTITION BY q ORDER BY pb
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - gtq AS se
+      |  FROM g1),
+      |cd AS (
+      |  SELECT CAST(SUM(w) AS BIGINT) AS n,
+      |         SUM(CAST(w AS HUGEINT) * ne) AS conc,
+      |         SUM(CAST(w AS HUGEINT) * se) AS disc,
+      |         SUM(CAST(w AS HUGEINT) * (w - 1)) AS tie_xy2
+      |  FROM g2),
+      |tx AS (
+      |  SELECT SUM(CAST(wx AS HUGEINT) * (wx - 1)) AS tie_x2
+      |  FROM (SELECT CAST(SUM(w) AS BIGINT) AS wx FROM cells GROUP BY q)),
+      |ty AS (
+      |  SELECT SUM(CAST(wy AS HUGEINT) * (wy - 1)) AS tie_y2
+      |  FROM (SELECT CAST(SUM(w) AS BIGINT) AS wy FROM cells GROUP BY pb)),
+      |m AS (
+      |  SELECT n, CAST(n AS HUGEINT) * (n - 1) AS n_pairs2,
+      |    tie_x2, tie_y2, tie_xy2, conc, disc
+      |  FROM cd CROSS JOIN tx CROSS JOIN ty)
+      |SELECT n, CAST(n_pairs2 AS VARCHAR) AS n_pairs2,
+      |  CAST(tie_x2 AS VARCHAR) AS tie_x2,
+      |  CAST(tie_y2 AS VARCHAR) AS tie_y2,
+      |  CAST(tie_xy2 AS VARCHAR) AS tie_xy2,
+      |  CAST(conc AS VARCHAR) AS conc, CAST(disc AS VARCHAR) AS disc,
+      |  (2.0 * CAST(conc AS DOUBLE) - 2.0 * CAST(disc AS DOUBLE))
+      |    / sqrt((CAST(n_pairs2 AS DOUBLE) - CAST(tie_x2 AS DOUBLE))
+      |      * (CAST(n_pairs2 AS DOUBLE) - CAST(tie_y2 AS DOUBLE))) AS tau_b
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_runs_test" -> (runsTest _),
     "q_interpurchase" -> (interpurchase _),
@@ -755,7 +995,9 @@ object Insights {
     "q_cuped" -> (cuped _),
     "q_mann_whitney" -> (mannWhitney _),
     "q_ks_test" -> (ksTest _),
-    "q_chi2_assoc" -> (chi2Assoc _))
+    "q_chi2_assoc" -> (chi2Assoc _),
+    "q_spearman" -> (spearman _),
+    "q_kendall" -> (kendall _))
 
   val oracles: Map[String, String] = Map(
     "q_runs_test" -> runsTestSql,
@@ -767,5 +1009,7 @@ object Insights {
     "q_cuped" -> cupedSql,
     "q_mann_whitney" -> mannWhitneySql,
     "q_ks_test" -> ksTestSql,
-    "q_chi2_assoc" -> chi2AssocSql)
+    "q_chi2_assoc" -> chi2AssocSql,
+    "q_spearman" -> spearmanSql,
+    "q_kendall" -> kendallSql)
 }

@@ -220,6 +220,70 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("spearman: midrank conservation, exact moments vs local recompute, rho in [-1,1]") {
+    val r = Insights.spearman(spark, sf).collect().head
+    val n = r.getAs[Long]("n")
+    // Σ doubled-midranks over the whole sample = 2·(1+…+n) = n(n+1),
+    // for EACH variable — the conservation law that pins the tie handling
+    assert(BigInt(r.getAs[String]("su")) == BigInt(n) * (n + 1))
+    assert(BigInt(r.getAs[String]("sv")) == BigInt(n) * (n + 1))
+    val rho = r.getAs[Double]("rho")
+    assert(rho >= -1.0 && rho <= 1.0)
+    // local recompute from the raw bucketed pairs (sf0.001 ⇒ ~6k rows)
+    val pairs = Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.expr(
+        "cast(round(l_quantity) as bigint)").as("q"),
+        org.apache.spark.sql.functions.expr(
+          "cast(round(l_extendedprice*100) as bigint) div 10000").as("pb"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    def doubledMidranks(xs: Array[Long]): Map[Long, BigInt] = {
+      val counts = xs.groupBy(identity).map { case (v, a) => v -> a.length }
+      var below = 0L
+      counts.toSeq.sortBy(_._1).map { case (v, c) =>
+        val u = BigInt(2) * below + c + 1; below += c; v -> u
+      }.toMap
+    }
+    val (us, vs) = (doubledMidranks(pairs.map(_._1)), doubledMidranks(pairs.map(_._2)))
+    val (su, sv) = (pairs.map(p => us(p._1)).sum, pairs.map(p => vs(p._2)).sum)
+    assert(BigInt(r.getAs[String]("suu")) == pairs.map(p => us(p._1) * us(p._1)).sum)
+    assert(BigInt(r.getAs[String]("svv")) == pairs.map(p => vs(p._2) * vs(p._2)).sum)
+    assert(BigInt(r.getAs[String]("suv")) == pairs.map(p => us(p._1) * vs(p._2)).sum)
+    assert(BigInt(r.getAs[String]("su")) == su && BigInt(r.getAs[String]("sv")) == sv)
+  }
+
+  test("kendall: brute-force pair counts at sf0.001, tie identity, tau in [-1,1]") {
+    val r = Insights.kendall(spark, sf).collect().head
+    val pairs = Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.expr(
+        "cast(round(l_quantity) as bigint)").as("q"),
+        org.apache.spark.sql.functions.expr(
+          "cast(round(l_extendedprice*100) as bigint) div 10000").as("pb"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    // O(n²) ground truth over the ~6k bucketed rows
+    var conc = 0L; var disc = 0L
+    var i = 0
+    while (i < pairs.length) {
+      var j = i + 1
+      while (j < pairs.length) {
+        val s = java.lang.Long.signum(pairs(i)._1 - pairs(j)._1) *
+          java.lang.Long.signum(pairs(i)._2 - pairs(j)._2)
+        if (s > 0) conc += 1 else if (s < 0) disc += 1
+        j += 1
+      }
+      i += 1
+    }
+    assert(BigInt(r.getAs[String]("conc")) == conc)
+    assert(BigInt(r.getAs[String]("disc")) == disc)
+    // n(n−1) − tx − ty + txy = 2(C + D): every unordered pair is either
+    // comparable in both dims or tied somewhere; inclusion–exclusion
+    val id = BigInt(r.getAs[String]("n_pairs2")) -
+      BigInt(r.getAs[String]("tie_x2")) - BigInt(r.getAs[String]("tie_y2")) +
+      BigInt(r.getAs[String]("tie_xy2"))
+    assert(id == 2 * (BigInt(conc) + BigInt(disc)))
+    val tau = r.getAs[Double]("tau_b")
+    assert(tau >= -1.0 && tau <= 1.0)
+  }
+
   test("orc source: round trip matches the parquet base aggregate") {
     val viaOrc = graft.sources.Sources.orcEventsAgg(spark, sf).collect()
     import org.apache.spark.sql.functions._

@@ -56,7 +56,11 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // median rank + runs walk over the DAILY-REVENUE aggregate: rows =
       // |days| (calendar-bounded), the corpus collapses map-side first —
       // the q_autocorr argument
-      "q_runs_test" -> "global-window")
+      "q_runs_test" -> "global-window",
+      // midrank walks run over the two MARGINALS of the (quantity,
+      // $100-price-bucket) grid: <=50 / ~1100 rows, bounded by the
+      // attribute domains regardless of corpus size
+      "q_spearman" -> "global-window")
     // a GLOBAL window is a Window node feeding from Exchange
     // SinglePartition (possibly through its Sort) — matching the node
     // STRUCTURE, not bare substrings: a runtime bloom-filter subquery
