@@ -658,6 +658,176 @@ object Insights {
       |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS ks_stat
       |FROM m""".stripMargin
 
+  /** 1-D earth mover's distance (Wasserstein-1) — HOW FAR apart are the
+    * urgent-vs-normal price distributions, in dollars? The integral
+    * counterpart of [[ksTest]]'s max divergence: KS asks for the largest
+    * ECDF gap, EMD sums ALL the gaps weighted by the price distance a
+    * unit of mass must travel — the number a cost model can act on.
+    *
+    * Same $100-bucket discipline as the other legs (corpus collapses
+    * map-side to ≤ 5001 buckets by the audited price-domain contract).
+    * On a sparse 1-D grid W1 = Σᵢ |F_A(bᵢ) − F_B(bᵢ)| · (bᵢ₊₁ − bᵢ) · Δ:
+    * the ECDF difference is constant between consecutive OBSERVED
+    * buckets, so each term is the gap-weighted cum difference and the
+    * last bucket contributes nothing (both ECDFs are 1 beyond it).
+    *
+    * Exactness: the numerator Σ |cumA·n_b − cumB·n_a| · gap is pure
+    * integer arithmetic in decimal(38,0)/HUGEINT (≤ n_a·n_b·gridWidth
+    * ~ 10²⁷ at the 100 TB design point), emitted as a canonical digit
+    * string; `emd_dollars` = num·100/(n_a·n_b) — the ×100 is the
+    * bucket width in dollars — as the single mirrored terminal IEEE
+    * expression.
+    */
+  def emd(spark: SparkSession, dir: String): DataFrame = {
+    val byBucket = Tables.orders(spark, dir)
+      .select(expr("cast(round(o_totalprice*100) as bigint) div 10000")
+        .as("bk"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("isa"))
+      .groupBy(col("bk"))
+      .agg(sum(col("isa")).as("ca"),
+        sum(lit(1L) - col("isa")).as("cb"))
+    val w = Window.orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val wLead = Window.orderBy(col("bk"))
+    val walked = byBucket
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .withColumn("ta", sum(col("ca")).over(wAll))
+      .withColumn("tb", sum(col("cb")).over(wAll))
+      .withColumn("gap", lead(col("bk"), 1).over(wLead) - col("bk"))
+    val m = walked.agg(
+      max(col("ta")).cast("bigint").as("n_a"),
+      max(col("tb")).cast("bigint").as("n_b"),
+      sum(expr(s"""case when gap is not null
+        | then abs(cast(cuma as $d38) * tb - cast(cumb as $d38) * ta) * gap
+        | else cast(0 as $d38) end""".stripMargin)).as("w1_num"))
+    m.select(col("n_a"), col("n_b"),
+      col("w1_num").cast(d38).cast("string").as("w1_num"),
+      (col("w1_num").cast("double") * lit(100.0)
+        / (col("n_a").cast("double") * col("n_b").cast("double")))
+        .as("emd_dollars"))
+  }
+
+  val emdSql: String =
+    """WITH b AS (
+      |  SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) // 10000 AS bk,
+      |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |        THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |        THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT bk, ca, cb,
+      |    SUM(ca) OVER (ORDER BY bk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    SUM(cb) OVER (ORDER BY bk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+      |    SUM(ca) OVER () AS ta, SUM(cb) OVER () AS tb,
+      |    LEAD(bk, 1) OVER (ORDER BY bk) - bk AS gap
+      |  FROM b),
+      |m AS (
+      |  SELECT CAST(MAX(ta) AS BIGINT) AS n_a, CAST(MAX(tb) AS BIGINT) AS n_b,
+      |    SUM(CASE WHEN gap IS NOT NULL
+      |      THEN ABS(CAST(cuma AS HUGEINT) * tb - CAST(cumb AS HUGEINT) * ta)
+      |        * gap
+      |      ELSE CAST(0 AS HUGEINT) END) AS w1_num
+      |  FROM c)
+      |SELECT n_a, n_b, CAST(w1_num AS VARCHAR) AS w1_num,
+      |  CAST(w1_num AS DOUBLE) * 100.0
+      |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS emd_dollars
+      |FROM m""".stripMargin
+
+  /** Lagged cross-correlation — does today's order VOLUME predict
+    * revenue k days out? Pearson correlation between the daily revenue
+    * series and the daily order-count series at lags 0..7, the
+    * lead-lag diagnostic behind forecasting-feature selection (and the
+    * bivariate companion of [[Analytics.autocorr]]'s univariate ACF).
+    *
+    * Scale shape: the corpus collapses map-side to the DAILY aggregate
+    * (rows = |days|, calendar-bounded — the q_autocorr argument); the
+    * lag alignment is an 8× crossJoin of that bounded series with the
+    * literal lag panel, joined back on integer day index (both sides
+    * broadcast-small at any corpus size). No corpus-sized window, no
+    * second corpus pass.
+    *
+    * Exactness: per lag every moment (Σx, Σy, Σxy, Σx², Σy²) is exact
+    * integer arithmetic over (cents, counts) held in
+    * decimal(38,0)/HUGEINT — Σx² ~ 10³⁵ at the 100 TB design point —
+    * emitted as canonical digit strings; corr is the single mirrored
+    * terminal IEEE expression (the [[spearman]] formula shape).
+    */
+  def crosscorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).cast("bigint").as("xc"),
+        count(lit(1)).as("yc"))
+      .select(datediff(col("day"), lit("1970-01-01")).as("di"),
+        col("xc"), col("yc"))
+    val lags = spark.range(0L, 8L)
+      .select(col("id").cast("bigint").as("lag_d"))
+    val pairs = daily.select(col("di"), col("xc"))
+      .crossJoin(broadcast(lags))
+      .withColumn("di2", col("di").cast("bigint") + col("lag_d"))
+      .join(broadcast(daily.select(col("di").cast("bigint").as("di2"),
+        col("yc"))), Seq("di2"))
+    val m = pairs.groupBy(col("lag_d"))
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+        sum(expr(s"cast(xc as $d38)")).as("sx"),
+        sum(expr(s"cast(yc as $d38)")).as("sy"),
+        sum(expr(s"cast(xc as $d38) * yc")).as("sxy"),
+        sum(expr(s"cast(xc as $d38) * xc")).as("sxx"),
+        sum(expr(s"cast(yc as $d38) * yc")).as("syy"))
+    m.select(col("lag_d"), col("n_days"),
+      col("sx").cast(d38).cast("string").as("sx"),
+      col("sy").cast(d38).cast("string").as("sy"),
+      col("sxy").cast(d38).cast("string").as("sxy"),
+      col("sxx").cast(d38).cast("string").as("sxx"),
+      col("syy").cast(d38).cast("string").as("syy"),
+      ((col("n_days").cast("double") * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double"))
+        / (sqrt(col("n_days").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+          * sqrt(col("n_days").cast("double") * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double"))))
+        .as("corr_xy"))
+      .orderBy(col("lag_d"))
+  }
+
+  val crosscorrSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS di,
+      |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS xc,
+      |    CAST(COUNT(*) AS BIGINT) AS yc
+      |  FROM orders GROUP BY 1),
+      |lags AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT)), (1), (2), (3),
+      |    (4), (5), (6), (7)) t(lag_d)),
+      |p AS (
+      |  SELECT l.lag_d, a.xc, b.yc
+      |  FROM daily a CROSS JOIN lags l
+      |  JOIN daily b ON b.di = a.di + l.lag_d),
+      |m AS (
+      |  SELECT lag_d, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    SUM(CAST(xc AS HUGEINT)) AS sx,
+      |    SUM(CAST(yc AS HUGEINT)) AS sy,
+      |    SUM(CAST(xc AS HUGEINT) * yc) AS sxy,
+      |    SUM(CAST(xc AS HUGEINT) * xc) AS sxx,
+      |    SUM(CAST(yc AS HUGEINT) * yc) AS syy
+      |  FROM p GROUP BY 1)
+      |SELECT lag_d, n_days,
+      |  CAST(sx AS VARCHAR) AS sx, CAST(sy AS VARCHAR) AS sy,
+      |  CAST(sxy AS VARCHAR) AS sxy, CAST(sxx AS VARCHAR) AS sxx,
+      |  CAST(syy AS VARCHAR) AS syy,
+      |  (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  / (sqrt(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    * sqrt(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
+      |FROM m ORDER BY lag_d""".stripMargin
+
   /** Chi-square independence screen — is order PRIORITY associated with
     * day-of-week? The categorical-association leg of the insight family
     * (location: mannWhitney, shape: ksTest, randomness: runsTest, fraud:
@@ -997,7 +1167,9 @@ object Insights {
     "q_ks_test" -> (ksTest _),
     "q_chi2_assoc" -> (chi2Assoc _),
     "q_spearman" -> (spearman _),
-    "q_kendall" -> (kendall _))
+    "q_kendall" -> (kendall _),
+    "q_emd" -> (emd _),
+    "q_crosscorr" -> (crosscorr _))
 
   val oracles: Map[String, String] = Map(
     "q_runs_test" -> runsTestSql,
@@ -1011,5 +1183,7 @@ object Insights {
     "q_ks_test" -> ksTestSql,
     "q_chi2_assoc" -> chi2AssocSql,
     "q_spearman" -> spearmanSql,
-    "q_kendall" -> kendallSql)
+    "q_kendall" -> kendallSql,
+    "q_emd" -> emdSql,
+    "q_crosscorr" -> crosscorrSql)
 }

@@ -284,6 +284,67 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tau >= -1.0 && tau <= 1.0)
   }
 
+  test("emd: exact numerator vs local ECDF recompute, dominates the mean shift") {
+    val r = Insights.emd(spark, sf).collect().head
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    // local recompute over the bucketed orders (sf0.001 ⇒ ~1.5k rows)
+    val rows = Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.expr(
+        "cast(round(o_totalprice*100) as bigint) div 10000").as("bk"),
+        org.apache.spark.sql.functions.expr(
+          "case when o_orderpriority in ('1-URGENT','2-HIGH') then 1L else 0L end").as("isa"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val byBk = rows.groupBy(_._1).map { case (bk, a) =>
+      (bk, a.count(_._2 == 1L).toLong, a.count(_._2 == 0L).toLong)
+    }.toSeq.sortBy(_._1)
+    var (cuma, cumb, num) = (BigInt(0), BigInt(0), BigInt(0))
+    byBk.zip(byBk.drop(1)).foreach { case ((bk, ca, cb), (bk2, _, _)) =>
+      cuma += ca; cumb += cb
+      num += (cuma * nb - cumb * na).abs * (bk2 - bk)
+    }
+    assert(BigInt(r.getAs[String]("w1_num")) == num)
+    // W1 ≥ |mean_A − mean_B| for 1-D distributions (exact in bucket units)
+    val sa = BigInt(byBk.map(c => c._1 * c._2).sum)
+    val sb = BigInt(byBk.map(c => c._1 * c._3).sum)
+    assert(num >= (sa * nb - sb * na).abs)
+    assert(r.getAs[Double]("emd_dollars") >= 0.0)
+  }
+
+  test("crosscorr: 8 lags, lag-0 strongly positive, exact moments vs local recompute") {
+    val out = Insights.crosscorr(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("lag_d")).toSeq == (0L to 7L))
+    // every lagged overlap is bounded by the full day count (lag 0 = all
+    // days; sparse calendars make the shrink NON-monotone, so only the
+    // bound is an invariant)
+    val ns = out.map(_.getAs[Long]("n_days"))
+    assert(ns.forall(_ <= ns.head) && ns.forall(_ > 0))
+    // same-day revenue and order count must co-move strongly; the
+    // generator draws days independently so lagged corr stays small
+    assert(out.head.getAs[Double]("corr_xy") > 0.5)
+    assert(out.drop(1).forall(r => math.abs(r.getAs[Double]("corr_xy")) < 0.3))
+    // exact-moment recompute at sf0.001 (~700 day rows)
+    import org.apache.spark.sql.functions._
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(graft.functions.Portable.cents(col("o_totalprice")))
+        .cast("bigint").as("xc"), count(lit(1)).as("yc"))
+      .select(datediff(col("day"), lit("1970-01-01")).as("di"),
+        col("xc"), col("yc"))
+      .collect().map(x => (x.getInt(0).toLong, x.getLong(1), x.getLong(2)))
+    val byDi = daily.map(d => d._1 -> d).toMap
+    out.foreach { r =>
+      val k = r.getAs[Long]("lag_d")
+      val pairs = daily.flatMap(a => byDi.get(a._1 + k).map(b => (a._2, b._3)))
+      assert(r.getAs[Long]("n_days") == pairs.length)
+      assert(BigInt(r.getAs[String]("sxy")) ==
+        pairs.map(p => BigInt(p._1) * p._2).sum)
+      assert(BigInt(r.getAs[String]("sxx")) ==
+        pairs.map(p => BigInt(p._1) * p._1).sum)
+      assert(BigInt(r.getAs[String]("syy")) ==
+        pairs.map(p => BigInt(p._2) * p._2).sum)
+    }
+  }
+
   test("orc source: round trip matches the parquet base aggregate") {
     val viaOrc = graft.sources.Sources.orcEventsAgg(spark, sf).collect()
     import org.apache.spark.sql.functions._

@@ -60,7 +60,10 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // midrank walks run over the two MARGINALS of the (quantity,
       // $100-price-bucket) grid: <=50 / ~1100 rows, bounded by the
       // attribute domains regardless of corpus size
-      "q_spearman" -> "global-window")
+      "q_spearman" -> "global-window",
+      // same <=5001-bucket ECDF walk as q_ks_test, plus a lead() over
+      // the same bounded bucket set for the inter-bucket gap
+      "q_emd" -> "global-window")
     // a GLOBAL window is a Window node feeding from Exchange
     // SinglePartition (possibly through its Sort) — matching the node
     // STRUCTURE, not bare substrings: a runtime bloom-filter subquery
