@@ -1069,23 +1069,25 @@ object Insights {
     val wQAll = Window.partitionBy(col("q"))
     val wPbinQ = Window.partitionBy(col("q")).orderBy(col("pb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // ne = pairs strictly larger in BOTH dims; se = larger q, smaller pb
+    // ne = pairs strictly larger in BOTH dims; se = larger q, smaller pb;
+    // wx/wy = the two marginal totals, read off the partition-total
+    // window sums so the tie terms need NO extra corpus branch
     val walked = withGtq
       .withColumn("ne",
         sum(col("gtq")).over(wQAll) - sum(col("gtq")).over(wPbinQ))
       .withColumn("se", sum(col("gtq")).over(wPbinQ) - col("gtq"))
-    // n and the both-dims tie term fold into the SAME pass over the dense
-    // grid: w = 0 cells contribute nothing to either, so no extra branch
-    val cd = walked.agg(
+      .withColumn("wx", sum(col("w")).over(wQAll))
+      .withColumn("wy", sum(col("w")).over(wPbAll))
+    // EVERYTHING folds into one pass over the dense grid: w = 0 cells
+    // contribute nothing, and Σ_q wx(wx−1) = Σ_cells w·(wx−1) because
+    // Σ_{cells in q} w = wx (same for pb / both-dims ties)
+    val m = walked.agg(
       sum(col("w")).cast("bigint").as("n"),
       sum(expr(s"cast(w as $d38) * ne")).as("conc"),
       sum(expr(s"cast(w as $d38) * se")).as("disc"),
-      sum(expr(s"cast(w as $d38) * (w - 1)")).as("tie_xy2"))
-    val tx = cells.groupBy(col("q")).agg(sum(col("w")).as("wx"))
-      .agg(sum(expr(s"cast(wx as $d38) * (wx - 1)")).as("tie_x2"))
-    val ty = cells.groupBy(col("pb")).agg(sum(col("w")).as("wy"))
-      .agg(sum(expr(s"cast(wy as $d38) * (wy - 1)")).as("tie_y2"))
-    val m = cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      sum(expr(s"cast(w as $d38) * (w - 1)")).as("tie_xy2"),
+      sum(expr(s"cast(w as $d38) * (wx - 1)")).as("tie_x2"),
+      sum(expr(s"cast(w as $d38) * (wy - 1)")).as("tie_y2"))
       .withColumn("n_pairs2", expr(s"cast(n as $d38) * (n - 1)"))
     m.select(col("n"),
       col("n_pairs2").cast(d38).cast("string").as("n_pairs2"),
@@ -1127,24 +1129,22 @@ object Insights {
       |      - SUM(gtq) OVER (PARTITION BY q ORDER BY pb
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ne,
       |    SUM(gtq) OVER (PARTITION BY q ORDER BY pb
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - gtq AS se
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - gtq AS se,
+      |    SUM(w) OVER (PARTITION BY q) AS wx,
+      |    SUM(w) OVER (PARTITION BY pb) AS wy
       |  FROM g1),
       |cd AS (
       |  SELECT CAST(SUM(w) AS BIGINT) AS n,
       |         SUM(CAST(w AS HUGEINT) * ne) AS conc,
       |         SUM(CAST(w AS HUGEINT) * se) AS disc,
-      |         SUM(CAST(w AS HUGEINT) * (w - 1)) AS tie_xy2
+      |         SUM(CAST(w AS HUGEINT) * (w - 1)) AS tie_xy2,
+      |         SUM(CAST(w AS HUGEINT) * (wx - 1)) AS tie_x2,
+      |         SUM(CAST(w AS HUGEINT) * (wy - 1)) AS tie_y2
       |  FROM g2),
-      |tx AS (
-      |  SELECT SUM(CAST(wx AS HUGEINT) * (wx - 1)) AS tie_x2
-      |  FROM (SELECT CAST(SUM(w) AS BIGINT) AS wx FROM cells GROUP BY q)),
-      |ty AS (
-      |  SELECT SUM(CAST(wy AS HUGEINT) * (wy - 1)) AS tie_y2
-      |  FROM (SELECT CAST(SUM(w) AS BIGINT) AS wy FROM cells GROUP BY pb)),
       |m AS (
       |  SELECT n, CAST(n AS HUGEINT) * (n - 1) AS n_pairs2,
       |    tie_x2, tie_y2, tie_xy2, conc, disc
-      |  FROM cd CROSS JOIN tx CROSS JOIN ty)
+      |  FROM cd)
       |SELECT n, CAST(n_pairs2 AS VARCHAR) AS n_pairs2,
       |  CAST(tie_x2 AS VARCHAR) AS tie_x2,
       |  CAST(tie_y2 AS VARCHAR) AS tie_y2,
