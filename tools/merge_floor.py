@@ -66,6 +66,20 @@ def main(argv):
         base[key] = merged
     tps = [c.get("throughput", {}) for c in caps]
     base["throughput"] = max(tps, key=lambda t: float(t.get("rows_per_sec", 0)))
+    # graph_cached: per-key min seconds over captures where the section ran
+    # (subset captures record {"error": ...} — without this, a later subset
+    # merge clobbers the only real observation; found r11)
+    gcs = [c.get("graph_cached", {}) for c in caps
+           if isinstance(c.get("graph_cached"), dict)
+           and not c.get("graph_cached", {}).get("error")]
+    if gcs:
+        merged_gc = {}
+        for k in {x for g in gcs for x in g}:
+            vs = [float(g[k]) for g in gcs
+                  if k in g and isinstance(g[k], (int, float)) and float(g[k]) > 0]
+            if vs:
+                merged_gc[k] = min(vs)
+        base["graph_cached"] = merged_gc
     sts = [c.get("streaming", {}) for c in caps if c.get("streaming")]
     if sts:
         # per-key best observation: rows_per_sec keys take the max, *_sec
