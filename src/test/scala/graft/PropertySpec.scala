@@ -190,6 +190,83 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("spearman and kendall match O(n²) brute force on random tied datasets") {
+    import spark.implicits._
+    // heavy deliberate ties on BOTH axes: 5 quantity values × ~7 price
+    // buckets over 120 rows — the midrank/tau-b tie corrections carry
+    // real weight in every draw (unlike the near-unique testdata)
+    val rowGen = Gen.listOfN(120, Gen.zip(
+      Gen.chooseNum(1, 5), Gen.chooseNum(900, 1599)))
+    for ((rows, i) <- samples(rowGen, 4).zipWithIndex) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_prop_rank$i").toString
+      rows.map { case (q, p) => (q.toDouble, p.toDouble) }
+        .toDF("l_quantity", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val pairs = rows.map { case (q, p) => (q.toLong, (p.toLong * 100) / 10000) }
+      // --- spearman reference: doubled midranks + BigInt moments
+      def dmr(xs: Seq[Long]): Map[Long, BigInt] = {
+        val counts = xs.groupBy(identity).view.mapValues(_.size).toMap
+        var below = 0L
+        counts.toSeq.sortBy(_._1).map { case (v, c) =>
+          val u = BigInt(2) * below + c + 1; below += c; v -> u
+        }.toMap
+      }
+      val (us, vs) = (dmr(pairs.map(_._1)), dmr(pairs.map(_._2)))
+      val sRow = operators.Insights.spearman(spark, dir).collect().head
+      assert(BigInt(sRow.getAs[String]("suv")) ==
+        pairs.map(p => us(p._1) * vs(p._2)).sum)
+      assert(BigInt(sRow.getAs[String]("suu")) ==
+        pairs.map(p => us(p._1) * us(p._1)).sum)
+      assert(BigInt(sRow.getAs[String]("su")) == BigInt(rows.size) * (rows.size + 1))
+      // --- kendall reference: O(n²) concordant/discordant
+      var conc = 0L; var disc = 0L
+      for (a <- pairs.indices; b <- (a + 1) until pairs.size) {
+        val s = java.lang.Long.signum(pairs(a)._1 - pairs(b)._1) *
+          java.lang.Long.signum(pairs(a)._2 - pairs(b)._2)
+        if (s > 0) conc += 1 else if (s < 0) disc += 1
+      }
+      val kRow = operators.Insights.kendall(spark, dir).collect().head
+      assert(BigInt(kRow.getAs[String]("conc")) == conc, s"draw $i conc")
+      assert(BigInt(kRow.getAs[String]("disc")) == disc, s"draw $i disc")
+      val id = BigInt(kRow.getAs[String]("n_pairs2")) -
+        BigInt(kRow.getAs[String]("tie_x2")) -
+        BigInt(kRow.getAs[String]("tie_y2")) +
+        BigInt(kRow.getAs[String]("tie_xy2"))
+      assert(id == 2 * (BigInt(conc) + BigInt(disc)), s"draw $i identity")
+    }
+  }
+
+  test("emd matches a brute-force ECDF walk on random two-class orders") {
+    import spark.implicits._
+    val rowGen = Gen.listOfN(100, Gen.zip(
+      Gen.chooseNum(100, 4999), Gen.oneOf("1-URGENT", "3-MEDIUM")))
+      // guarantee both classes so n_a·n_b > 0 (the fixed-data contract)
+      .map(rs => (150, "1-URGENT") :: (250, "3-MEDIUM") :: rs)
+    for ((rows, i) <- samples(rowGen, 4).zipWithIndex) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_prop_emd$i").toString
+      rows.map { case (d, pr) => (d.toDouble, pr) }
+        .toDF("o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val bk = rows.map { case (d, pr) =>
+        ((d.toLong * 100) / 10000, if (pr == "1-URGENT") 1L else 0L) }
+      val byBk = bk.groupBy(_._1).map { case (b, a) =>
+        (b, a.count(_._2 == 1L).toLong, a.count(_._2 == 0L).toLong)
+      }.toSeq.sortBy(_._1)
+      val na = bk.count(_._2 == 1L).toLong
+      val nb = bk.count(_._2 == 0L).toLong
+      var (cuma, cumb, num) = (BigInt(0), BigInt(0), BigInt(0))
+      byBk.zip(byBk.drop(1)).foreach { case ((b, ca, cb), (b2, _, _)) =>
+        cuma += ca; cumb += cb
+        num += (cuma * nb - cumb * na).abs * (b2 - b)
+      }
+      val row = operators.Insights.emd(spark, dir).collect().head
+      assert(row.getAs[Long]("n_a") == na && row.getAs[Long]("n_b") == nb)
+      assert(BigInt(row.getAs[String]("w1_num")) == num, s"draw $i")
+    }
+  }
+
   test("hooked label propagation reaches the union-find fixpoint on random graphs") {
     import spark.implicits._
     val edgeGen = Gen.listOfN(55,
