@@ -545,8 +545,34 @@ object Bench {
           } finally spark.catalog.clearCache()
         }
         val refNames = names.filter(_.startsWith("ref_"))
+        // mixed panel: 12 DIFFERENT plans at once, one per operator family
+        // — the whole-engine FAIR-pool read the reference's homogeneous
+        // bursts can't give (its bench only ever races copies of one plan)
+        val mixedPanel = Seq(
+          "q1_pricing_summary", "q5_local_supplier", "q_window_funcs",
+          "q_events_sessionize", "dedup_exact_hash", "ann_topk",
+          "text_quality", "doc_shard_assign", "mm_phash", "q_asof_join",
+          "q_topk_per_key", "q_funnel").filter(names.contains)
+        def runMixed(): Either[String, Double] = {
+          val t0 = System.nanoTime()
+          val fs = mixedPanel.zipWithIndex.map { case (n, i) =>
+            Future {
+              spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"bench-$i")
+              SparkEntry.queries(n)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save()
+            }
+          }
+          try {
+            Await.result(Future.sequence(fs), Duration.Inf)
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] concurrent mixed FAILED: ${e.getMessage}")
+            Left(String.valueOf(e.getMessage).take(160))
+          } finally spark.catalog.clearCache()
+        }
         val concurrent =
-          try refNames.map(n => n -> runConcurrent(n))
+          try refNames.map(n => n -> runConcurrent(n)) :+
+            (s"mixed_x${mixedPanel.size}" -> runMixed())
           finally pool.shutdown()
         cc = jmap(concurrent.map {
           case (n, Right(t)) => n -> jcompact(t)
