@@ -1155,6 +1155,193 @@ object Insights {
       |      * (CAST(n_pairs2 AS DOUBLE) - CAST(tie_y2 AS DOUBLE))) AS tau_b
       |FROM m""".stripMargin
 
+  /** Welch's unequal-variance t-test — the PARAMETRIC companion of
+    * [[mannWhitney]] on the same urgent/normal split of order totals:
+    * the rank-sum test asks "does one arm stochastically dominate?",
+    * Welch asks "do the MEANS differ?" without assuming equal variances
+    * (the classic A/B readout). One map-side-combined pass collapses the
+    * corpus to two rows of exact cent moments (n, Σc, Σc² — Σc² in
+    * decimal(38,0): ~10¹⁴ per row at the price cap makes BIGINT overflow
+    * at ~10⁵ rows, far below the design point), pivoted into ONE row so
+    * the t statistic and the Welch–Satterthwaite df are single mirrored
+    * IEEE expression trees (+, ×, ÷, sqrt only — every op exactly
+    * rounded, so both engines agree bit-for-bit).
+    */
+  def welchTtest(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .select(cents(col("o_totalprice")).as("c"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("isa"))
+      .agg(
+        sum(col("isa")).cast("bigint").as("n_a"),
+        sum(lit(1L) - col("isa")).cast("bigint").as("n_b"),
+        sum(expr(s"cast(isa * c as $d38)")).as("s_a"),
+        sum(expr(s"cast((1 - isa) * c as $d38)")).as("s_b"),
+        sum(expr(s"cast(isa * c as $d38) * c")).as("ss_a"),
+        sum(expr(s"cast((1 - isa) * c as $d38) * c")).as("ss_b"))
+    // sample variance from exact moments: (n·Σc² − (Σc)²) / (n·(n−1));
+    // wide integers reach double THROUGH THE DIGIT STRING: above 2^53
+    // DuckDB's direct HUGEINT→DOUBLE is not correctly rounded (it
+    // composes the two 64-bit halves in double arithmetic) while
+    // string→double is correctly rounded in BOTH engines (strtod /
+    // Double.parseDouble), so the conversion — like every later op
+    // (+, ×, ÷, sqrt) — is exactly specified
+    val va = "(cast(n_a as double) * cast(cast(ss_a as string) as double)" +
+      " - cast(cast(s_a as string) as double) * cast(cast(s_a as string) as double))" +
+      " / (cast(n_a as double) * (cast(n_a as double) - 1.0))"
+    val vb = "(cast(n_b as double) * cast(cast(ss_b as string) as double)" +
+      " - cast(cast(s_b as string) as double) * cast(cast(s_b as string) as double))" +
+      " / (cast(n_b as double) * (cast(n_b as double) - 1.0))"
+    val sea = s"($va / cast(n_a as double))"
+    val seb = s"($vb / cast(n_b as double))"
+    m.select(col("n_a"), col("n_b"),
+      col("s_a").cast(d38).cast("string").as("s_a"),
+      col("s_b").cast(d38).cast("string").as("s_b"),
+      col("ss_a").cast(d38).cast("string").as("ss_a"),
+      col("ss_b").cast(d38).cast("string").as("ss_b"),
+      expr("cast(cast(s_a as string) as double) / cast(n_a as double)" +
+        " - cast(cast(s_b as string) as double) / cast(n_b as double)")
+        .as("mean_diff_cents"),
+      expr(s"(cast(cast(s_a as string) as double) / cast(n_a as double)" +
+        s" - cast(cast(s_b as string) as double) / cast(n_b as double))" +
+        s" / sqrt($sea + $seb)").as("t_stat"),
+      expr(s"(($sea + $seb) * ($sea + $seb))" +
+        s" / ($sea * $sea / (cast(n_a as double) - 1.0)" +
+        s" + $seb * $seb / (cast(n_b as double) - 1.0))").as("df"))
+  }
+
+  val welchTtestSql: String = {
+    val va = "(CAST(n_a AS DOUBLE) * CAST(CAST(ss_a AS VARCHAR) AS DOUBLE)" +
+      " - CAST(CAST(s_a AS VARCHAR) AS DOUBLE)" +
+      " * CAST(CAST(s_a AS VARCHAR) AS DOUBLE))" +
+      " / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))"
+    val vb = "(CAST(n_b AS DOUBLE) * CAST(CAST(ss_b AS VARCHAR) AS DOUBLE)" +
+      " - CAST(CAST(s_b AS VARCHAR) AS DOUBLE)" +
+      " * CAST(CAST(s_b AS VARCHAR) AS DOUBLE))" +
+      " / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))"
+    val sea = s"($va / CAST(n_a AS DOUBLE))"
+    val seb = s"($vb / CAST(n_b AS DOUBLE))"
+    s"""WITH m AS (
+      |  SELECT
+      |    CAST(SUM(isa) AS BIGINT) AS n_a,
+      |    CAST(SUM(1 - isa) AS BIGINT) AS n_b,
+      |    SUM(CAST(isa * c AS HUGEINT)) AS s_a,
+      |    SUM(CAST((1 - isa) * c AS HUGEINT)) AS s_b,
+      |    SUM(CAST(isa * c AS HUGEINT) * c) AS ss_a,
+      |    SUM(CAST((1 - isa) * c AS HUGEINT) * c) AS ss_b
+      |  FROM (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS c,
+      |          CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |            THEN 1 ELSE 0 END AS isa
+      |        FROM orders))
+      |SELECT n_a, n_b,
+      |  CAST(s_a AS VARCHAR) AS s_a, CAST(s_b AS VARCHAR) AS s_b,
+      |  CAST(ss_a AS VARCHAR) AS ss_a, CAST(ss_b AS VARCHAR) AS ss_b,
+      |  CAST(CAST(s_a AS VARCHAR) AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |    - CAST(CAST(s_b AS VARCHAR) AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |    AS mean_diff_cents,
+      |  (CAST(CAST(s_a AS VARCHAR) AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |    - CAST(CAST(s_b AS VARCHAR) AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |    / sqrt($sea + $seb) AS t_stat,
+      |  (($sea + $seb) * ($sea + $seb))
+      |    / ($sea * $sea / (CAST(n_a AS DOUBLE) - 1.0)
+      |     + $seb * $seb / (CAST(n_b AS DOUBLE) - 1.0)) AS df
+      |FROM m""".stripMargin
+  }
+
+  /** One-way ANOVA F across the five order priorities — the k-group
+    * generalization of [[welchTtest]]: does ANY priority class have a
+    * different mean order total? The priority domain is FIXED (the five
+    * TPC-H literals), so the per-group exact moments pivot map-side into
+    * one row of 15 conditional aggregates and the sums-over-groups that
+    * IEEE addition makes order-sensitive become EXPLICIT left-to-right
+    * expression trees mirrored token-for-token in the oracle — no
+    * cross-row double sum ever happens (the chi2_assoc discipline,
+    * closed over groups by pivoting the bounded domain).
+    */
+  def anova(spark: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val base = Tables.orders(spark, dir)
+      .select(cents(col("o_totalprice")).as("c"),
+        col("o_orderpriority").as("p"))
+    val aggs = prios.zipWithIndex.flatMap { case (p, i) =>
+      val g = i + 1
+      Seq(
+        sum(when(col("p") === p, 1L).otherwise(0L)).cast("bigint")
+          .as(s"n$g"),
+        sum(expr(s"cast(case when p = '$p' then c else 0 end as $d38)"))
+          .as(s"s$g"),
+        sum(expr(s"cast(case when p = '$p' then c else 0 end as $d38) * c"))
+          .as(s"ss$g"))
+    }
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    val gs = 1 to 5
+    // grand totals and the two sums of squares as explicit left-assoc
+    // chains; d_g = mean_g − grand mean, ssb = Σ n_g·d_g², ssw = Σ(Σc²_g
+    // − (Σc_g)²/n_g) — +, ×, ÷ only, mirrored exactly in the oracle
+    val nAll = gs.map(g => s"cast(n$g as double)").mkString(" + ")
+    val sAll = gs.map(g => s"cast(cast(s$g as string) as double)")
+      .mkString(" + ")
+    def dg(g: Int) =
+      s"(cast(cast(s$g as string) as double) / cast(n$g as double)" +
+        s" - ($sAll) / ($nAll))"
+    val ssb = gs.map(g => s"cast(n$g as double) * ${dg(g)} * ${dg(g)}")
+      .mkString(" + ")
+    val ssw = gs.map(g => s"(cast(cast(ss$g as string) as double)" +
+      s" - cast(cast(s$g as string) as double)" +
+      s" * cast(cast(s$g as string) as double) / cast(n$g as double))")
+      .mkString(" + ")
+    val outs =
+      gs.map(g => col(s"n$g")) ++
+        gs.map(g => col(s"s$g").cast(d38).cast("string").as(s"s$g")) ++
+        gs.map(g => col(s"ss$g").cast(d38).cast("string").as(s"ss$g")) ++
+      Seq(expr(s"$ssb").as("ssb"), expr(s"$ssw").as("ssw"),
+        expr(s"(($ssb) / 4.0) / (($ssw) / (($nAll) - 5.0))").as("f_stat"),
+        expr(s"($ssb) / (($ssb) + ($ssw))").as("eta2"))
+    m.select(outs: _*)
+  }
+
+  val anovaSql: String = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val gs = 1 to 5
+    val aggs = prios.zipWithIndex.flatMap { case (p, i) =>
+      val g = i + 1
+      Seq(
+        s"CAST(SUM(CASE WHEN p = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS n$g",
+        s"SUM(CAST(CASE WHEN p = '$p' THEN c ELSE 0 END AS HUGEINT)) AS s$g",
+        s"SUM(CAST(CASE WHEN p = '$p' THEN c ELSE 0 END AS HUGEINT) * c)" +
+          s" AS ss$g")
+    }.mkString(",\n      |    ")
+    val nAll = gs.map(g => s"CAST(n$g AS DOUBLE)").mkString(" + ")
+    val sAll = gs.map(g => s"CAST(CAST(s$g AS VARCHAR) AS DOUBLE)")
+      .mkString(" + ")
+    def dg(g: Int) =
+      s"(CAST(CAST(s$g AS VARCHAR) AS DOUBLE) / CAST(n$g AS DOUBLE)" +
+        s" - ($sAll) / ($nAll))"
+    val ssb = gs.map(g => s"CAST(n$g AS DOUBLE) * ${dg(g)} * ${dg(g)}")
+      .mkString(" + ")
+    val ssw = gs.map(g => s"(CAST(CAST(ss$g AS VARCHAR) AS DOUBLE)" +
+      s" - CAST(CAST(s$g AS VARCHAR) AS DOUBLE)" +
+      s" * CAST(CAST(s$g AS VARCHAR) AS DOUBLE)" +
+      s" / CAST(n$g AS DOUBLE))").mkString(" + ")
+    val nCols = gs.map(g => s"n$g").mkString(", ")
+    val sCols = gs.map(g => s"CAST(s$g AS VARCHAR) AS s$g").mkString(", ")
+    val ssCols = gs.map(g => s"CAST(ss$g AS VARCHAR) AS ss$g")
+      .mkString(", ")
+    s"""WITH m AS (
+      |  SELECT
+      |    $aggs
+      |  FROM (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS c,
+      |          o_orderpriority AS p
+      |        FROM orders))
+      |SELECT $nCols, $sCols, $ssCols,
+      |  $ssb AS ssb, $ssw AS ssw,
+      |  (($ssb) / 4.0) / (($ssw) / (($nAll) - 5.0)) AS f_stat,
+      |  ($ssb) / (($ssb) + ($ssw)) AS eta2
+      |FROM m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_runs_test" -> (runsTest _),
     "q_interpurchase" -> (interpurchase _),
@@ -1169,7 +1356,9 @@ object Insights {
     "q_spearman" -> (spearman _),
     "q_kendall" -> (kendall _),
     "q_emd" -> (emd _),
-    "q_crosscorr" -> (crosscorr _))
+    "q_crosscorr" -> (crosscorr _),
+    "q_welch_ttest" -> (welchTtest _),
+    "q_anova" -> (anova _))
 
   val oracles: Map[String, String] = Map(
     "q_runs_test" -> runsTestSql,
@@ -1185,5 +1374,7 @@ object Insights {
     "q_spearman" -> spearmanSql,
     "q_kendall" -> kendallSql,
     "q_emd" -> emdSql,
-    "q_crosscorr" -> crosscorrSql)
+    "q_crosscorr" -> crosscorrSql,
+    "q_welch_ttest" -> welchTtestSql,
+    "q_anova" -> anovaSql)
 }

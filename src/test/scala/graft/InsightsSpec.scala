@@ -345,6 +345,75 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("welch t-test: exact moments vs local BigInt recompute, t and df agree") {
+    import org.apache.spark.sql.functions._
+    val r = Insights.welchTtest(spark, sf).head
+    val raw = Tables.orders(spark, sf)
+      .select(graft.functions.Portable.cents(col("o_totalprice")).as("c"),
+        col("o_orderpriority").as("p"))
+      .collect()
+      .map(x => (x.getLong(0), Set("1-URGENT", "2-HIGH")(x.getString(1))))
+    val a = raw.filter(_._2).map(_._1)
+    val b = raw.filterNot(_._2).map(_._1)
+    assert(r.getAs[Long]("n_a") == a.length && r.getAs[Long]("n_b") == b.length)
+    assert(BigInt(r.getAs[String]("s_a")) == a.map(BigInt(_)).sum)
+    assert(BigInt(r.getAs[String]("ss_a")) ==
+      a.map(c => BigInt(c) * c).sum)
+    assert(BigInt(r.getAs[String]("ss_b")) ==
+      b.map(c => BigInt(c) * c).sum)
+    def vn(xs: Array[Long]) = {
+      val n = xs.length.toDouble
+      val m = xs.sum.toDouble / n
+      (xs.map(c => (c - m) * (c - m)).sum / (n - 1.0), n)
+    }
+    val (va, na) = vn(a); val (vb, nb) = vn(b)
+    val se2 = va / na + vb / nb
+    val tLocal = (a.sum.toDouble / na - b.sum.toDouble / nb) / math.sqrt(se2)
+    assert(math.abs(r.getAs[Double]("t_stat") - tLocal) < 1e-9 * math.abs(tLocal) + 1e-12)
+    val dfLocal = se2 * se2 /
+      ((va / na) * (va / na) / (na - 1.0) + (vb / nb) * (vb / nb) / (nb - 1.0))
+    assert(math.abs(r.getAs[Double]("df") - dfLocal) < 1e-6 * dfLocal)
+    // Welch df is bracketed by min single-arm df and the pooled df
+    assert(r.getAs[Double]("df") >= math.min(na, nb) - 1.0 - 1e-9)
+    assert(r.getAs[Double]("df") <= na + nb - 2.0 + 1e-9)
+  }
+
+  test("anova: group moments conserve, F from local recompute, eta2 in [0,1)") {
+    import org.apache.spark.sql.functions._
+    val r = Insights.anova(spark, sf).head
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val raw = Tables.orders(spark, sf)
+      .select(graft.functions.Portable.cents(col("o_totalprice")).as("c"),
+        col("o_orderpriority").as("p"))
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    val groups = prios.map(p => raw.filter(_._2 == p).map(_._1))
+    (1 to 5).foreach { g =>
+      assert(r.getAs[Long](s"n$g") == groups(g - 1).length)
+      assert(BigInt(r.getAs[String](s"s$g")) ==
+        groups(g - 1).map(BigInt(_)).sum)
+      assert(BigInt(r.getAs[String](s"ss$g")) ==
+        groups(g - 1).map(c => BigInt(c) * c).sum)
+    }
+    assert((1 to 5).map(g => r.getAs[Long](s"n$g")).sum == raw.length)
+    val grand = raw.map(_._1).sum.toDouble / raw.length
+    val ssbL = groups.map { xs =>
+      val m = xs.sum.toDouble / xs.length
+      xs.length * (m - grand) * (m - grand)
+    }.sum
+    val sswL = groups.map { xs =>
+      val m = xs.sum.toDouble / xs.length
+      xs.map(c => (c - m) * (c - m)).sum
+    }.sum
+    assert(math.abs(r.getAs[Double]("ssb") - ssbL) < 1e-6 * ssbL + 1e-3)
+    assert(math.abs(r.getAs[Double]("ssw") - sswL) < 1e-6 * sswL)
+    val fLocal = (ssbL / 4.0) / (sswL / (raw.length - 5.0))
+    assert(math.abs(r.getAs[Double]("f_stat") - fLocal) < 1e-6 * fLocal + 1e-9)
+    val eta2 = r.getAs[Double]("eta2")
+    assert(eta2 >= 0.0 && eta2 < 1.0)
+    assert(math.abs(eta2 - ssbL / (ssbL + sswL)) < 1e-6)
+  }
+
   test("orc source: round trip matches the parquet base aggregate") {
     val viaOrc = graft.sources.Sources.orcEventsAgg(spark, sf).collect()
     import org.apache.spark.sql.functions._
