@@ -1342,6 +1342,135 @@ object Insights {
       |FROM m""".stripMargin
   }
 
+  /** Theil–Sen robust trend + exact Mann–Kendall test on weekly revenue —
+    * the trend leg of the time-series health family (q_autocorr:
+    * persistence; q_changepoint: level shifts; q_runs_test: randomness;
+    * here: IS there a monotone drift, and how steep?). The Theil–Sen
+    * slope (median of all pairwise slopes) is 29%-breakdown robust where
+    * OLS ([[q_linreg]]'s family) is 0%-robust; Mann–Kendall is its
+    * hypothesis-test twin (S = #rising − #falling pairs).
+    *
+    * The corpus collapses map-side to the calendar-bounded weekly
+    * aggregate (|weeks| rows), and the O(weeks²) pair space (~59k pairs
+    * on this span — weeks², NOT corpus², at any corpus size) is built
+    * by exploding a sorted packed array broadcast from a 1-row
+    * aggregate — no cartesian node, no corpus-sized shuffle. The median
+    * slope is an exact ORDER STATISTIC (lower median, rank ⌈P/2⌉,
+    * (wi,wj) tie-break — never interpolated), selected by a window over
+    * the bounded pair grid. Slopes are doubles from exact-integer
+    * division (both engines divide the same ints — identical), the MK
+    * variance numerator 18·Var = n(n−1)(2n+5) − Σt(t−1)(2t+5) is exact
+    * integer with the full tie correction, and z is the single mirrored
+    * IEEE expression.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(spark, dir)
+      .select((datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long") / 7L).cast("long").as("wi"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy(col("wi"))
+      .agg(sum(col("c")).cast("bigint").as("rev"))
+    val packed = weekly
+      .agg(sort_array(collect_list(struct(col("wi"), col("rev"))))
+        .as("arr"))
+    val pairs = weekly.crossJoin(broadcast(packed))
+      .select(col("wi"), col("rev"),
+        explode(expr("filter(arr, x -> x.wi > wi)")).as("o"))
+      .select(col("wi"), col("rev"),
+        col("o.wi").as("wj"), col("o.rev").as("revj"))
+      .select(col("wi"), col("wj"),
+        (col("revj") - col("rev")).as("num"),
+        (col("wj") - col("wi")).as("den"))
+      .withColumn("slope",
+        col("num").cast("double") / col("den").cast("double"))
+    val w = Window.orderBy(col("slope"), col("wi"), col("wj"))
+    val med = pairs
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+      .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+      .select(col("n_pairs"), col("rk").cast("long").as("med_rank"),
+        col("num").as("med_num"), col("den").as("med_den"),
+        col("slope").as("slope_cents_per_week"))
+    val trend = pairs.agg(
+      sum(when(col("num") > 0L, 1L).otherwise(0L)).cast("bigint")
+        .as("n_pos"),
+      sum(when(col("num") === 0L, 1L).otherwise(0L)).cast("bigint")
+        .as("n_zero"),
+      sum(when(col("num") < 0L, 1L).otherwise(0L)).cast("bigint")
+        .as("n_neg"))
+    // tie term over equal-revenue groups (slope-0 ties): Σ t(t−1)(2t+5)
+    val ties = weekly.groupBy(col("rev"))
+      .agg(count(lit(1)).cast("bigint").as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+        .cast("bigint").as("tie18"))
+    val n = weekly.agg(count(lit(1)).cast("bigint").as("n_weeks"))
+    med.crossJoin(broadcast(trend)).crossJoin(broadcast(ties))
+      .crossJoin(broadcast(n))
+      .select(col("n_weeks"), col("n_pairs"), col("med_rank"),
+        col("med_num"), col("med_den"), col("slope_cents_per_week"),
+        col("n_pos"), col("n_zero"), col("n_neg"),
+        (col("n_pos") - col("n_neg")).as("mk_s"),
+        expr("n_weeks * (n_weeks - 1) * (2 * n_weeks + 5) - tie18")
+          .as("var18"),
+        expr("""(cast(n_pos - n_neg as double)
+          |  - cast(case when n_pos - n_neg > 0 then 1
+          |              when n_pos - n_neg < 0 then -1
+          |              else 0 end as double))
+          | / sqrt(cast(var18 as double) / 18.0)""".stripMargin
+          .replace("var18",
+            "(n_weeks * (n_weeks - 1) * (2 * n_weeks + 5) - tie18)"))
+          .as("z_mk"))
+  }
+
+  val theilSenSql: String =
+    """WITH weekly AS (
+      |  SELECT CAST(DATEDIFF('day', DATE '1970-01-01',
+      |           CAST(o_orderdate AS DATE)) // 7 AS BIGINT) AS wi,
+      |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.wi AS wi, b.wi AS wj,
+      |    b.rev - a.rev AS num, b.wi - a.wi AS den,
+      |    CAST(b.rev - a.rev AS DOUBLE) / CAST(b.wi - a.wi AS DOUBLE)
+      |      AS slope
+      |  FROM weekly a JOIN weekly b ON b.wi > a.wi),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY slope, wi, wj) AS rk,
+      |    COUNT(*) OVER () AS n_pairs
+      |  FROM pairs),
+      |med AS (
+      |  SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+      |    CAST(rk AS BIGINT) AS med_rank, num AS med_num,
+      |    den AS med_den, slope AS slope_cents_per_week
+      |  FROM ranked WHERE rk = (n_pairs + 1) // 2),
+      |trend AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN num > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_pos,
+      |    CAST(SUM(CASE WHEN num = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_zero,
+      |    CAST(SUM(CASE WHEN num < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_neg
+      |  FROM pairs),
+      |ties AS (
+      |  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+      |    AS BIGINT) AS tie18
+      |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+      |        FROM weekly GROUP BY rev)),
+      |nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks FROM weekly)
+      |SELECT n_weeks, n_pairs, med_rank, med_num, med_den,
+      |  slope_cents_per_week, n_pos, n_zero, n_neg,
+      |  n_pos - n_neg AS mk_s,
+      |  n_weeks * (n_weeks - 1) * (2 * n_weeks + 5) - tie18 AS var18,
+      |  (CAST(n_pos - n_neg AS DOUBLE)
+      |    - CAST(CASE WHEN n_pos - n_neg > 0 THEN 1
+      |                WHEN n_pos - n_neg < 0 THEN -1
+      |                ELSE 0 END AS DOUBLE))
+      |   / sqrt(CAST((n_weeks * (n_weeks - 1) * (2 * n_weeks + 5) - tie18)
+      |       AS DOUBLE) / 18.0) AS z_mk
+      |FROM med, trend, ties, nw""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_runs_test" -> (runsTest _),
     "q_interpurchase" -> (interpurchase _),
@@ -1358,7 +1487,8 @@ object Insights {
     "q_emd" -> (emd _),
     "q_crosscorr" -> (crosscorr _),
     "q_welch_ttest" -> (welchTtest _),
-    "q_anova" -> (anova _))
+    "q_anova" -> (anova _),
+    "q_theil_sen" -> (theilSen _))
 
   val oracles: Map[String, String] = Map(
     "q_runs_test" -> runsTestSql,
@@ -1376,5 +1506,6 @@ object Insights {
     "q_emd" -> emdSql,
     "q_crosscorr" -> crosscorrSql,
     "q_welch_ttest" -> welchTtestSql,
-    "q_anova" -> anovaSql)
+    "q_anova" -> anovaSql,
+    "q_theil_sen" -> theilSenSql)
 }

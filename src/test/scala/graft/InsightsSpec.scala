@@ -414,6 +414,46 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(eta2 - ssbL / (ssbL + sswL)) < 1e-6)
   }
 
+  test("theil-sen: brute-force pairwise recompute of median slope and MK test") {
+    import org.apache.spark.sql.functions._
+    val r = Insights.theilSen(spark, sf).head
+    val weekly = Tables.orders(spark, sf)
+      .select((datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long") / 7L).cast("long").as("wi"),
+        graft.functions.Portable.cents(col("o_totalprice")).as("c"))
+      .groupBy("wi").agg(sum(col("c")).cast("bigint").as("rev"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    val n = weekly.length
+    val pairs = for {
+      i <- weekly.indices; j <- i + 1 until n
+    } yield (weekly(i)._1, weekly(j)._1,
+      weekly(j)._2 - weekly(i)._2, weekly(j)._1 - weekly(i)._1)
+    assert(r.getAs[Long]("n_weeks") == n)
+    assert(r.getAs[Long]("n_pairs") == pairs.length)
+    assert(r.getAs[Long]("n_pairs") == n.toLong * (n - 1) / 2)
+    assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_zero")
+      + r.getAs[Long]("n_neg") == pairs.length)
+    assert(r.getAs[Long]("n_pos") == pairs.count(_._3 > 0))
+    assert(r.getAs[Long]("mk_s") ==
+      pairs.count(_._3 > 0).toLong - pairs.count(_._3 < 0))
+    // lower-median order statistic with (wi, wj) tie-break
+    val sorted = pairs.map(p => (p._3.toDouble / p._4, p._1, p._2, p._3, p._4))
+      .sortBy(t => (t._1, t._2, t._3))
+    val med = sorted((pairs.length + 1) / 2 - 1)
+    assert(r.getAs[Long]("med_num") == med._4)
+    assert(r.getAs[Long]("med_den") == med._5)
+    assert(r.getAs[Double]("slope_cents_per_week") == med._1)
+    // exact MK variance numerator with the tie correction
+    val tie18 = weekly.groupBy(_._2).map(_._2.length.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    assert(r.getAs[Long]("var18") ==
+      n.toLong * (n - 1) * (2L * n + 5) - tie18)
+    val s = r.getAs[Long]("mk_s")
+    val zLocal = (s.toDouble - math.signum(s.toDouble)) /
+      math.sqrt(r.getAs[Long]("var18").toDouble / 18.0)
+    assert(math.abs(r.getAs[Double]("z_mk") - zLocal) < 1e-12 * math.abs(zLocal).max(1.0))
+  }
+
   test("orc source: round trip matches the parquet base aggregate") {
     val viaOrc = graft.sources.Sources.orcEventsAgg(spark, sf).collect()
     import org.apache.spark.sql.functions._

@@ -63,7 +63,11 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_spearman" -> "global-window",
       // same <=5001-bucket ECDF walk as q_ks_test, plus a lead() over
       // the same bounded bucket set for the inter-bucket gap
-      "q_emd" -> "global-window")
+      "q_emd" -> "global-window",
+      // median-slope order statistic over the WEEKLY pair grid: rows =
+      // weeks·(weeks−1)/2 (calendar-bounded, ~59k on this span), the
+      // corpus collapses map-side to the weekly aggregate first
+      "q_theil_sen" -> "global-window")
     // a GLOBAL window is a Window node feeding from Exchange
     // SinglePartition (possibly through its Sort) — matching the node
     // STRUCTURE, not bare substrings: a runtime bloom-filter subquery
