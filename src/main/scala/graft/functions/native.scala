@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BpeTokenStats, CharNgramHashes, ColumnBridge, CosineSimilarity, HyperplaneBuckets, MinHashSignature, RollingHash, SimHash64, SortedIntersectCount}
+import org.apache.spark.sql.graft.{BpeTokenStats, CharNgramHashes, ColumnBridge, CosineSimilarity, DotProduct, HyperplaneBuckets, MinHashSignature, RollingHash, SimHash64, SortedIntersectCount}
 
 /** Column-API front for graft's native Catalyst expressions. */
 object native {
@@ -9,6 +9,12 @@ object native {
   /** Cosine similarity of two `array<double>` columns (codegen, one pass). */
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Inner product of two `array<double>` columns (codegen, one pass) —
+    * the MIPS scoring kernel.
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** 64-bit polynomial rolling hash of a string column (codegen). */
   def rollingHash(s: Column): Column =

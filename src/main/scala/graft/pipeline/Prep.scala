@@ -806,7 +806,69 @@ object Prep {
        |    // greatest(src_tokens * 1000000 // total_tokens, 1) AS boost_ppm
        |FROM t ORDER BY source""".stripMargin
 
+  /** Greedy token-budget curation: each source gets a budget of 60% of
+    * its own token mass, filled greedily down a deterministic quality
+    * ordering (information-density proxy: chars-per-token, doc_id
+    * tie-break) — the "keep the best N tokens per domain" step between
+    * scoring and mixture in a training-data pipeline (quality-pruning a
+    * la curriculum corpus selection, but BUDGETED in tokens, which is
+    * what the training run actually consumes, not in documents).
+    *
+    * Keep rule is the exact prefix knapsack: a doc survives iff the
+    * RUNNING token total through it (inclusive, in quality order) still
+    * fits the budget — all integer arithmetic (budget = tot·6 div 10),
+    * so the cut point is engine-exact. The window is source-partitioned
+    * (the documents-table prep discipline); the greedy prefix is
+    * inherently sequential per source, and at corpus scale the same
+    * plan holds per source-shard with budgets split proportionally.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), nTokens.as("n_tokens"),
+        expr("n_chars div " +
+          "(length(text) - length(replace(text, ' ', '')) + 1)")
+          .cast("bigint").as("density"))
+    val budgets = base.groupBy(col("source"))
+      .agg(expr("sum(n_tokens) * 6 div 10").cast("bigint").as("budget"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("density").desc, col("doc_id"))
+    base
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("bigint"))
+      .join(broadcast(budgets), Seq("source"))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("source"), col("doc_id"), col("rk"), col("density"),
+        col("n_tokens"), col("cum_tokens"), col("budget"))
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH base AS (
+      |  SELECT source, doc_id, $nTokensSql AS n_tokens,
+      |    CAST(n_chars // $nTokensSql AS BIGINT) AS density
+      |  FROM documents),
+      |budgets AS (
+      |  SELECT source,
+      |    CAST(SUM(n_tokens) * 6 // 10 AS BIGINT) AS budget
+      |  FROM base GROUP BY 1),
+      |walked AS (
+      |  SELECT source, doc_id, density, n_tokens,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY density DESC, doc_id) AS BIGINT) AS rk,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY density DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM base)
+      |SELECT w.source, doc_id, rk, density,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens, budget
+      |FROM walked w JOIN budgets b ON w.source = b.source
+      |WHERE cum_tokens <= budget""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_token_budget" -> (tokenBudget _),
     "mixture_temperature" -> (mixtureTemperature _),
     "doc_domain_weight" -> (domainWeight _),
     "dataset_profile" -> (datasetProfile _),
@@ -828,6 +890,7 @@ object Prep {
     "doc_length_trim" -> (lengthTrim _))
 
   val oracles: Map[String, String] = Map(
+    "doc_token_budget" -> tokenBudgetSql,
     "mixture_temperature" -> mixtureTemperatureSql,
     "doc_domain_weight" -> domainWeightSql,
     "dataset_profile" -> datasetProfileSql,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graft.{BpeTokenStats, CosineSimilarity, RollingHash, SimHash64, TopKRewriteRule, TopKStrategy}
+import org.apache.spark.sql.graft.{BpeTokenStats, CosineSimilarity, DotProduct, RollingHash, SimHash64, TopKRewriteRule, TopKStrategy}
 
 /** SparkSessionExtensions wiring: exposes graft's native expressions as SQL
   * functions (`spark.sql.extensions=graft.plans.GraftExtensions` or
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two double arrays"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - inner product of two double arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(s) - 64-bit polynomial content hash"),

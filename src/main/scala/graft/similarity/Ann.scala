@@ -46,6 +46,49 @@ object Ann {
       | WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id) t
       |WHERE rank <= 5""".stripMargin
 
+  /** MIPS top-k: maximum INNER PRODUCT search for the 20-query panel —
+    * the scoring two-tower retrieval actually ranks by: un-normalized
+    * q·c, where the candidate norm carries popularity/confidence signal
+    * that cosine's normalization destroys (so the cosine top-k and the
+    * MIPS top-k genuinely differ on the same corpus). Scored by the
+    * codegen [[graft.functions.native.dotProduct]] kernel (sequential
+    * index-order accumulation — bit-identical to DuckDB's
+    * list_inner_product); ranked per query by the key-partitioned
+    * window with id tie-break, ids-and-rank output (the [[topk]]
+    * float-free hash discipline).
+    *
+    * Scale: the panel side is a fixed 20-row broadcast; the corpus side
+    * streams map-side only. At corpus scale the same scoring drops into
+    * the IVF cell-routed candidate join ([[topkIvf]]) after the
+    * standard MIPS→NN reduction (augment candidates with
+    * sqrt(M²−‖c‖²) where M = max‖c‖ and queries with 0 — inner-product
+    * order becomes cosine order, so every cosine ANN route applies
+    * unchanged).
+    */
+  def mipsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("emb").as("ea"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("ip", native.dotProduct(col("ea"), col("eb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  val mipsTopkSql: String =
+    """SELECT query_id, neighbor_id, rank FROM (
+      | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |    ORDER BY list_inner_product(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+      | FROM embeddings q, embeddings c
+      | WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id) t
+      |WHERE rank <= 5""".stripMargin
+
   /** Exact k-NN graph: every vector's 5 nearest neighbors by cosine — the
     * all-queries generalization of [[topk]], and the substrate for graph
     * analytics over a corpus (kNN-graph clustering, link-based curation).
@@ -1535,6 +1578,7 @@ object Ann {
     "ann_topk_ivfpq" -> (topkIvfPq _),
     "ann_recall_eval" -> (recallEval _),
     "ann_topk" -> (topk _),
+    "ann_mips" -> (mipsTopk _),
     "emb_knn_graph" -> (knnGraph _),
     "emb_knn_graph_ivf" -> (knnGraphIvf _),
     "emb_kmeans" -> (kmeans _),
@@ -1555,6 +1599,7 @@ object Ann {
     "emb_assign" -> assignCentroidsSql,
     "emb_semdedup" -> semDedupSql,
     "ann_topk" -> topkSql,
+    "ann_mips" -> mipsTopkSql,
     "emb_knn_graph" -> knnGraphSql,
     "emb_outliers" -> outliersSql,
     "emb_knn_graph_ivf" -> knnGraphIvfSql,

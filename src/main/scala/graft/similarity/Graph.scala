@@ -620,7 +620,65 @@ object Graph {
        |    / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS assortativity
        |FROM m""".stripMargin
 
+  /** Resource-allocation link prediction: the top 50 NON-edges most
+    * likely to be real similarity links, scored by the RA index
+    * Σ_w 1/deg(w) over common neighbors w — the strongest of the
+    * classic local link predictors (Zhou–Lü–Zhang 2009), and unlike
+    * Adamic–Adar's 1/ln(deg) it needs NO logarithm: per-wedge-center
+    * 1e6 div deg(w) is exact integer arithmetic, so the whole score
+    * hash-checks (the graph-family discipline — integer counts or a
+    * terminal division, never libm).
+    *
+    * In a curation pipeline this is the "holes in the near-dup graph"
+    * audit: a high-RA non-edge is a pair the kNN build MISSED (k too
+    * small, or IVF routing split a tight cluster across cells).
+    *
+    * Scale shape: wedges are bounded by Σ_w deg(w)² ≤ |V|·(2k)² (the
+    * clusterCoeff argument); the candidate set joins anti against the
+    * edge set on (u,v); the global top-50 is TakeOrderedAndProject
+    * (distributed heap per partition, never a single-partition window)
+    * with a full deterministic ordering on exact integers.
+    */
+  def raLinkpred(spark: SparkSession, dir: String): DataFrame =
+    raLinkpredOf(edges(spark, dir))
+
+  def raLinkpredOf(edgeSrc: DataFrame): DataFrame = {
+    val e = edgeSrc.cutLineage()
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    val wedges = adj.select(col("src").as("w"), col("dst").as("u"))
+      .join(adj.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+      .join(deg.select(col("src").as("w"), col("degree")), Seq("w"))
+    wedges
+      .join(e, Seq("u", "v"), "left_anti")
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).cast("bigint").as("common_neighbors"),
+        sum(expr("1000000 div degree")).cast("bigint").as("ra_ppm"))
+      .orderBy(col("ra_ppm").desc, col("common_neighbors").desc,
+        col("u"), col("v"))
+      .limit(50)
+  }
+
+  val raLinkpredSql: String =
+    s"""$edgeCtes,
+       |wedges AS (
+       |  SELECT a.dst AS u, b.dst AS v, deg.degree
+       |  FROM adj a JOIN adj b ON a.src = b.src AND a.dst < b.dst
+       |  JOIN deg ON deg.vec_id = a.src),
+       |cand AS (
+       |  SELECT w.u, w.v,
+       |    CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+       |    CAST(SUM(1000000 // degree) AS BIGINT) AS ra_ppm
+       |  FROM wedges w ANTI JOIN e ON w.u = e.u AND w.v = e.v
+       |  GROUP BY 1, 2)
+       |SELECT u, v, common_neighbors, ra_ppm FROM cand
+       |ORDER BY ra_ppm DESC, common_neighbors DESC, u, v
+       |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_ra_linkpred" -> (raLinkpred _),
     "emb_cosine_hist" -> (cosineHist _),
     "graph_assortativity" -> (assortativity _),
     "graph_reach" -> (reach _),
@@ -633,6 +691,7 @@ object Graph {
     "graph_kcore" -> (kcore _))
 
   val oracles: Map[String, String] = Map(
+    "graph_ra_linkpred" -> raLinkpredSql,
     "emb_cosine_hist" -> cosineHistSql,
     "graph_assortativity" -> assortativitySql,
     "graph_reach" -> reachSql,

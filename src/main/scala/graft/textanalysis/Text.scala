@@ -952,7 +952,60 @@ object Text {
       |    AS BIGINT) * 1000000 // COUNT(*) AS novelty_ppm
       |FROM gr JOIN f USING (g) GROUP BY 1""".stripMargin
 
+  /** Corpus Zipf profile: the top-100 rank–frequency curve with the
+    * per-rank Zipf product r·f(r) — for natural language the product is
+    * roughly CONSTANT (Zipf's law), and a corpus whose head deviates
+    * hard from that (flat product curve = synthetic/over-deduped head;
+    * exploding product = boilerplate flooding) fails the distributional
+    * sanity check BEFORE any model sees it. The libm-free profile:
+    * no log-log fit, the raw products and ppm shares (exact integer
+    * division) carry the same diagnostic, engine-exact.
+    *
+    * Scale shape: the corpus collapses map-side to the |vocab|-sized
+    * term-frequency aggregate (the text_vocab_coverage argument —
+    * vocab ≪ corpus tokens at any scale); the rank window walks that
+    * aggregate, never corpus rows; head totals broadcast from 1-row
+    * aggregates.
+    */
+  def zipf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val tot = tf.agg(sum(col("cnt")).cast("bigint").as("n_tokens"),
+      max(col("cnt")).cast("bigint").as("c1"))
+    val w = Window.orderBy(col("cnt").desc, col("term"))
+    tf.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 100)
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("term"), col("cnt").cast("bigint").as("cnt"),
+        expr("cnt * 1000000 div n_tokens").cast("bigint").as("share_ppm"),
+        expr("cnt * 1000000 div c1").cast("bigint").as("ratio_vs_top_ppm"),
+        expr("rank * cnt").cast("bigint").as("zipf_product"))
+  }
+
+  val zipfSql: String =
+    """WITH tf AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |    CAST(MAX(cnt) AS BIGINT) AS c1 FROM tf),
+      |ranked AS (
+      |  SELECT term, cnt,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT)
+      |      AS rank
+      |  FROM tf)
+      |SELECT rank, term, cnt,
+      |  CAST(cnt * 1000000 // n_tokens AS BIGINT) AS share_ppm,
+      |  CAST(cnt * 1000000 // c1 AS BIGINT) AS ratio_vs_top_ppm,
+      |  CAST(rank * cnt AS BIGINT) AS zipf_product
+      |FROM ranked, tot WHERE rank <= 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf" -> (zipf _),
     "text_novelty" -> (novelty _),
     "text_containment" -> (containment _),
     "text_domain_shift" -> (domainShift _),
@@ -975,6 +1028,7 @@ object Text {
     "text_bpe_tokens" -> (bpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "text_zipf" -> zipfSql,
     "text_novelty" -> noveltySql,
     "text_containment" -> containmentSql,
     "text_tfidf" -> tfidfSql,
