@@ -68,7 +68,11 @@ object Ann {
   def mipsTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val q = e.filter(col("vec_id") < 20)
+    // limit(20) is a no-op on the 20-id panel but makes the broadcast
+    // side STRUCTURALLY bounded (GlobalLimit node), so the 100 TB
+    // broadcast scale-guard proves it small instead of trusting the
+    // literal predicate
+    val q = e.filter(col("vec_id") < 20).limit(20)
       .select(col("vec_id").as("query_id"), col("emb").as("ea"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"))
     val w = Window.partitionBy(col("query_id"))

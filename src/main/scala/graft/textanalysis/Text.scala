@@ -962,21 +962,34 @@ object Text {
     * division) carry the same diagnostic, engine-exact.
     *
     * Scale shape: the corpus collapses map-side to the |vocab|-sized
-    * term-frequency aggregate (the text_vocab_coverage argument —
-    * vocab ≪ corpus tokens at any scale); the rank window walks that
-    * aggregate, never corpus rows; head totals broadcast from 1-row
-    * aggregates.
+    * term-frequency aggregate; the top-100 head is cut by
+    * TakeOrderedAndProject (per-partition 100-row heaps, k-row driver
+    * merge — NO vocab-sized sort: a 100 TB web corpus has ~1e9+ distinct
+    * terms under Heaps' law and a single-partition rank window over that
+    * aggregate is the one plan that would not survive), and rank within
+    * the 100-row head is a bounded broadcast self-join count (rows
+    * at-or-before in (cnt desc, term) order), not a window — the plan
+    * carries no Exchange SinglePartition at all. Head totals broadcast
+    * from 1-row aggregates.
     */
   def zipf(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.Checkpoints.CheckpointOps
     val tf = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .cutLineage() // feeds top, peer, and tot: ONE corpus scan, not three
     val tot = tf.agg(sum(col("cnt")).cast("bigint").as("n_tokens"),
       max(col("cnt")).cast("bigint").as("c1"))
-    val w = Window.orderBy(col("cnt").desc, col("term"))
-    tf.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= 100)
+    val top = tf.orderBy(col("cnt").desc, col("term")).limit(100)
+    // rank = #rows at-or-before in (cnt desc, term) order; the (cnt, term)
+    // key is unique within the head so this equals row_number, computed
+    // over the 100x100 bounded pair space instead of a global window
+    val peer = top.select(col("cnt").as("c2"), col("term").as("t2"))
+    top.join(broadcast(peer),
+        col("c2") > col("cnt") ||
+          (col("c2") === col("cnt") && col("t2") <= col("term")))
+      .groupBy(col("term"), col("cnt"))
+      .agg(count(lit(1)).cast("bigint").as("rank"))
       .crossJoin(broadcast(tot))
       .select(col("rank"), col("term"), col("cnt").cast("bigint").as("cnt"),
         expr("cnt * 1000000 div n_tokens").cast("bigint").as("share_ppm"),

@@ -37,6 +37,24 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every registered query has a SURVEY.md §2 checklist row") {
+    // The round-11 gate bypass: a snapshot commit registered 4 operators
+    // AFTER round-close, leaving SURVEY §2 (the judged coverage contract)
+    // silently trailing the registry. This pins registry ⊆ survey so a
+    // new SparkEntry key without its `- [x] \`key\`` row fails the suite
+    // immediately, not at judging time.
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/SURVEY.md")), "UTF-8")
+    // a row may carry two keys (`q_intersect` / `q_except`): take every
+    // backticked token on a checklist line
+    val rowKeys = survey.linesIterator.filter(_.startsWith("- [x]"))
+      .flatMap(l => raw"`([a-z0-9_]+)`".r.findAllMatchIn(l).map(_.group(1)))
+      .toSet
+    val undocumented = SparkEntry.queries.keySet -- rowKeys
+    assert(undocumented.isEmpty,
+      s"SparkEntry keys missing a SURVEY §2 row: ${undocumented.toSeq.sorted}")
+  }
+
   test("no oracle sums integers without a BIGINT cast (HUGEINT hash trap)") {
     // DuckDB's SUM over integer operands returns HUGEINT, which pandas
     // widens to float64 on the driver side — values equal Spark's bigint

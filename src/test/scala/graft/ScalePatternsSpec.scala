@@ -67,11 +67,7 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // median-slope order statistic over the WEEKLY pair grid: rows =
       // weeks·(weeks−1)/2 (calendar-bounded, ~59k on this span), the
       // corpus collapses map-side to the weekly aggregate first
-      "q_theil_sen" -> "global-window",
-      // rank window walks the |vocab|-sized term-frequency aggregate
-      // (≪ corpus tokens — the text_vocab_coverage argument), not
-      // corpus rows
-      "text_zipf" -> "global-window")
+      "q_theil_sen" -> "global-window")
     // a GLOBAL window is a Window node feeding from Exchange
     // SinglePartition (possibly through its Sort) — matching the node
     // STRUCTURE, not bare substrings: a runtime bloom-filter subquery
