@@ -712,13 +712,24 @@ object Blobs {
           val n = reader.getNumImages(true)
           (0 until n).map { f =>
             val dec = reader.read(f)
+            // read raw raster samples and map through the palette
+            // explicitly (not getRGB): getRGB goes through the full
+            // ColorModel sRGB conversion, so exactness would hinge on the
+            // JDK writer emitting an identity gray palette; the direct
+            // IndexColorModel lookup is lossless for any palette
+            val raster = dec.getRaster
+            val palette = dec.getColorModel match {
+              case icm: java.awt.image.IndexColorModel => Some(icm)
+              case _ => None
+            }
             var sum = 0L; var mn = 255; var mx = 0; var exact = true
             val exp = frames(f)
             var y = 0
             while (y < 8) {
               var x = 0
               while (x < 8) {
-                val v = dec.getRGB(x, y) & 0xff
+                val s = raster.getSample(x, y, 0)
+                val v = palette.fold(s & 0xff)(_.getRed(s) & 0xff)
                 sum += v; if (v < mn) mn = v; if (v > mx) mx = v
                 if (v != (exp(y * 8 + x) & 0xff)) exact = false
                 x += 1

@@ -739,9 +739,10 @@ object Insights {
       |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS emd_dollars
       |FROM m""".stripMargin
 
-  /** Lagged cross-correlation — does today's order VOLUME predict
-    * revenue k days out? Pearson correlation between the daily revenue
-    * series and the daily order-count series at lags 0..7, the
+  /** Lagged cross-correlation — does today's REVENUE predict order
+    * volume k days out? (Revenue at day d is paired with order count at
+    * day d+k, i.e. revenue leads.) Pearson correlation between the daily
+    * revenue series and the daily order-count series at lags 0..7, the
     * lead-lag diagnostic behind forecasting-feature selection (and the
     * bivariate companion of [[Analytics.autocorr]]'s univariate ACF).
     *

@@ -55,7 +55,12 @@ object Ann {
     * index-order accumulation — bit-identical to DuckDB's
     * list_inner_product); ranked per query by the key-partitioned
     * window with id tie-break, ids-and-rank output (the [[topk]]
-    * float-free hash discipline).
+    * float-free hash discipline). Cross-engine rank stability rests on
+    * that accumulation-order identity: the raw-double scores themselves
+    * never reach the output, but a 1-ulp near-tie between two CANDIDATES
+    * would flip ranks if either engine re-ordered the sum — the same
+    * declared fragility class as the cosine [[topk]], safe here because
+    * both kernels are pinned to sequential index order.
     *
     * Scale: the panel side is a fixed 20-row broadcast; the corpus side
     * streams map-side only. At corpus scale the same scoring drops into

@@ -86,7 +86,11 @@ object LatencyFs {
     */
   private class CountingStream(inner: FSDataInputStream, readMs: Long)
       extends java.io.InputStream with Seekable with PositionedReadable {
-    override def read(): Int = inner.read()
+    override def read(): Int = {
+      val v = inner.read()
+      if (v >= 0) bytesRead.incrementAndGet()
+      v
+    }
     override def read(b: Array[Byte], off: Int, len: Int): Int = {
       val n = inner.read(b, off, len)
       if (n > 0) bytesRead.addAndGet(n)

@@ -30,7 +30,12 @@ def main(argv):
     caps = [json.load(open(p)) for p in paths]
     # captures carrying prior floors are exactly those that already have a
     # floor_of list (a merged floor); fresh solo captures don't
-    fresh = [c for c in caps if "floor_of" not in c] or caps
+    fresh = [c for c in caps if "floor_of" not in c]
+    if rebase:
+        # --rebase against only previously-merged floors would silently
+        # min over the old, intentionally-unattainable values (a no-op)
+        assert fresh, "--rebase given but every input is a merged floor"
+    fresh = fresh or caps
     missing = {n for n in rebase if not any(n in c["queries"] for c in fresh)}
     assert not missing, f"--rebase keys absent from fresh captures: {missing}"
     base = dict(caps[-1])  # newest capture's metadata (sf, cpus, ...)
