@@ -417,6 +417,39 @@ object Events {
           col("n_val") * 10, lit(0L)).as("median_excess"))
   }
 
+  /** RAW sketch diagnostics behind [[approxAgg]]'s contract booleans
+    * (r9–r11 advice, completed r12): the un-clamped HLL relative error
+    * and approx-median rank fraction in ppm, next to both estimates.
+    * These are ENGINE-SPECIFIC by design — Spark's HLL++ and DuckDB's
+    * HLL produce different (both in-bound) estimates on the same data,
+    * and each engine's rank fraction is measured against its own median
+    * sketch — so this query is deliberately NOT oracled (rows-only
+    * check): a hash would compare two sketches that are specified to
+    * differ. The hash-checked contract stays in [[approxAgg]]; this is
+    * the magnifying glass you read when an excess column goes non-zero.
+    */
+  def approxAggDiag(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val sketches = e.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        expr("approx_percentile(value, 0.5)").as("approx_median"))
+    val rank = e
+      .join(broadcast(sketches.select(col("event_type"), col("approx_median"))),
+        Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("value") <= col("approx_median"), 1L).otherwise(0L)).as("n_le"),
+        count(col("value")).as("n_val"))
+    exact.join(sketches, Seq("event_type")).join(rank, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"), col("approx_users"),
+        expr("abs(approx_users - exact_users) * 1000000 div exact_users")
+          .as("hll_err_ppm"),
+        col("approx_median"),
+        expr("n_le * 1000000 div n_val").as("median_rank_ppm"))
+      .orderBy(col("event_type"))
+  }
+
   val approxAggSql: String =
     """WITH sk AS (
       |  SELECT event_type, approx_count_distinct(user_id) AS au,
@@ -1905,6 +1938,7 @@ object Events {
     "q_cohort" -> (cohort _),
     "q_json_extract" -> (jsonExtract _),
     "q_approx_agg" -> (approxAgg _),
+    "q_approx_agg_diag" -> (approxAggDiag _),
     "q_sample_agg" -> (sampleAgg _),
     "ref_full_scan" -> (refFullScan _),
     "ref_filter" -> (refFilter _),
