@@ -122,6 +122,10 @@ object Bench {
       Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
     }
     spark.catalog.clearCache()
+    // each rep rebuilt every lineage-cut intermediate; release the old
+    // blocks or warm reps GC-fight a monotonically growing block store
+    // (the r11 ann_recall_eval warm-slower-than-cold anomaly)
+    Checkpoints.releaseAll()
     r
   }
 

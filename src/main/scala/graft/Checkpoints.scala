@@ -53,7 +53,38 @@ object Checkpoints {
     if (reliable(spark)) {
       ensureCheckpointDir(spark)
       df.checkpoint()
-    } else df.localCheckpoint()
+    } else {
+      val out = df.localCheckpoint()
+      out.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => live.add(l.rdd)
+      }
+      out
+    }
+  }
+
+  private val live =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** Unpersists every local-checkpoint block [[cut]] has materialized so
+    * far. A local checkpoint TRUNCATES lineage, so its blocks can never
+    * be recomputed: without this, every re-execution of a checkpointing
+    * query leaks its intermediates into executor memory for the life of
+    * the session — measured r11 as the ann_recall_eval
+    * warm-SLOWER-than-cold anomaly at the 2M-vector corpus (57 s cold →
+    * 102 s warm: each warm rep re-materialized the IVF cell/LSH stages
+    * on top of the last rep's still-pinned blocks, and GC fought the
+    * growing block store). Harness seams (Bench between reps, Verify
+    * between queries, TimeOne between runs) call this at points where no
+    * in-flight DataFrame can still reference the old blocks; NEVER call
+    * it while a DataFrame built before the call might still be executed —
+    * a released local checkpoint cannot be rebuilt.
+    */
+  def releaseAll(): Unit = {
+    var r = live.poll()
+    while (r != null) {
+      r.unpersist(blocking = false)
+      r = live.poll()
+    }
   }
 
   implicit class CheckpointOps(private val df: DataFrame) extends AnyVal {

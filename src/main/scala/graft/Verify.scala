@@ -25,6 +25,10 @@ object Verify {
         System.err.println(s"[verify] $name FAILED: $msg")
         Files.writeString(Paths.get(s"$outDir/$name.err"), msg + "\n")
         Some(name -> msg)
+      } finally {
+        // the dump is complete; drop this query's lineage-cut blocks so
+        // 233 sequential queries don't pool their intermediates
+        Checkpoints.releaseAll()
       }
     }
   }

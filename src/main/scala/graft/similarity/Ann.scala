@@ -193,41 +193,114 @@ object Ann {
     members.join(broadcast(hot), Seq("cell"), "left_anti").unionByName(kept)
   }
 
-  /** maxCell = 2000, the bounded-work budget (r11): the coarse quantizer
-    * here is the bounded label domain, so per-cell membership grows
-    * LINEARLY with the corpus and the cell-routed candidate volume grows
-    * QUADRATICALLY — measured r11: 200k vectors (40k members/cell,
-    * ~1.6e10 cosines) did not finish in 25 min on 32 cores; the same
-    * corpus under the cap (2000 centroid-closest members/cell, ~8e8
-    * cosines) completes in minutes and scales linearly from there. The
-    * cap never binds at the oracle SFs (≤ 400 members/cell at sf0.1), so
-    * results and the DuckDB mirror are unchanged where checked; at
-    * capped scale the recall/work tradeoff moves to the production knob:
-    * a corpus-scaled centroid count (k ≈ n/2000 via [[kmeans]]-style
-    * quantizers, hierarchical above ~10⁵ cells) instead of a deeper cap.
+  /** Corpus-scaled coarse quantizer — the production knob r11's addendum
+    * 7 documented as prose, implemented round 12. Returns each vector's
+    * `maxRn` nearest coarse cells as (vec_id, cell, rn, dist_sq); exact
+    * BIGINT distances over round(x·1e6) coordinates throughout, so every
+    * routing decision is deterministic and engine-replayable.
+    *
+    * Cell count scales with the corpus instead of letting per-cell
+    * membership grow linearly (which makes cell-routed candidate volume
+    * QUADRATIC — the r11 measured blow-up that [[capCells]] bounds): the
+    * |labels| seed cells split through `levels` =
+    * ceil(log2(n / (|labels|·targetCell))) deterministic bisecting
+    * rounds — level i splits every cell on
+    * sign(x[i mod dims] − cellMean[i mod dims]), a k-d bisection with
+    * exact integer means, no trained state. Routing is a BEAM DESCENT of
+    * that tree: rank the label roots, then at each level rank the
+    * 2·maxRn children of the surviving beam — n·levels·2·maxRn centroid
+    * distances instead of the flat n·k that would re-introduce the
+    * quadratic the split removes.
+    *
+    * At the oracle SFs levels = 0 and this IS the label quantizer —
+    * values bit-identical to the r7–r11 assignCentroids routing (same
+    * quantization, same floor(sum/n+0.5) centroid, same (dist, cell)
+    * tie-break) — so the DuckDB replays of [[knnGraphIvf]] / [[topkIvf]]
+    * hold unchanged; above the activation point membership per cell
+    * stays near targetCell and [[capCells]] becomes the skew safety net
+    * it was meant to be instead of a recall tax. Output is lineage-cut
+    * (it feeds both sides of the cell-routed join in every caller).
+    */
+  private[graft] def coarseCells(spark: SparkSession, dir: String,
+      maxRn: Int, targetCell: Int = 2000): DataFrame = {
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"),
+      col("label").cast("bigint").as("label"),
+      expr("transform(cast(embedding as array<double>), v -> cast(round(v * 1000000.0) as bigint))")
+        .as("ie"))
+    val dims = base.select(size(col("ie"))).head.getInt(0)
+    val n = base.count()
+    val nLabels = base.select(col("label")).distinct().count()
+    val levels = math.max(0, math.ceil(math.log(
+      n.toDouble / (nLabels.toDouble * targetCell)) / math.log(2.0)).toInt)
+    val dist = expr(
+      "aggregate(zip_with(ie, cent, (a, b) -> (a - b) * (a - b)), cast(0 as bigint), (acc, x) -> acc + x)")
+    def rankBeam(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist_sq"), col("ccell"))
+      cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= maxRn)
+        .select(col("vec_id"), col("ccell").as("cell"), col("rn"), col("dist_sq"))
+    }
+    // home path: `levels` bisecting rounds (no-op loop at oracle SFs)
+    var home = base.select(col("vec_id"), col("label").as("cell"))
+    for (i <- 0 until levels) {
+      val slice = base
+        .select(col("vec_id"), expr(s"element_at(ie, ${i % dims + 1})").as("xi"))
+        .join(home, Seq("vec_id"))
+        .cutLineage() // feeds the mean and the split; pins membership
+      val m = slice.groupBy(col("cell"))
+        .agg(expr("cast(floor(cast(sum(xi) as double) / count(1) + 0.5) as bigint)").as("m"))
+      home = slice.join(broadcast(m), Seq("cell"))
+        .select(col("vec_id"),
+          (col("cell") * 2 + when(col("xi") >= col("m"), 1L).otherwise(0L)).as("cell"))
+    }
+    // one n×dims pass for per-dim leaf sums; every level's centroid
+    // table (bounded: ≤ 2^level·|labels| rows of dims-element arrays)
+    // rolls up from these — never a second corpus pass per level
+    val leafStats = base.join(home, Seq("vec_id"))
+      .select(col("cell"), posexplode(col("ie")).as(Seq("dim", "xi")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(col("xi")).as("s"), count(lit(1)).as("c"))
+      .cutLineage()
+    def centAt(level: Int): DataFrame = {
+      val div = 1L << (levels - level)
+      leafStats.groupBy(expr(s"cell div $div").as("ccell"), col("dim"))
+        .agg(expr("cast(floor(cast(sum(s) as double) / sum(c) + 0.5) as bigint)").as("cq"))
+        .groupBy(col("ccell"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cq))), t -> t.cq)").as("cent"))
+    }
+    var beam = rankBeam(base.select(col("vec_id"), col("ie"))
+      .crossJoin(broadcast(centAt(0))).withColumn("dist_sq", dist)).cutLineage()
+    for (i <- 1 to levels) {
+      val cand = beam
+        .select(col("vec_id"),
+          explode(array(col("cell") * 2, col("cell") * 2 + 1)).as("ccell"))
+        .join(base.select(col("vec_id"), col("ie")), Seq("vec_id"))
+        .join(broadcast(centAt(i)), Seq("ccell"))
+        .withColumn("dist_sq", dist)
+      beam = rankBeam(cand).cutLineage()
+    }
+    beam
+  }
+
+  /** maxCell = 2000, the bounded-work budget (r11): with a FIXED cell
+    * count, per-cell membership grows LINEARLY with the corpus and the
+    * cell-routed candidate volume grows QUADRATICALLY — measured r11:
+    * 200k vectors (40k members/cell, ~1.6e10 cosines) did not finish in
+    * 25 min on 32 cores; the same corpus under the cap (2000
+    * centroid-closest members/cell, ~8e8 cosines) completes in minutes.
+    * Since round 12 the PRIMARY defense is [[coarseCells]]' corpus-scaled
+    * cell count (levels of bisecting splits keep expected membership near
+    * targetCell, so candidate volume scales linearly by construction);
+    * the cap remains as the skew guard for power-law hot cells. Neither
+    * binds at the oracle SFs (≤ 400 members/cell at sf0.1, levels = 0),
+    * so results and the DuckDB mirror are unchanged where checked.
     */
   def knnGraphIvf(spark: SparkSession, dir: String): DataFrame =
     knnGraphIvfTuned(spark, dir, probes = 2, replicas = 2, maxCell = 2000)
 
   private[graft] def knnGraphIvfTuned(spark: SparkSession, dir: String,
-      probes: Int, replicas: Int, maxCell: Int): DataFrame = {
-    val x = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
-      .toDF("vec_id", "dim", "v")
-      .select(col("vec_id"), col("dim"),
-        expr("cast(round(v * 1000000.0) as bigint)").as("xi"))
-    val lbl = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
-    val cent = x.join(lbl, "vec_id")
-      .groupBy(col("label").as("c_label"), col("dim"))
-      .agg(expr("cast(floor(cast(sum(xi) as double) / count(1) + 0.5) as bigint)").as("cq"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist_sq"), col("c_label"))
-    val cells = x.join(broadcast(cent), Seq("dim"))
-      .groupBy(col("vec_id"), col("c_label"))
-      .agg(sum(expr("(xi - cq) * (xi - cq)")).as("dist_sq"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= math.max(probes, replicas))
-      .select(col("vec_id"), col("c_label").as("cell"), col("rn"), col("dist_sq"))
-      .cutLineage() // feeds both sides of the cell-routed join
+      probes: Int, replicas: Int, maxCell: Int,
+      targetCell: Int = 2000): DataFrame = {
+    val cells = coarseCells(spark, dir, math.max(probes, replicas), targetCell)
     val members = capCells(cells.filter(col("rn") <= replicas),
       maxCell, "ivf_cell_cap")
     val e = Tables.embeddings(spark, dir)
@@ -456,23 +529,10 @@ object Ann {
   def topkIvf(spark: SparkSession, dir: String): DataFrame = {
     val nProbe = 3
     val replicas = 2
-    val x = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
-      .toDF("vec_id", "dim", "v")
-      .select(col("vec_id"), col("dim"),
-        expr("cast(round(v * 1000000.0) as bigint)").as("xi"))
-    val lbl = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
-    val cent = x.join(lbl, "vec_id")
-      .groupBy(col("label").as("c_label"), col("dim"))
-      .agg(expr("cast(floor(cast(sum(xi) as double) / count(1) + 0.5) as bigint)").as("cq"))
-    val cw = Window.partitionBy(col("vec_id")).orderBy(col("dist_sq"), col("c_label"))
-    val cells = x.join(broadcast(cent), Seq("dim"))
-      .groupBy(col("vec_id"), col("c_label"))
-      .agg(sum(expr("(xi - cq) * (xi - cq)")).as("dist_sq"))
-      .withColumn("rn", row_number().over(cw))
-      .filter(col("rn") <= math.max(nProbe, replicas))
-      .select(col("vec_id"), col("c_label").as("cell"), col("rn"))
-      .cutLineage() // feeds both sides of the cell-routed join
+    // corpus-scaled quantizer (round 12): label cells at oracle SFs,
+    // hierarchical bisecting cells above the activation point
+    val cells = coarseCells(spark, dir, math.max(nProbe, replicas))
+      .select(col("vec_id"), col("cell"), col("rn"))
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val cand = cells.filter(col("vec_id") < 20 && col("rn") <= nProbe)

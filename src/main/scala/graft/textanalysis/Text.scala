@@ -394,14 +394,41 @@ object Text {
     */
   private val VocabSizes = Seq(10L, 30L, 10000L)
 
+  /** The rank over the term-frequency aggregate is TWO-PHASE (round 12;
+    * no global window): range-repartition terms by the rank key so each
+    * partition owns a contiguous rank range, rank locally with a
+    * key-partitioned window, then add broadcast per-partition offsets
+    * (a P-row bounded self-join sum, P = cluster parallelism — never a
+    * single-partition exchange). Under Heaps' law a 100 TB corpus has
+    * ~1e9+ distinct terms; the old global row_number pushed that whole
+    * vocab through one task's sort, this spreads it across the cluster.
+    * The repartitioned frame is lineage-cut so the offset job and the
+    * rank job observe the SAME range boundaries (RangePartitioner
+    * samples per execution) and the corpus is scanned once.
+    */
   def vocabCoverage(spark: SparkSession, dir: String, sizes: Seq[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import graft.Checkpoints.CheckpointOps
     val toks = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("term"))
     val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
-    val ranked = counts.withColumn("rnk",
-      row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("bigint"))
-    val tot = toks.agg(count(lit(1)).as("total_tokens"))
+    val p = spark.sparkContext.defaultParallelism
+    val parted = counts
+      .repartitionByRange(p, col("n").desc, col("term"))
+      .withColumn("pid", spark_partition_id())
+      .cutLineage() // one corpus scan; pins boundaries for both consumers
+    val local = parted.withColumn("lrnk", row_number()
+      .over(Window.partitionBy(col("pid"))
+        .orderBy(col("n").desc, col("term"))).cast("bigint"))
+    val offs = parted.groupBy(col("pid"))
+      .agg(count(lit(1)).cast("bigint").as("nterms"))
+    val peer = offs.select(col("pid").as("pid2"), col("nterms").as("nterms2"))
+    val rankOff = offs.join(broadcast(peer), col("pid2") < col("pid"), "left")
+      .groupBy(col("pid"))
+      .agg(coalesce(sum(col("nterms2")), lit(0L)).as("rnk_off"))
+    val ranked = local.join(broadcast(rankOff), Seq("pid"))
+      .withColumn("rnk", col("lrnk") + col("rnk_off"))
+    val tot = parted.agg(sum(col("n")).cast("bigint").as("total_tokens"))
     val sizesDf = spark.sql(
       s"SELECT explode(array(${sizes.map(s => s"bigint($s)").mkString(", ")})) AS vocab_size")
     ranked.join(broadcast(sizesDf), col("rnk") <= col("vocab_size"))

@@ -30,6 +30,7 @@ object TimeOne {
         val t0 = System.nanoTime()
         val n = q(spark, sfDir).count()
         println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+        graft.Checkpoints.releaseAll() // don't pool lineage-cut blocks across runs
       }
     }
     spark.stop()

@@ -329,6 +329,44 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r >= 0.7, f"recall@3 $r%.3f below 0.7")
   }
 
+  test("coarseCells: corpus-scaled quantizer is deterministic, bounded, and beats equal-work capping") {
+    import spark.implicits._
+    // force activation on the 500-vector fixture: targetCell=16 ->
+    // levels = ceil(log2(500/(8*16))) = 2 -> 32 cells
+    val c1 = similarity.Ann.coarseCells(spark, sf, maxRn = 2, targetCell = 16)
+    val c2 = similarity.Ann.coarseCells(spark, sf, maxRn = 2, targetCell = 16)
+    assert(c1.collect().map(_.toString).sorted.sameElements(
+      c2.collect().map(_.toString).sorted),
+      "hierarchical routing must be deterministic across executions")
+    val sizes = c1.groupBy("cell").count().as[(Long, Long)].collect()
+    assert(sizes.length >= 16, s"expected >=16 live cells, got ${sizes.length}")
+    // mean-bisection isn't perfectly balanced; 8x target is the sanity
+    // bound that still proves membership scales with cell count (the
+    // unsplit baseline is 125 members/cell here)
+    assert(sizes.map(_._2).max <= 8L * 16,
+      s"cell membership must be bounded by the split: ${sizes.map(_._2).max}")
+    // equal candidate volume, two defenses: 32 geometry-aware cells
+    // (scaled, no cap) vs 8 label cells trimmed to 31 centroid-closest
+    // members (capped) — both yield ~62 candidates/query. The scaled
+    // quantizer must recall at least as much of the exact top-5 graph:
+    // subdividing geometry keeps boundary neighbors reachable where
+    // blind trimming deletes them.
+    val exact = similarity.Ann.knnGraph(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val a = df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact intersect a).size.toDouble / exact.size
+    }
+    val scaled = recall(similarity.Ann.knnGraphIvfTuned(spark, sf,
+      probes = 2, replicas = 2, maxCell = 1000000, targetCell = 16))
+    val capped = recall(similarity.Ann.knnGraphIvfTuned(spark, sf,
+      probes = 2, replicas = 2, maxCell = 31, targetCell = 1000000))
+    info(f"recall@5: scaled(32 cells)=$scaled%.3f capped(8 cells,maxCell=31)=$capped%.3f")
+    println(f"[recall] coarseCells scaled=$scaled%.3f capped=$capped%.3f")
+    assert(scaled >= capped,
+      f"corpus-scaled cells ($scaled%.3f) must not recall less than equal-work capping ($capped%.3f)")
+  }
+
   test("ann_topk_ivf recall@3 >= 0.7 vs exact baseline") {
     val r = recallAt3(similarity.Ann.topkIvf(spark, sf))
     info(f"ann_topk_ivf recall@3 = $r%.3f")

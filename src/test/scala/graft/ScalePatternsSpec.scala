@@ -30,9 +30,6 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "mixture_weights" -> "global-window",
       // same |sources|-row aggregate input as mixture_weights
       "mixture_temperature" -> "global-window",
-      // window input is the DISTINCT-term count aggregate: rows = |vocab|
-      // (≪ corpus; the bpe_train justification), not corpus tokens
-      "text_vocab_coverage" -> "global-window",
       // cumulative walk over the 1024-bin histogram: rows ≤ 1024 by
       // construction regardless of corpus size
       "q_quantile_sketch" -> "global-window",
