@@ -82,7 +82,14 @@ object Checkpoints {
   def releaseAll(): Unit = {
     var r = live.poll()
     while (r != null) {
-      r.unpersist(blocking = false)
+      // the queue is JVM-global: a test harness that cycles sessions can
+      // leave RDDs from a STOPPED context enqueued, and unpersist on
+      // those NPEs in BlockManagerMaster.removeRdd (driverEndpoint gone).
+      // Their blocks died with the context — just drop the handle.
+      if (!r.sparkContext.isStopped) {
+        try r.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       r = live.poll()
     }
   }
