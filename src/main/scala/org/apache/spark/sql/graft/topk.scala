@@ -1,7 +1,5 @@
 package org.apache.spark.sql.graft
 
-import scala.collection.mutable
-
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
@@ -81,32 +79,86 @@ case class TopKPerKeyExec(
     val keyExprs = groupingKeys
     val ordSeq = ordering
     val childOutput = child.output
+    // Partial-pass live-row budget (round 12). The partial pass has no
+    // distribution requirement, so a map-side partition can see EVERY key:
+    // the IVF kNN graph's candidate stream is partitioned by (cell, salt)
+    // and each of the 32 partitions touches ~all 2M query keys — an
+    // unbounded per-key heap map held 32 partitions × 2M keys × ~500 B
+    // ≈ 32 GB live and the 2M-vector IvfScale run died in a full-GC
+    // spiral (old gen pinned at 99.95% across 3 000+ full GCs). The map
+    // is now LRU-capped by LIVE ROWS: when the budget trips, the
+    // least-recently-touched heap is emitted early and dropped. Early
+    // emission is a correct combine — each heap instance emits its own
+    // top-k of the rows it saw, and any row it dropped is dominated by k
+    // emitted rows of the same instance, so the final pass's merged
+    // top-k is unchanged (call sites guarantee a total order per key, so
+    // results are deterministic regardless of where evictions land).
+    // Sort-merge-joined inputs stream each probe row's matches
+    // consecutively, so LRU eviction preserves full combining there; a
+    // randomly-ordered input degrades toward pass-through emission,
+    // never toward wrong answers or unbounded memory.
+    val maxLiveRows =
+      if (partial)
+        session.conf.get("spark.graft.topk.partialMaxRows", (1 << 18).toString).toInt
+      else Int.MaxValue
     child.execute().mapPartitionsInternal { it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // `ord.compare(a, b) < 0` ⇔ a sorts before b per `ordering`
       val ord = new LazilyGeneratedOrdering(ordSeq, childOutput)
       // heap head = the worst retained row (reverse order), so a better
-      // incoming row evicts it in O(log k)
-      val heaps = mutable.HashMap.empty[UnsafeRow, java.util.PriorityQueue[InternalRow]]
-      while (it.hasNext) {
-        val row = it.next()
-        val key = keyProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = new java.util.PriorityQueue[InternalRow](kLocal + 1, ord.reverse)
-            heaps.put(key.copy(), h)
-            h
+      // incoming row evicts it in O(log k); access-ordered map so the
+      // partial pass can evict-emit the least-recently-touched key
+      val heaps = new java.util.LinkedHashMap[
+        UnsafeRow, java.util.PriorityQueue[InternalRow]](1024, 0.75f, true)
+      new Iterator[InternalRow] {
+        private val pending = new java.util.ArrayDeque[InternalRow]()
+        private var liveRows = 0
+        private var inputDone = false
+
+        private def emitHeap(h: java.util.PriorityQueue[InternalRow]): Unit = {
+          liveRows -= h.size
+          val hi = h.iterator()
+          while (hi.hasNext) pending.add(hi.next())
         }
-        if (heap.size < kLocal) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+
+        private def refill(): Unit = {
+          while (pending.isEmpty && !inputDone) {
+            if (it.hasNext) {
+              val row = it.next()
+              val key = keyProj(row)
+              var heap = heaps.get(key)
+              if (heap == null) {
+                heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, ord.reverse)
+                heaps.put(key.copy(), heap)
+              }
+              if (heap.size < kLocal) {
+                heap.add(row.copy())
+                liveRows += 1
+              } else if (ord.compare(row, heap.peek()) < 0) {
+                heap.poll()
+                heap.add(row.copy())
+              }
+              while (liveRows > maxLiveRows && heaps.size() > 1) {
+                val ei = heaps.entrySet().iterator()
+                val eldest = ei.next()
+                ei.remove()
+                emitHeap(eldest.getValue)
+              }
+            } else {
+              inputDone = true
+              val vi = heaps.values().iterator()
+              while (vi.hasNext) emitHeap(vi.next())
+              heaps.clear()
+            }
+          }
         }
-      }
-      heaps.valuesIterator.flatMap { h =>
-        import scala.jdk.CollectionConverters._
-        h.iterator().asScala
+
+        override def hasNext: Boolean = { refill(); !pending.isEmpty }
+        override def next(): InternalRow = {
+          refill()
+          if (pending.isEmpty) throw new NoSuchElementException("empty top-k partition")
+          pending.poll()
+        }
       }
     }
   }

@@ -142,6 +142,22 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(!p.contains("Sort "), "kNN graph must not sort the score stream")
   }
 
+  test("TopKPerKeyPartial: LRU row-budget eviction is result-identical") {
+    // Round 12: the partial pass caps LIVE rows and evict-emits the
+    // least-recently-touched heap (the unbounded map held ~32 GB at the
+    // 2M-vector IVF corpus). A 7-row budget on a 15k-row / ~1k-key input
+    // forces thousands of evictions; the merged result must be exactly
+    // the default-budget (eviction-free) answer.
+    val base = graft.operators.TopK.topkPerKeyOrders(spark, sf)
+      .orderBy("o_custkey", "o_orderkey").collect().toSeq
+    spark.conf.set("spark.graft.topk.partialMaxRows", "7")
+    try {
+      val evicted = graft.operators.TopK.topkPerKeyOrders(spark, sf)
+        .orderBy("o_custkey", "o_orderkey").collect().toSeq
+      assert(evicted == base)
+    } finally spark.conf.unset("spark.graft.topk.partialMaxRows")
+  }
+
   test("q_topk_per_key: partial (map-side) top-k combine below the exchange") {
     // aggregate-style split: TopKPerKeyPartial feeds the hash exchange, so
     // at most k rows per key per map partition are ever shuffled
