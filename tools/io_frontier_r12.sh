@@ -17,10 +17,13 @@ QS="ann_recall_eval,dedup_minhash_lsh,dedup_simhash,pipeline_curate,emb_knn_grap
 
 for q in ${QS//,/ }; do
   [ -s "$OUT/$q.txt" ] && { echo "skip $q (exists)"; continue; }
+  # the 2M-vector IVF kNN graph runs ~12 min/rep: cold + one warm rep
+  RUNS=3; TMO=2400
+  [ "$q" = emb_knn_graph_ivf ] && { RUNS=2; TMO=3600; }
   sync
   echo 3 > /proc/sys/vm/drop_caches
-  timeout 2400 env SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g \
-    sbt -batch "runMain graft.tools.TimeOne $q $CORPUS 3" \
+  timeout $TMO env SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g \
+    sbt -batch "runMain graft.tools.TimeOne $q $CORPUS $RUNS" \
     > "$OUT/$q.raw" 2>&1 || echo "TIMEOUT-OR-FAIL $q" >> "$OUT/$q.raw"
   grep -E "run[0-9]:|TIMEOUT" "$OUT/$q.raw" > "$OUT/$q.txt" || true
   cat "$OUT/$q.txt"
