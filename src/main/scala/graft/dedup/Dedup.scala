@@ -232,22 +232,47 @@ object Dedup {
         "transform(sequence(0, 3), b -> named_struct('band', b, 'bv', shiftright(simhash, 16*b) & 65535))")).as("bb"))
         .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv")),
       Seq("band", "bv"), maxBucket, "simhash_bucket_cap")
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 8)
-    val directed = cand.select(col("id_a").as("doc_id"), col("id_b").as("cand_id"), col("hamming"))
-      .unionAll(cand.select(col("id_b").as("doc_id"), col("id_a").as("cand_id"), col("hamming")))
-    val best = directed.withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("hamming"), col("cand_id"))))
-      .filter(col("rn") === 1).drop("rn")
+    // Round-12 rework of the candidate consumption, driven by the 17 GB
+    // frontier: the pair multiset is QUADRATIC in dup-group size (a
+    // near-dup-heavy corpus put billions of hamming≤8 pairs through this
+    // pipeline at K=1000), and every plan that materializes, exchanges,
+    // or sorts it dies at scale — measured in order: (a) Catalyst
+    // misestimated the capped bands table as broadcastable (~1 GiB
+    // humongous hash-relation allocations, G1 GCLocker warnings →
+    // simhashCandidates carries a merge hint); (b) a lineage cut to fix
+    // the old unionAll double compute tried to STORE the pair set —
+    // 63 GB of disk, gone; (c) even streamed, the distinct()'s pair-set
+    // exchange plus the rank window's full pair-set sort spilled 62 GB
+    // (UnsafeExternalSorter SPILL_OUT_OF_MEMORY). None of the three is
+    // needed: both directions explode IN-ROW from one pass of the join
+    // output, duplicate pairs can't change a per-doc minimum (distinct
+    // dropped), and best-candidate = TopKPerKey k=1 — bounded heaps with
+    // the row-budgeted partial pass, no sort, nothing quadratic on disk.
+    val cand = simhashCandidates(bands)
+    val directed = cand.select(explode(expr(
+        "array(named_struct('doc_id', id_a, 'cand_id', id_b), " +
+          "named_struct('doc_id', id_b, 'cand_id', id_a))")).as("e"),
+        col("hamming"))
+      .select(col("e.doc_id").as("doc_id"), col("e.cand_id").as("cand_id"), col("hamming"))
+    val best = graft.operators.TopK.perKey(directed,
+      keys = Seq("doc_id"),
+      order = Seq("hamming" -> false, "cand_id" -> false), k = 1)
     docs.select(col("doc_id"), col("simhash"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("simhash"), col("cand_id").as("dup_candidate"), col("hamming"))
   }
+
+  /** The banded candidate stage of [[simhash]], pre-lineage-cut — exposed
+    * so the plan-assertion suite can audit the join strategy (the cut
+    * hides the subtree behind a LogicalRDD in the composed query).
+    */
+  private[graft] def simhashCandidates(bands: DataFrame): DataFrame =
+    bands.as("a").hint("merge").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .filter(col("hamming") <= 8)
 
   /** DuckDB mirror of `simhash` — FULLY deterministic, unlike the
     * probabilistic LSH caveats: the band values are pure functions of the

@@ -142,6 +142,32 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(!p.contains("Sort "), "kNN graph must not sort the score stream")
   }
 
+  test("dedup_simhash: banded self-join sort-merges; candidates computed once") {
+    // Catalyst misestimated the capped bands table as broadcastable — at
+    // the K=1000 corpus the BuildRight hash relation was ~1 GiB and grew
+    // with the corpus. The self-join must sort-merge, and the candidate
+    // subtree must be lineage-cut so the directed union's two legs don't
+    // each re-run the banded join.
+    // assert on the pre-cut candidate stage: the lineage cut hides the
+    // join subtree behind a LogicalRDD in the composed simhash plan
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    val docs = graft.Tables.documents(spark, sf)
+      .withColumn("simhash", graft.functions.native.simHash64(
+        org.apache.spark.sql.functions.split(col("text"), " ")))
+      .select(col("doc_id"), col("simhash"), explode(expr(
+        "transform(sequence(0, 3), b -> named_struct('band', b, 'bv', shiftright(simhash, 16*b) & 65535))")).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val p = graft.dedup.Dedup.simhashCandidates(docs)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin [band"),
+      "banded candidate self-join must sort-merge: " + p)
+    // a bounded KEY list may broadcast; the INNER candidate join must
+    // never broadcast the corpus-sized bands table
+    assert(!p.split("\n").exists(l =>
+        l.contains("BroadcastHashJoin [band") && l.contains("Inner")),
+      "corpus-sized bands table must never be a broadcast build side: " + p)
+  }
+
   test("TopKPerKeyPartial: LRU row-budget eviction is result-identical") {
     // Round 12: the partial pass caps LIVE rows and evict-emits the
     // least-recently-touched heap (the unbounded map held ~32 GB at the
