@@ -155,11 +155,22 @@ object Dedup {
 
   def minhashLsh(spark: SparkSession, dir: String, maxBucket: Int = 10000): DataFrame = {
     val verified = minhashVerifiedPairs(spark, dir, 0.8, maxBucket)
-    val directed = verified.select(col("id_a").as("doc_id"), col("id_b").as("cand_id"), col("jaccard"))
-      .unionAll(verified.select(col("id_b").as("doc_id"), col("id_a").as("cand_id"), col("jaccard")))
-    val best = directed.withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("jaccard").desc, col("cand_id"))))
-      .filter(col("rn") === 1).drop("rn")
+    // same tail rework as simhash (round 12): the old unionAll of two
+    // projections re-ran the whole candidate+verify pipeline once per
+    // direction, and the rank window sorted the verified pair set —
+    // which is quadratic in dup-group size. Both directions explode
+    // in-row from ONE pass and stream into bounded top-1 heaps. (The
+    // candidate distinct() upstream stays: unlike simhash's, it gates
+    // the expensive shingle-intersection verify, so its slim pair
+    // exchange pays for itself up to 16× in skipped verifications.)
+    val directed = verified.select(explode(expr(
+        "array(named_struct('doc_id', id_a, 'cand_id', id_b), " +
+          "named_struct('doc_id', id_b, 'cand_id', id_a))")).as("e"),
+        col("jaccard"))
+      .select(col("e.doc_id").as("doc_id"), col("e.cand_id").as("cand_id"), col("jaccard"))
+    val best = graft.operators.TopK.perKey(directed,
+      keys = Seq("doc_id"),
+      order = Seq("jaccard" -> true, "cand_id" -> false), k = 1)
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("cand_id").as("dup_candidate"), col("jaccard"))
@@ -431,11 +442,18 @@ object Dedup {
         jac(native.sortedIntersectCount(col("ga"), col("gb")),
           size(col("ga")), size(col("gb"))).as("jaccard"))
     val pairs = smallPairs.unionAll(largePairs).filter(col("jaccard") >= 0.3)
-    val directed = pairs.select(col("id_a").as("doc_id"), col("id_b").as("cand_id"), col("jaccard"))
-      .unionAll(pairs.select(col("id_b").as("doc_id"), col("id_a").as("cand_id"), col("jaccard")))
-    val best = directed.withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("jaccard").desc, col("cand_id"))))
-      .filter(col("rn") === 1).drop("rn")
+    // same tail rework as simhash/minhashLsh (round 12): one pass over
+    // the scored pairs, directions exploded in-row, bounded top-1 heaps
+    // instead of a rank window's sort of the (dup-group-quadratic)
+    // pair set — and no unionAll re-running both block-join legs twice.
+    val directed = pairs.select(explode(expr(
+        "array(named_struct('doc_id', id_a, 'cand_id', id_b), " +
+          "named_struct('doc_id', id_b, 'cand_id', id_a))")).as("e"),
+        col("jaccard"))
+      .select(col("e.doc_id").as("doc_id"), col("e.cand_id").as("cand_id"), col("jaccard"))
+    val best = graft.operators.TopK.perKey(directed,
+      keys = Seq("doc_id"),
+      order = Seq("jaccard" -> true, "cand_id" -> false), k = 1)
     docs.select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("cand_id").as("dup_candidate"), col("jaccard"))
