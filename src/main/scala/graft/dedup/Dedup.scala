@@ -388,16 +388,41 @@ object Dedup {
     * maxBlock default 64: the in-row path caps at C(64,2) ≈ 2k in-row pair
     * scores per aggregate row (a bounded task), everything larger goes to
     * the join, whose sub-blocking keeps any block size parallel.
+    *
+    * `maxExactBlock` (round-13 frontier item): the sub-blocked join is
+    * exact all-pairs, i.e. C(bsz,2) verifies per block — parallel, but
+    * still quadratic WORK. Round-12's K=1000 frontier measurement (5M
+    * docs, largest block ~451k) put ~10¹¹ merge-intersects in one block
+    * and the query did not finish inside 45 min. Blocks above
+    * `maxExactBlock` therefore route to [[snmPairs]]: multi-pass
+    * sorted-neighborhood candidates (bounded `snmPasses` × `snmWindow`
+    * verifies per doc) — linear work, with the routed doc count attached
+    * to the plan via `observe` (no silent caps). The default 2048 sits
+    * far above every block at the oracle SFs (sf0.1 max block = 451), so
+    * the DuckDB exact-all-pairs oracle is untouched where it runs; the
+    * SNM leg's recall is measured in DedupAnnSpec, not assumed.
     */
-  private[graft] def ngramJaccardOf(documents: DataFrame, maxBlock: Int = 64): DataFrame = {
+  private[graft] def ngramJaccardOf(documents: DataFrame, maxBlock: Int = 64,
+      maxExactBlock: Int = 2048, snmPasses: Int = 2, snmWindow: Int = 8): DataFrame = {
+    val threshold = 0.3
     val docs = documents
       .withColumn("grams", native.charNgramHashes(col("text"), 4))
       .withColumn("block", concat_ws("#", col("lang"), (col("n_chars") / 100).cast("int")))
       .select(col("doc_id"), col("block"), col("grams"))
     val sizes = docs.groupBy(col("block")).agg(count(lit(1)).as("bsz"))
+      .observe("ngram_snm_route",
+        sum(when(col("bsz") > maxExactBlock, col("bsz")).otherwise(0L)).as("snm_docs"),
+        sum(when(col("bsz") > maxExactBlock, 1L).otherwise(0L)).as("snm_blocks"))
+    // eager, slim (grams prune out of the count): blocks are bounded by
+    // langs × length-buckets, so this is a tiny aggregate — it decides
+    // whether the SNM leg (whose builder runs eager boundary jobs) exists
+    // at all, keeping the oracle-SF plan identical to the pre-r13 one.
+    val hasHuge = sizes.filter(col("bsz") > maxExactBlock).limit(1).count() > 0
     val sized = docs.join(broadcast(sizes), "block")
     val smallDocs = sized.filter(col("bsz") <= maxBlock).drop("bsz")
-    val largeDocs = sized.filter(col("bsz") > maxBlock).drop("bsz")
+    val largeDocs = sized
+      .filter(col("bsz") > maxBlock && col("bsz") <= maxExactBlock).drop("bsz")
+    val hugeDocs = sized.filter(col("bsz") > maxExactBlock).drop("bsz")
 
     def jac(inter: Column, na: Column, nb: Column): Column =
       inter.cast("double") / (na + nb - inter)
@@ -441,7 +466,11 @@ object Dedup {
         greatest(col("ida"), col("idb")).as("id_b"),
         jac(native.sortedIntersectCount(col("ga"), col("gb")),
           size(col("ga")), size(col("gb"))).as("jaccard"))
-    val pairs = smallPairs.unionAll(largePairs).filter(col("jaccard") >= 0.3)
+    val exactPairs = smallPairs.unionAll(largePairs)
+    val allPairs =
+      if (hasHuge) exactPairs.unionAll(snmPairs(hugeDocs, snmPasses, snmWindow, threshold))
+      else exactPairs
+    val pairs = allPairs.filter(col("jaccard") >= threshold)
     // same tail rework as simhash/minhashLsh (round 12): one pass over
     // the scored pairs, directions exploded in-row, bounded top-1 heaps
     // instead of a rank window's sort of the (dup-group-quadratic)
@@ -457,6 +486,125 @@ object Dedup {
     docs.select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("cand_id").as("dup_candidate"), col("jaccard"))
+  }
+
+  /** Merge-intersection Jaccard over two SORTED DISTINCT hash arrays (the
+    * [[native.charNgramHashes]] contract) — the JVM twin of the codegen
+    * `sortedIntersectCount` kernel for the mapPartitions SNM leg. Both-empty
+    * input returns -1 (the exact paths yield SQL NULL there, which no
+    * threshold passes — same outcome).
+    */
+  private[graft] def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) -1.0 else inter.toDouble / union
+  }
+
+  /** Pure sliding-window pair scorer behind [[snmPairs]]. Compares each row
+    * of `it` against its up-to-`window` predecessors in the same block, then
+    * stitches the partition boundary by running `next` — the first `window`
+    * rows of the FOLLOWING partitions' concatenated stream — through the
+    * same ring with emission restricted to pairs whose older member is
+    * local: pairs among `next` rows are owned by their own partition's call.
+    * Net effect: every unordered pair at stream distance ≤ `window` in the
+    * global (partition-concatenated) order is emitted by exactly one
+    * partition, regardless of where range partitioning cut the stream.
+    * Rows are (block, doc_id, grams).
+    */
+  private[graft] def slidingPairs(
+      it: Iterator[(String, Long, Array[Long])],
+      next: Array[(String, Long, Array[Long])],
+      window: Int, threshold: Double): Iterator[(Long, Long, Double)] = {
+    val ring = new scala.collection.mutable.ArrayDeque[((String, Long, Array[Long]), Boolean)]()
+    def score(q: (String, Long, Array[Long]), r: (String, Long, Array[Long])) = {
+      if (q._1 != r._1) None
+      else {
+        val j = jaccardSorted(q._3, r._3)
+        if (j >= threshold) Some((math.min(q._2, r._2), math.max(q._2, r._2), j)) else None
+      }
+    }
+    def push(r: (String, Long, Array[Long]), local: Boolean): Unit = {
+      ring.append((r, local))
+      if (ring.length > window) ring.removeHead()
+    }
+    val own = it.flatMap { r =>
+      val hits = ring.iterator.flatMap { case (q, _) => score(q, r) }.toArray
+      push(r, local = true)
+      hits
+    }
+    val boundary = next.iterator.flatMap { r =>
+      val hits = ring.iterator.collect { case (q, true) => q }.flatMap(score(_, r)).toArray
+      push(r, local = false)
+      hits
+    }
+    own ++ boundary
+  }
+
+  /** Bounded near-dup candidate generation for blocks too large for exact
+    * all-pairs: multi-pass sorted-neighborhood (SNM, the classic
+    * record-linkage windowing). Pass p orders docs within their block by a
+    * MinHash key (min over grams g of xxhash64(g, p) — equal between two
+    * docs with probability ≈ their Jaccard, so near-dups cluster into
+    * adjacent runs), and each doc is exact-verified against only its
+    * `window` predecessors in that order via [[slidingPairs]]. Work is
+    * passes × window verifies per doc — LINEAR in the corpus — vs the
+    * C(bsz,2) of the exact join that did not finish at the round-12
+    * frontier. Shuffle is `passes` range-sorts of (block, key, grams) rows:
+    * the gram arrays move once per pass and pairs never carry them (the
+    * attach-arrays-to-a-pair-stream blow-up this design exists to avoid).
+    *
+    * Per pass: the sorted stream is cached, partition heads are collected
+    * (bounded: partitions × window slim rows) to stitch windows across
+    * partition boundaries, the pair scan runs, and the pair set is
+    * lineage-cut ([[graft.Checkpoints]]) so the cache can be released
+    * immediately — the returned frame never recomputes the sort, which
+    * keeps the result invariant to RangePartitioner's sampling. Duplicate
+    * pairs across passes are NOT deduped: a duplicate cannot change the
+    * downstream per-doc top-1, and a distinct() here would exchange a
+    * corpus × window pair multiset (the simhash round-12 lesson).
+    */
+  private[graft] def snmPairs(huge: DataFrame, passes: Int, window: Int,
+      threshold: Double): DataFrame = {
+    val spark = huge.sparkSession
+    import spark.implicits._
+    val perPass = (0 until passes).map { p =>
+      val sorted = huge
+        .select(col("block"), col("doc_id"), col("grams"),
+          coalesce(expr(s"array_min(transform(grams, g -> xxhash64(g, $p)))"),
+            lit(Long.MaxValue)).as("skey"))
+        .repartitionByRange(col("block"), col("skey"), col("doc_id"))
+        .sortWithinPartitions("block", "skey", "doc_id")
+        .select(col("block"), col("doc_id"), col("grams"))
+        .as[(String, Long, Array[Long])]
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val rdd = sorted.rdd
+        val nP = rdd.getNumPartitions
+        val heads = rdd
+          .mapPartitionsWithIndex((i, itr) => Iterator.single(i -> itr.take(window).toArray))
+          .collect().toMap
+        // next-rows for partition i = first `window` rows of partitions
+        // i+1, i+2, … concatenated — short partitions contribute all their
+        // rows and the take(window) spills into the one after, so windows
+        // spanning more than one boundary are still exact.
+        val nextOf = (0 until nP).map { i =>
+          i -> (i + 1 until nP).iterator
+            .flatMap(j => heads.getOrElse(j, Array.empty[(String, Long, Array[Long])]))
+            .take(window).toArray
+        }.toMap
+        val bc = spark.sparkContext.broadcast(nextOf)
+        val pairs = rdd.mapPartitionsWithIndex { (pi, itr) =>
+          slidingPairs(itr, bc.value.getOrElse(pi, Array.empty), window, threshold)
+        }.toDF("id_a", "id_b", "jaccard")
+        graft.Checkpoints.cut(pairs)
+      } finally sorted.unpersist(blocking = false)
+    }
+    perPass.reduce(_ unionAll _)
   }
 
   /** DuckDB mirror of `ngramJaccard`. `charNgramHashes` hashes UTF-8 BYTE

@@ -177,18 +177,26 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rounds <= 4, s"pointer jumping should need <=4 rounds on a diameter-6 chain, took $rounds")
   }
 
+  /** One degenerate 120-doc block (same lang, same length bucket): 40
+    * groups of 3 near-identical docs -> plenty of >=0.3 pairs. Shared by
+    * the join-path and SNM-path routing tests.
+    */
+  private def snmFixture: org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (0 until 120).map { i =>
+      val base = s"alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima unique${i / 3}"
+      val text = if (i % 3 == 2) base + " tail" else base + s" v${i % 3}"
+      (i.toLong, text, "en", 100L)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+  }
+
   test("ngram jaccard: oversized blocks route through the join path, same answer") {
     // One degenerate block (same lang, same length bucket) far above the
     // cap: the collect_list path would put every gram set into ONE
     // aggregate row (the round-4 scale-killer); the size-routed join path
     // must produce the identical answer with no giant row.
     import spark.implicits._
-    val docs = (0 until 120).map { i =>
-      // 40 groups of 3 near-identical docs -> plenty of >=0.3 pairs
-      val base = s"alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima unique${i / 3}"
-      val text = if (i % 3 == 2) base + " tail" else base + s" v${i % 3}"
-      (i.toLong, text, "en", 100L)
-    }.toDF("doc_id", "text", "lang", "n_chars")
+    val docs = snmFixture
     def rows(maxBlock: Int) =
       dedup.Dedup.ngramJaccardOf(docs, maxBlock)
         .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
@@ -196,6 +204,70 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     val viaBlock = rows(maxBlock = 1000) // same block under the cap -> collect_list path
     assert(viaJoin == viaBlock, "join path and block path must agree pair-for-pair")
     assert(viaJoin.exists(_._2.isDefined), "fixture must actually produce candidates")
+  }
+
+  test("SNM sliding window equals brute force over the concatenated stream") {
+    // Pure-logic check of the partition-boundary stitching: cut a known
+    // stream at every possible point into two "partitions", run
+    // slidingPairs on each (partition 0 gets partition 1's first W rows as
+    // `next`), and the union must equal brute-force pairs at stream
+    // distance <= W in the same block — no pair lost or doubled at any cut.
+    val w = 3
+    val rows: Array[(String, Long, Array[Long])] = Array(
+      ("a", 1L, Array(1L, 2L, 3L)), ("a", 2L, Array(1L, 2L, 4L)),
+      ("a", 3L, Array(1L, 2L, 3L)), ("b", 4L, Array(9L, 10L)),
+      ("b", 5L, Array(9L, 10L, 11L)), ("b", 6L, Array(9L, 12L)),
+      ("b", 7L, Array(9L, 10L)))
+    val brute = (for {
+      i <- rows.indices; j <- i + 1 until math.min(i + w + 1, rows.length)
+      if rows(i)._1 == rows(j)._1
+      jac = dedup.Dedup.jaccardSorted(rows(i)._3, rows(j)._3) if jac >= 0.3
+    } yield (math.min(rows(i)._2, rows(j)._2), math.max(rows(i)._2, rows(j)._2), jac)).toSet
+    assert(brute.nonEmpty, "fixture must produce window pairs")
+    for (cut <- 0 to rows.length) {
+      val (p0, p1) = rows.splitAt(cut)
+      val got =
+        (dedup.Dedup.slidingPairs(p0.iterator, p1.take(w), w, 0.3) ++
+          dedup.Dedup.slidingPairs(p1.iterator, Array.empty, w, 0.3)).toSet
+      assert(got == brute, s"cut at $cut: $got != $brute")
+    }
+  }
+
+  test("ngram jaccard: huge-block SNM with window >= block size equals the exact path") {
+    // With one pass and a window covering the whole block, the sorted-
+    // neighborhood leg degenerates to exact all-pairs (every pair is
+    // within window distance in ANY order), so it must reproduce the
+    // exact path's answer bit-for-bit — jaccard doubles included (the JVM
+    // merge-intersect and the codegen kernel share the same arithmetic).
+    import spark.implicits._
+    val docs = snmFixture
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val exact = rows(dedup.Dedup.ngramJaccardOf(docs, maxBlock = 10, maxExactBlock = 1000))
+    val viaSnm = rows(dedup.Dedup.ngramJaccardOf(docs, maxBlock = 10,
+      maxExactBlock = 20, snmPasses = 1, snmWindow = 200))
+    assert(viaSnm == exact, "full-window SNM must equal the exact join path")
+    assert(exact.exists(_._2.isDefined), "fixture must actually produce candidates")
+  }
+
+  test("ngram jaccard: bounded-window SNM recall on near-identical triples") {
+    // Production geometry (small window << block size, 2 minhash-key
+    // passes): the 40 groups of 3 near-identical docs sort into adjacent
+    // runs, so non-null dup-candidate recall vs the exact path must stay
+    // high. Deterministic fixture + deterministic keys -> a pinned floor,
+    // not a flaky sample.
+    import spark.implicits._
+    val docs = snmFixture
+    val exact = dedup.Dedup.ngramJaccardOf(docs, maxBlock = 10, maxExactBlock = 1000)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val snm = dedup.Dedup.ngramJaccardOf(docs, maxBlock = 10,
+      maxExactBlock = 20, snmPasses = 2, snmWindow = 4)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val withDup = exact.filter(_._2.isDefined).keySet
+    assert(withDup.nonEmpty)
+    val recalled = withDup.count(id => snm(id).isDefined)
+    val recall = recalled.toDouble / withDup.size
+    assert(recall >= 0.95, s"SNM non-null recall $recall below 0.95 ($recalled/${withDup.size})")
   }
 
   test("LSH hot-bucket cap drops only oversized buckets") {
