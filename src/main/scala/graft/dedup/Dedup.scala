@@ -55,6 +55,40 @@ object Dedup {
       |  ROW_NUMBER() OVER (PARTITION BY SHA256(text) ORDER BY doc_id) AS rn
       | FROM documents) t WHERE rn = 1""".stripMargin
 
+  /** Bag-of-words canonical dedup: the canonical form is the SORTED set of
+    * distinct tokens, so word-order shuffles and within-document repetition
+    * — the cheapest spam/SEO mutations, invisible to [[exact]]'s byte hash —
+    * land in the same group. Between exact and near-dup in strictness:
+    * no pair space at all (it's a group-by, like exact), but catches a
+    * mutation class MinHash needs banding for. `n_variants` counts the
+    * distinct byte-level texts merged per group — the measure of what this
+    * canonicalization bought over [[exact]].
+    *
+    * Scale shape: canonicalization is in-row (split → distinct → sort →
+    * hash, bounded by doc length); the exchange ships (256-bit hash,
+    * doc_id, text-hash) triples, never bodies — one corpus-keyed shuffle,
+    * map-side partial aggregation, no skew beyond true dup-group sizes.
+    */
+  def bow(spark: SparkSession, dir: String): DataFrame =
+    bowOf(Tables.documents(spark, dir))
+
+  private[graft] def bowOf(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        sha2(array_join(array_sort(array_distinct(split(col("text"), " "))), " "), 256)
+          .as("bow_hash"),
+        sha2(col("text"), 256).as("content_hash"),
+        col("doc_id"))
+      .groupBy(col("bow_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_docs"),
+        countDistinct(col("content_hash")).as("n_variants"))
+
+  val bowSql: String =
+    """SELECT SHA256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_hash,
+      | MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs,
+      | COUNT(DISTINCT SHA256(text)) AS n_variants
+      |FROM documents GROUP BY 1""".stripMargin
+
   /** Word-3gram shingles, distinct, as an array column (no explode: the
     * shingle set stays row-local until the LSH bands shuffle).
     *
@@ -1220,6 +1254,7 @@ object Dedup {
     "dedup_clusters" -> (clusters _),
     "dedup_exact" -> (exact _),
     "dedup_exact_hash" -> (exactHash _),
+    "dedup_bow" -> (bow _),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d)),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -1231,6 +1266,7 @@ object Dedup {
     "dedup_cc" -> embeddingClustersSql,
     "dedup_exact" -> exactSql,
     "dedup_exact_hash" -> exactHashSql,
+    "dedup_bow" -> bowSql,
     "dedup_embedding" -> embeddingSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,

@@ -98,6 +98,44 @@ object Ann {
       | WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id) t
       |WHERE rank <= 5""".stripMargin
 
+  /** FILTERED top-k: each panel query's 5 nearest cosine neighbors among
+    * candidates of a DIFFERENT label — the constrained-retrieval shape
+    * (cross-domain near-dup sweep, "similar but not same-class" hard-
+    * negative mining) where a metadata predicate restricts the candidate
+    * set. The predicate is applied to the candidate STREAM before any
+    * scoring (filter-then-score, never score-then-filter), so at corpus
+    * scale it pushes into the scan / the IVF cell-routed candidate join
+    * exactly like any other pushed filter — constrained ANN costs LESS
+    * than unconstrained, not more. Ranking and hash discipline mirror
+    * [[topk]] (ids-and-rank output, unique id tie-break).
+    */
+  def filteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        col("label"))
+    val q = e.filter(col("vec_id") < 20).limit(20)
+      .select(col("vec_id").as("query_id"), col("emb").as("ea"),
+        col("label").as("qlabel"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"),
+      col("label").as("clabel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("qlabel") =!= col("clabel"))
+      .withColumn("cos", native.cosineSim(col("ea"), col("eb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  val filteredTopkSql: String =
+    """SELECT query_id, neighbor_id, rank FROM (
+      | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+      | FROM embeddings q, embeddings c
+      | WHERE q.vec_id < 20 AND c.label <> q.label) t
+      |WHERE rank <= 5""".stripMargin
+
   /** Exact k-NN graph: every vector's 5 nearest neighbors by cosine — the
     * all-queries generalization of [[topk]], and the substrate for graph
     * analytics over a corpus (kNN-graph clustering, link-based curation).
@@ -1648,6 +1686,7 @@ object Ann {
     "ann_recall_eval" -> (recallEval _),
     "ann_topk" -> (topk _),
     "ann_mips" -> (mipsTopk _),
+    "ann_filtered" -> (filteredTopk _),
     "emb_knn_graph" -> (knnGraph _),
     "emb_knn_graph_ivf" -> (knnGraphIvf _),
     "emb_kmeans" -> (kmeans _),
@@ -1669,6 +1708,7 @@ object Ann {
     "emb_semdedup" -> semDedupSql,
     "ann_topk" -> topkSql,
     "ann_mips" -> mipsTopkSql,
+    "ann_filtered" -> filteredTopkSql,
     "emb_knn_graph" -> knnGraphSql,
     "emb_outliers" -> outliersSql,
     "emb_knn_graph_ivf" -> knnGraphIvfSql,

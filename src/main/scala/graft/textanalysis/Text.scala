@@ -1044,7 +1044,119 @@ object Text {
       |  CAST(rank * cnt AS BIGINT) AS zipf_product
       |FROM ranked, tot WHERE rank <= 100""".stripMargin
 
+  /** Gopher-style quality rule panel (Rae et al. 2021 §A1.1, adapted to
+    * the portable-expression discipline): per-document booleans for the
+    * five rules the synthetic corpus can exercise — word-count bounds,
+    * mean-word-length bounds, symbol-to-word ratio, alphabetic-word
+    * fraction, and minimum stopword hits — plus the AND `passes` flag a
+    * curation pipeline filters on. Every rule is decided in EXACT integer
+    * arithmetic (e.g. `3·n ≤ chars ≤ 10·n` instead of a double mean
+    * compare), so the booleans are hash-stable across engines; the double
+    * mean ships only as a diagnostic.
+    *
+    * Scale shape: single map-side pass, no shuffle, whole-stage codegen
+    * end to end — the panel is a projection, so at 100 TB it rides the
+    * scan and the filter pushes into whatever consumes it.
+    */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = nTokens
+    val alphaWords =
+      expr("size(filter(split(text, ' '), w -> w rlike '[a-zA-Z]'))").cast("bigint")
+    val stopHits = expr(
+      "size(filter(split(text, ' '), w -> w IN ('the','a','and','of','to','in','is','that','it','for')))")
+      .cast("bigint")
+    val hashCount = length(col("text")) - length(expr("replace(text, '#', '')"))
+    val ellipsisCount =
+      (length(col("text")) - length(expr("replace(text, '...', '')"))).divide(3).cast("bigint")
+    val symbols = (hashCount + ellipsisCount).cast("bigint")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      alphaWords.as("alpha_words"),
+      stopHits.as("stop_hits"),
+      symbols.as("symbols"),
+      (noSpaceLen.cast("double") / nWords).as("mean_word_len"),
+      (nWords >= 50 && nWords <= 100000).as("words_ok"),
+      (nWords * 3 <= noSpaceLen && noSpaceLen <= nWords * 10).as("wordlen_ok"),
+      (symbols * 10 <= nWords).as("symbol_ok"),
+      (alphaWords * 5 >= nWords * 4).as("alpha_ok"),
+      (stopHits >= 2).as("stopword_ok"),
+      (nWords >= 50 && nWords <= 100000 &&
+        nWords * 3 <= noSpaceLen && noSpaceLen <= nWords * 10 &&
+        symbols * 10 <= nWords &&
+        alphaWords * 5 >= nWords * 4 &&
+        stopHits >= 2).as("passes"))
+  }
+
+  val gopherQualitySql: String = {
+    val nW = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
+    val chars = "LENGTH(REPLACE(text, ' ', ''))"
+    val alpha =
+      "CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)"
+    val stops =
+      "CAST(len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','and','of','to','in','is','that','it','for'], w))) AS BIGINT)"
+    val sym =
+      "CAST((LENGTH(text) - LENGTH(REPLACE(text, '#', ''))) + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3 AS BIGINT)"
+    s"""SELECT doc_id,
+       | CAST($nW AS BIGINT) AS n_words,
+       | $alpha AS alpha_words,
+       | $stops AS stop_hits,
+       | $sym AS symbols,
+       | CAST($chars AS DOUBLE) / $nW AS mean_word_len,
+       | ($nW >= 50 AND $nW <= 100000) AS words_ok,
+       | ($nW * 3 <= $chars AND $chars <= $nW * 10) AS wordlen_ok,
+       | ($sym * 10 <= $nW) AS symbol_ok,
+       | ($alpha * 5 >= $nW * 4) AS alpha_ok,
+       | ($stops >= 2) AS stopword_ok,
+       | ($nW >= 50 AND $nW <= 100000 AND $nW * 3 <= $chars
+       |   AND $chars <= $nW * 10 AND $sym * 10 <= $nW
+       |   AND $alpha * 5 >= $nW * 4 AND $stops >= 2) AS passes
+       |FROM documents""".stripMargin
+  }
+
+  /** Per-document lexical diversity in EXACT integers: type-token ratio
+    * and the Simpson repeat-concentration Σc²·10⁶ / n² (the probability,
+    * in ppm, that two random tokens coincide — high = template/boilerplate
+    * junk, the signal an entropy score carries without needing libm logs,
+    * so the oracle is hash-exact).
+    *
+    * Scale shape: all counting happens IN-ROW over the token array
+    * (distinct + per-type filter counts — O(types·tokens) on bounded doc
+    * length); no shuffle at all, the whole operator is a projection.
+    */
+  def unigramDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("words")).cast("bigint"))
+      .withColumn("n_types", size(array_distinct(col("words"))).cast("bigint"))
+      .withColumn("sum_sq", expr(
+        """aggregate(transform(array_distinct(words),
+          |  t -> cast(size(filter(words, w -> w = t)) as bigint)),
+          |  cast(0 as bigint), (acc, c) -> acc + c * c)""".stripMargin))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+        expr("sum_sq * 1000000 div (n_tokens * n_tokens)").as("simpson_ppm"))
+
+  val unigramDiversitySql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(len(words) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(words)) AS BIGINT) AS n_types,
+      |    CAST(list_sum(list_transform(list_distinct(words),
+      |      t -> CAST(len(list_filter(words, w -> w = t)) AS BIGINT)
+      |        * CAST(len(list_filter(words, w -> w = t)) AS BIGINT)))
+      |      AS BIGINT) AS sum_sq
+      |  FROM w)
+      |SELECT doc_id, n_tokens, n_types,
+      |  n_types * 1000000 // n_tokens AS ttr_ppm,
+      |  sum_sq * 1000000 // (n_tokens * n_tokens) AS simpson_ppm
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gopher_quality" -> (gopherQuality _),
+    "text_unigram_diversity" -> (unigramDiversity _),
     "text_zipf" -> (zipf _),
     "text_novelty" -> (novelty _),
     "text_containment" -> (containment _),
@@ -1068,6 +1180,8 @@ object Text {
     "text_bpe_tokens" -> (bpeTokens _))
 
   val oracles: Map[String, String] = Map(
+    "text_gopher_quality" -> gopherQualitySql,
+    "text_unigram_diversity" -> unigramDiversitySql,
     "text_zipf" -> zipfSql,
     "text_novelty" -> noveltySql,
     "text_containment" -> containmentSql,

@@ -660,6 +660,134 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"3 Lloyd iterations (${out.map(_._3).sum}) worse than the seed assignment ($seedInertia)")
   }
 
+  test("dedup_bow: word-order shuffles and repetition collapse; exact hash does not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox", "en", "s", 19L),
+      (2L, "fox brown quick the", "en", "s", 19L), // order shuffle of 1
+      (3L, "the quick quick brown fox fox", "en", "s", 29L), // repetition of 1
+      (4L, "an entirely different text", "en", "s", 26L),
+      (5L, "the quick brown fox", "en", "s", 19L)) // byte-exact dup of 1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = dedup.Dedup.bowOf(docs)
+      .select($"keeper_id", $"n_docs", $"n_variants")
+      .as[(Long, Long, Long)].collect().toSet
+    // {1,2,3,5} share the token SET {brown,fox,quick,the}; keeper is min
+    // id 1; 3 distinct byte-level texts were merged. Doc 4 is alone.
+    assert(got == Set((1L, 4L, 3L), (4L, 1L, 1L)))
+    // exact dedup on the same fixture only merges the byte-exact pair
+    val exactGroups = docs
+      .groupBy(sha2($"text", 256)).agg(count(lit(1)).as("n"))
+      .select($"n").as[Long].collect().sorted.toSeq
+    assert(exactGroups == Seq(1L, 1L, 1L, 2L))
+  }
+
+  test("dedup_bow on testdata: groups partition the corpus and refine exact dedup") {
+    import spark.implicits._
+    val total = Tables.documents(spark, sf).count()
+    val g = dedup.Dedup.bow(spark, sf).cache()
+    assert(g.agg(sum($"n_docs")).as[Long].head() == total,
+      "bow groups must partition the corpus")
+    assert(g.filter($"n_variants" > $"n_docs").isEmpty,
+      "a group cannot merge more byte-variants than documents")
+    // every exact-dup group lands INSIDE one bow group: the bow group
+    // count is <= the exact group count (bow is the coarser partition)
+    val exactGroups = dedup.Dedup.exact(spark, sf).count()
+    assert(g.count() <= exactGroups)
+    g.unpersist()
+  }
+
+  test("ann_filtered: cross-label top-5 matches brute force through the same kernel") {
+    import spark.implicits._
+    val got = similarity.Ann.filteredTopk(spark, sf)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // brute force: score EVERY (query, candidate) pair with the same
+    // codegen cosine kernel, filter cross-label in Scala, take top-5
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id".cast("long"), $"embedding".cast("array<double>"), $"label")
+    val q = e.filter($"vec_id" < 20)
+      .toDF("query_id", "ea", "qlabel")
+    val scored = q.crossJoin(e.toDF("neighbor_id", "eb", "clabel"))
+      .select($"query_id", $"neighbor_id", $"qlabel", $"clabel",
+        graft.functions.native.cosineSim($"ea", $"eb").as("cos"))
+      .as[(Long, Long, Int, Int, Double)].collect()
+    val expect = scored.groupBy(_._1).view.mapValues { rows =>
+      rows.filter(r => r._3 != r._4)
+        .sortBy(r => (-r._5, r._2)).take(5).map(_._2).toSeq
+    }.toMap
+    assert(got.keySet == expect.keySet && got.keySet.nonEmpty)
+    got.foreach { case (qid, ns) =>
+      assert(ns == expect(qid), s"query $qid: $ns != ${expect(qid)}")
+    }
+    // and the constraint itself holds: no neighbor shares the query label
+    val labels = e.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    got.foreach { case (qid, ns) =>
+      ns.foreach(n => assert(labels(n) != labels(qid)))
+    }
+  }
+
+  test("text_gopher_quality: every rule bit matches an independent Scala recompute") {
+    import spark.implicits._
+    val got = textanalysis.Text.gopherQuality(spark, sf)
+      .select($"doc_id", $"n_words", $"alpha_words", $"stop_hits", $"symbols",
+        $"words_ok", $"wordlen_ok", $"symbol_ok", $"alpha_ok", $"stopword_ok", $"passes")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val stop = Set("the", "a", "and", "of", "to", "in", "is", "that", "it", "for")
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(docs.nonEmpty && got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val words = text.split(" ", -1)
+      val n = words.length.toLong
+      val chars = text.count(_ != ' ').toLong
+      val alpha = words.count(_.exists(c => c.isLetter && c <= 'z')).toLong
+      val hits = words.count(stop).toLong
+      val sym = text.count(_ == '#').toLong + {
+        var (c, i) = (0L, 0)
+        while (i <= text.length - 3) {
+          if (text.startsWith("...", i)) { c += 1; i += 3 } else i += 1
+        }
+        c
+      }
+      val r = got(id)
+      assert(r.getLong(1) == n && r.getLong(2) == alpha &&
+        r.getLong(3) == hits && r.getLong(4) == sym, s"doc $id counts")
+      assert(r.getBoolean(5) == (n >= 50 && n <= 100000), s"doc $id words_ok")
+      assert(r.getBoolean(6) == (n * 3 <= chars && chars <= n * 10), s"doc $id wordlen_ok")
+      assert(r.getBoolean(7) == (sym * 10 <= n), s"doc $id symbol_ok")
+      assert(r.getBoolean(8) == (alpha * 5 >= n * 4), s"doc $id alpha_ok")
+      assert(r.getBoolean(9) == (hits >= 2), s"doc $id stopword_ok")
+      assert(r.getBoolean(10) == (r.getBoolean(5) && r.getBoolean(6) &&
+        r.getBoolean(7) && r.getBoolean(8) && r.getBoolean(9)), s"doc $id passes")
+    }
+    // the panel must split the corpus (a constant filter is no filter)
+    val passCount = got.values.count(_.getBoolean(10))
+    assert(passCount > 0 && passCount < docs.length,
+      s"degenerate rule panel: $passCount/${docs.length} pass")
+  }
+
+  test("text_unigram_diversity matches an exact Scala recompute") {
+    import spark.implicits._
+    val got = textanalysis.Text.unigramDiversity(spark, sf)
+      .select($"doc_id", $"n_tokens", $"n_types", $"ttr_ppm", $"simpson_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    docs.foreach { case (id, text) =>
+      val words = text.split(" ", -1)
+      val n = words.length.toLong
+      val counts = words.groupBy(identity).view.mapValues(_.length.toLong)
+      val types = counts.size.toLong
+      val sumSq = counts.values.map(c => c * c).sum
+      val (_, gn, gt, gttr, gsim) = got(id)
+      assert(gn == n && gt == types, s"doc $id counts")
+      assert(gttr == types * 1000000L / n, s"doc $id ttr")
+      assert(gsim == sumSq * 1000000L / (n * n), s"doc $id simpson")
+    }
+  }
+
   test("q_ntile matches the windowed ntile(4) formulation") {
     import spark.implicits._
     val got = operators.Analytics.ntileQuartiles(spark, sf)

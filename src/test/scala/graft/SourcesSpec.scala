@@ -373,4 +373,75 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"latency not injected: $elapsedMs ms for $opensLat opens")
     LatencyFs.install(spark) // restore zero-latency for later tests
   }
+
+  test("layout_zorder: 2-D box predicates skip row groups a 1-D sort cannot") {
+    import graft.sources.LatencyFs
+    import graft.operators.Layout
+    // Two physical layouts of the SAME table (sf0.1 lineitem, 600k rows,
+    // 32 files — big enough that data pages dominate footers): one
+    // range-clustered on l_partkey alone (the 1-D baseline every
+    // single-key table has), one on the normalized Morton zval over
+    // (l_partkey, l_suppkey). The graft:// byte counters then measure —
+    // not argue — that the z-layout serves 2-D box predicates with less
+    // object-store IO, while the 1-D layout cannot prune the second
+    // dimension at all.
+    val sf1 = "/root/testdata/sf0.1"
+    val root = Files.createTempDirectory("zorder").toFile.getAbsolutePath
+    val withZ = Layout.withZval(Tables.lineitem(spark, sf1))
+    Sources.writeClustered(withZ, s"$root/bykey", Seq("l_partkey"), 32)
+    Sources.writeClustered(withZ, s"$root/byz", Seq("zval"), 32)
+    LatencyFs.install(spark)
+    val byKey = spark.read.parquet(s"graft://$root/bykey")
+    val byZ = spark.read.parquet(s"graft://$root/byz")
+
+    // Metric = positioned reads (data-page/column-chunk fetches). Bytes
+    // include parquet FOOTERS, which row-group skipping never avoids and
+    // which at this file size are ~half the traffic; and an unfiltered
+    // count() never touches data at all (aggregate pushdown answers it
+    // from footer stats) — preads isolate exactly the IO that skipping
+    // is supposed to save. The sum() forces real data reads everywhere.
+    def measured(df: => org.apache.spark.sql.DataFrame): (Long, Long) = {
+      LatencyFs.resetCounters()
+      val r = df.agg(count(lit(1)), sum(col("l_quantity"))).head
+      val (_, preads, _) = LatencyFs.snapshot()
+      (r.getLong(0), preads)
+    }
+    // predicate on the SECOND dimension only: the 1-D partkey sort leaves
+    // every file spanning the full suppkey range (zero pruning); the
+    // z-layout separates suppkey's top normalized bits across files
+    val supp = col("l_suppkey") >= 640
+    val (nSuppKey, prSuppKey) = measured(byKey.filter(supp))
+    val (nSuppZ, prSuppZ) = measured(byZ.filter(supp))
+    assert(nSuppKey == nSuppZ && nSuppKey > 0)
+    assert(prSuppZ * 4 < prSuppKey * 3,
+      s"z-order won nothing on the 2nd dim: z=$prSuppZ key=$prSuppKey")
+    // 2-D box, balanced against the split resolution (32 files ≈ 5 z-bits
+    // → ~2-3 bits per dimension): a quarter of each dimension. The 1-D
+    // layout prunes only its sort key (reads ~1/4); z prunes both
+    // (~1/16 geometric; boundary files straddle bucket-bit edges since
+    // quantile split points don't align with them). A box much NARROWER
+    // than the per-dim bit resolution flips the comparison back to the
+    // 1-D sort — that's the honest z-order trade (bits spent on dim B
+    // are bits lost to dim A), and why the production guidance is:
+    // z-order for multi-dim box/point workloads, 1-D sort when one
+    // selective key dominates.
+    val box = col("l_partkey") < 5000 && col("l_suppkey") >= 750
+    val (nBoxKey, prBoxKey) = measured(byKey.filter(box))
+    val (nBoxZ, prBoxZ) = measured(byZ.filter(box))
+    assert(nBoxKey == nBoxZ && nBoxKey > 0)
+    assert(prBoxZ * 3 < prBoxKey * 2,
+      s"z-order box not ahead of 1-D: z=$prBoxZ key=$prBoxKey")
+    // the trade is bounded the other way too: a pure sort-key range over
+    // the z-layout still prunes (interleaving keeps partkey locality).
+    // Worst case (no pruning) would fetch 2 chunks per file = 2× the
+    // full scan's 1-chunk-per-file preads; pruning must beat that.
+    val (_, prFullZ) = measured(byZ)
+    val (nPkZ, prPkZ) = measured(byZ.filter(col("l_partkey") >= 2560 &&
+      col("l_partkey") <= 5119))
+    val (nPkKey, _) = measured(byKey.filter(col("l_partkey") >= 2560 &&
+      col("l_partkey") <= 5119))
+    assert(nPkZ == nPkKey && prFullZ > 0)
+    assert(prPkZ * 10 < prFullZ * 2 * 8,
+      s"z-layout lost 1st-dim pruning: range=$prPkZ full=$prFullZ (no-skip bound ${2 * prFullZ})")
+  }
 }
