@@ -1472,7 +1472,57 @@ object Insights {
       |       AS DOUBLE) / 18.0) AS z_mk
       |FROM med, trend, ties, nw""".stripMargin
 
+  /** Exponentially weighted moving average of daily revenue, α = 1/4 in
+    * EXACT integer cents: s₁ = x₁, sₜ = ⌊(3·sₜ₋₁ + xₜ)/4⌋ — the standard
+    * smoothing baseline of an ops dashboard / anomaly monitor, with the
+    * recursion in truncating integer arithmetic so both engines walk the
+    * identical sequence (no float drift over thousands of steps).
+    *
+    * Scale shape: the corpus collapses map-side to the DAILY aggregate
+    * (rows = |days|, calendar-bounded — the q_autocorr argument); the
+    * recursion is inherently SEQUENTIAL, so it runs as one in-row fold
+    * over the packed day array (O(|days|²) array copies on ≤ thousands of
+    * elements — still microseconds) rather than pretending a window can
+    * parallelize a true recurrence. The oracle replays the identical walk
+    * as a recursive CTE.
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        cents(col("o_totalprice")).as("r"))
+      .groupBy(col("day"))
+      .agg(sum(col("r")).cast("bigint").as("cents"))
+    daily
+      .agg(array_sort(collect_list(struct(col("day"), col("cents")))).as("xs"))
+      .withColumn("ew", expr(
+        """aggregate(transform(xs, s -> s.cents),
+          |  cast(array() as array<bigint>),
+          |  (acc, x) -> if(size(acc) = 0, array(x),
+          |    concat(acc, array((3 * element_at(acc, -1) + x) div 4))))""".stripMargin))
+      .select(posexplode(arrays_zip(col("xs"), col("ew"))))
+      .select(date_format(col("col.xs.day"), "yyyy-MM-dd").as("day"),
+        col("col.xs.cents").as("revenue_cents"),
+        col("col.ew").as("ewma_cents"))
+  }
+
+  val ewmaSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |idx AS (
+      |  SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily),
+      |ew AS (
+      |  SELECT i, day, cents, cents AS ewma FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT idx.i, idx.day, idx.cents, (3 * ew.ewma + idx.cents) // 4
+      |  FROM ew JOIN idx ON idx.i = ew.i + 1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, cents AS revenue_cents,
+      |  CAST(ewma AS BIGINT) AS ewma_cents
+      |FROM ew""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma" -> (ewma _),
     "q_runs_test" -> (runsTest _),
     "q_interpurchase" -> (interpurchase _),
     "q_hhi" -> (hhi _),
@@ -1497,6 +1547,7 @@ object Insights {
     "q_hhi" -> hhiSql,
     "q_benford" -> benfordSql,
     "q_seasonality" -> seasonalitySql,
+    "q_ewma" -> ewmaSql,
     "q_assoc_rules" -> assocRulesSql,
     "q_cuped" -> cupedSql,
     "q_mann_whitney" -> mannWhitneySql,

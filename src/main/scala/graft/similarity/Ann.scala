@@ -136,6 +136,136 @@ object Ann {
       | WHERE q.vec_id < 20 AND c.label <> q.label) t
       |WHERE rank <= 5""".stripMargin
 
+  /** Late-interaction MaxSim (ColBERT scoring): a multi-vector QUERY
+    * (2 token vectors per query group) against multi-vector DOCUMENTS
+    * (each label's vector set), scored as Σ over query tokens of the MAX
+    * cosine over the document's vectors — the retrieval scoring family
+    * between bi-encoder (one dot) and cross-encoder (full attention).
+    * Per-query top-3 documents by the summed score.
+    *
+    * Hash discipline: max over identically-computed doubles is exact, and
+    * the outer sum has exactly TWO operands (2 tokens/query — IEEE
+    * addition of two doubles is commutative), so the score itself is
+    * engine-exact, not just the ranks. Scale shape: the token panel is a
+    * bounded broadcast; the corpus streams through one map-side pass and
+    * collapses via partial aggregation to (query, doc) rows — at corpus
+    * scale the same reduction sits after an ANN candidate route instead
+    * of the full scan, exactly like [[topk]] → [[topkIvf]].
+    */
+  def maxsim(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        col("label"))
+    val q = e.filter(col("vec_id") < 8).limit(8)
+      .select(expr("vec_id div 2").as("query_group"),
+        col("vec_id").as("qvec"), col("emb").as("ea"))
+    val c = e.select(col("vec_id").as("cand"), col("emb").as("eb"),
+      col("label").as("doc_label"))
+    val w = Window.partitionBy(col("query_group"))
+      .orderBy(col("maxsim").desc, col("doc_label"))
+    broadcast(q).join(c)
+      .withColumn("cos", native.cosineSim(col("ea"), col("eb")))
+      .groupBy(col("query_group"), col("qvec"), col("doc_label"))
+      .agg(max(col("cos")).as("m"))
+      .groupBy(col("query_group"), col("doc_label"))
+      .agg(sum(col("m")).as("maxsim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_group"), col("doc_label"), col("rank"), col("maxsim"))
+  }
+
+  val maxsimSql: String =
+    """WITH scored AS (
+      | SELECT q.vec_id // 2 AS query_group, q.vec_id AS qvec, c.label AS doc_label,
+      |  -- the raw SCORE is output here (unlike the rank-only ops), so the
+      |  -- oracle must replay the kernel BIT-exactly: DOUBLE[] accumulation
+      |  -- (FLOAT[] would drift) and the kernel's own dot/(sqrt(na)*sqrt(nb))
+      |  -- division order — list_cosine_similarity normalizes as
+      |  -- dot/sqrt(na*nb), 1 ulp away
+      |  MAX(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+      |    / (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+      |     * sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))) AS m
+      | FROM embeddings q, embeddings c
+      | WHERE q.vec_id < 8
+      | GROUP BY 1, 2, 3),
+      |agg AS (
+      | SELECT query_group, doc_label, SUM(m) AS maxsim,
+      |  ROW_NUMBER() OVER (PARTITION BY query_group
+      |    ORDER BY SUM(m) DESC, doc_label) AS rank
+      | FROM scored GROUP BY 1, 2)
+      |SELECT query_group, doc_label, rank, maxsim
+      |FROM agg WHERE rank <= 3""".stripMargin
+
+  /** Matryoshka-truncation recall: how much ANN quality survives scoring
+    * on only the FIRST d dimensions of the embedding (the
+    * matryoshka-representation-learning deployment trick — truncated
+    * vectors cost d/64 of the memory and compute). Top-3 by 16-dim and
+    * 32-dim prefix cosine, hit-counted against the full-dim exact top-3
+    * — the [[recallEval]] harness pointed at dimension truncation
+    * instead of index approximation. Both stacks are exact brute-force
+    * scoring, so the whole result (not just the contract booleans) is
+    * engine-exact and hash-checked; on the synthetic embeddings
+    * (uniform random, no MRL training) prefix recall is LOW — the
+    * operator reports it rather than assuming the corpus was trained
+    * for truncation.
+    */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = topk(spark, dir).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    def prefixTopk(d: Int): DataFrame = {
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, d).as("emb"))
+      val q = e.filter(col("vec_id") < 20).limit(20)
+        .select(col("vec_id").as("query_id"), col("emb").as("ea"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", native.cosineSim(col("ea"), col("eb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    def branch(name: String, approx: DataFrame): DataFrame = exact
+      .join(approx.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+      .select(lit(name).as("method"), col("n_pairs"), col("hits"),
+        expr("cast(floor(hits * 1000000.0 / n_pairs) as bigint)").as("recall_ppm"))
+    branch("dim16", prefixTopk(16)).unionByName(branch("dim32", prefixTopk(32)))
+  }
+
+  val matryoshkaRecallSql: String = {
+    def stack(tag: String, d: String): String =
+      s"""$tag AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |     ORDER BY list_cosine_similarity($d) DESC, c.vec_id) AS rank
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id) t
+         | WHERE rank <= 3)""".stripMargin
+    val full = stack("exact", "q.embedding, c.embedding")
+    val p16 = stack("p16", "q.embedding[1:16], c.embedding[1:16]")
+    val p32 = stack("p32", "q.embedding[1:32], c.embedding[1:32]")
+    def branch(name: String, t: String): String =
+      s"""SELECT '$name' AS method, COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits,
+         |  CAST(FLOOR(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000.0 / COUNT(*)) AS BIGINT) AS recall_ppm
+         |FROM exact e LEFT JOIN $t a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id""".stripMargin
+    s"""WITH $full,
+       |$p16,
+       |$p32
+       |${branch("dim16", "p16")}
+       |UNION ALL
+       |${branch("dim32", "p32")}""".stripMargin
+  }
+
   /** Exact k-NN graph: every vector's 5 nearest neighbors by cosine — the
     * all-queries generalization of [[topk]], and the substrate for graph
     * analytics over a corpus (kNN-graph clustering, link-based curation).
@@ -1687,6 +1817,8 @@ object Ann {
     "ann_topk" -> (topk _),
     "ann_mips" -> (mipsTopk _),
     "ann_filtered" -> (filteredTopk _),
+    "ann_maxsim" -> (maxsim _),
+    "ann_recall_matryoshka" -> (matryoshkaRecall _),
     "emb_knn_graph" -> (knnGraph _),
     "emb_knn_graph_ivf" -> (knnGraphIvf _),
     "emb_kmeans" -> (kmeans _),
@@ -1709,6 +1841,8 @@ object Ann {
     "ann_topk" -> topkSql,
     "ann_mips" -> mipsTopkSql,
     "ann_filtered" -> filteredTopkSql,
+    "ann_maxsim" -> maxsimSql,
+    "ann_recall_matryoshka" -> matryoshkaRecallSql,
     "emb_knn_graph" -> knnGraphSql,
     "emb_outliers" -> outliersSql,
     "emb_knn_graph_ivf" -> knnGraphIvfSql,

@@ -728,6 +728,66 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ann_maxsim: MaxSim reduction matches brute force through the same kernel") {
+    import spark.implicits._
+    val got = similarity.Ann.maxsim(spark, sf)
+      .select($"query_group", $"doc_label", $"rank", $"maxsim")
+      .as[(Long, Int, Int, Double)].collect()
+    // brute force: kernel-score every (query-token, candidate) pair, then
+    // fold the max-per-token / sum-over-tokens reduction in Scala
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id".cast("long"), $"embedding".cast("array<double>"), $"label")
+    val q = e.filter($"vec_id" < 8).toDF("qvec", "ea", "ql")
+    val scored = q.crossJoin(e.toDF("cand", "eb", "doc_label"))
+      .select(($"qvec" / 2).cast("long").as("qg"), $"qvec", $"doc_label",
+        graft.functions.native.cosineSim($"ea", $"eb").as("cos"))
+      .as[(Long, Long, Int, Double)].collect()
+    val expect = scored.groupBy(r => (r._1, r._3)).map { case ((qg, dl), rows) =>
+      (qg, dl) -> rows.groupBy(_._2).values.map(_.map(_._4).max).sum
+    }
+    val top3 = expect.groupBy(_._1._1).view.mapValues { m =>
+      m.toSeq.sortBy { case ((_, dl), s) => (-s, dl) }.take(3)
+        .zipWithIndex.map { case (((_, dl), s), i) => (dl, i + 1, s) }
+    }.toMap
+    assert(got.groupBy(_._1).keySet == top3.keySet && got.length == top3.values.map(_.size).sum)
+    got.foreach { case (qg, dl, rank, score) =>
+      val want = top3(qg)(rank - 1)
+      assert(dl == want._1 && rank == want._2, s"query $qg rank $rank: $dl != ${want._1}")
+      assert(score == want._3, s"query $qg score $score != ${want._3} (must be bit-exact)")
+    }
+  }
+
+  test("ann_recall_matryoshka: pair counts exact, dim16 hits verified against a prefix recompute") {
+    import spark.implicits._
+    val rows = similarity.Ann.matryoshkaRecall(spark, sf)
+      .select($"method", $"n_pairs", $"hits", $"recall_ppm")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set("dim16", "dim32"))
+    rows.values.foreach { case (m, n, h, ppm) =>
+      assert(n == 60, s"$m: 20 queries x top-3 = 60 pairs, got $n")
+      assert(h >= 0 && h <= n)
+      assert(ppm == h * 1000000L / n, s"$m ppm")
+    }
+    // independent dim16 recompute: prefix-cosine top-3 per query in Scala
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def top3(d: Int): Map[Long, Set[Long]] =
+      e.filter(_._1 < 20).map { case (qid, qe) =>
+        qid -> e.filter(_._1 != qid)
+          .map { case (cid, ce) => (cid, cos(qe.take(d), ce.take(d))) }
+          .sortBy { case (cid, c) => (-c, cid) }.take(3).map(_._1).toSet
+      }.toMap
+    val exact = top3(64)
+    val hits16 = exact.map { case (qid, ns) => (ns & top3(16)(qid)).size }.sum
+    assert(rows("dim16")._3 == hits16,
+      s"dim16 hits ${rows("dim16")._3} != recompute $hits16")
+  }
+
   test("text_gopher_quality: every rule bit matches an independent Scala recompute") {
     import spark.implicits._
     val got = textanalysis.Text.gopherQuality(spark, sf)

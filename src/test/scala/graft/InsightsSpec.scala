@@ -467,4 +467,33 @@ class InsightsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy(col("event_type")).collect()
     assert(viaOrc.toSeq == base.toSeq)
   }
+
+  test("q_ewma: the in-row fold equals a sequential Scala recompute of the recurrence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.Portable.cents
+    val got = Insights.ewma(spark, sf)
+      .select($"day", $"revenue_cents", $"ewma_cents")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    val daily = Tables.orders(spark, sf)
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        cents(col("o_totalprice")).as("r"))
+      .groupBy($"day").agg(sum($"r").as("cents"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(got.length == daily.length && got.nonEmpty)
+    var s = daily.head._2
+    got.zip(daily).zipWithIndex.foreach { case (((gd, gr, ge), (dd, dr)), i) =>
+      assert(gd == dd && gr == dr, s"day $i mismatch")
+      if (i > 0) s = (3 * s + dr) / 4
+      assert(ge == s, s"ewma at $gd: got $ge want $s")
+    }
+    // smoothing actually smooths: the EWMA series has lower variance
+    // than the raw series (guaranteed only statistically, but at 2.4k
+    // days a violation means the recurrence is wrong, not unlucky)
+    def variance(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    assert(variance(got.map(_._3.toDouble)) < variance(got.map(_._2.toDouble)))
+  }
 }
