@@ -489,6 +489,105 @@ object Graph {
        |FROM r3 GROUP BY 1 ORDER BY hop""".stripMargin
   }
 
+  /** Single-source(-set) WEIGHTED shortest paths over the similarity
+    * graph, 4 relaxation rounds — [[reach]]'s hop-count frontier upgraded
+    * to real edge costs: each kNN edge is priced 1001 − signed-squared-
+    * cosine-per-mille (the [[cosineHist]] integer quantity — closer
+    * neighbor = cheaper edge, w ∈ [1, 2001], ZERO float steps so every
+    * distance is an exact integer both engines agree on). The per-vertex
+    * result is the semantic-distance field around the seed set — the
+    * quantity behind "how far is this document from the trusted core",
+    * graph-curriculum ordering, and contamination blast-radius reads.
+    *
+    * 4 BOUNDED rounds (≤4-hop-cheapest distances), not run-to-fixpoint:
+    * the frontier loop is the [[reach]] shape — per round ONE edge-keyed
+    * join + min-aggregate with map-side partials, lineage cut per round
+    * (the distance set feeds both the join and the union). Production
+    * iterates the same round until the min-agg stops changing (the
+    * Bellman–Ford fixpoint, ≤ diameter rounds); the oracle unrolls the
+    * identical 4 rounds as materialized CTEs.
+    */
+  def sssp(spark: SparkSession, dir: String): DataFrame =
+    ssspOf(spark, dir, edges(spark, dir))
+
+  def ssspOf(spark: SparkSession, dir: String, edgeSrc: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val xint = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        "transform(cast(embedding as array<double>)," +
+          " v -> cast(round(v * 1000000.0) as bigint))").as("xi"))
+    val weighted = edgeSrc
+      .join(xint.select(col("vec_id").as("u"), col("xi").as("xu")), Seq("u"))
+      .join(xint.select(col("vec_id").as("v"), col("xi").as("xv")), Seq("v"))
+      .select(col("u"), col("v"),
+        expr("aggregate(zip_with(xu, xv, (a, b) -> a * b)," +
+          " cast(0 as bigint), (acc, x) -> acc + x)").as("dot"),
+        expr("aggregate(zip_with(xu, xu, (a, b) -> a * b)," +
+          " cast(0 as bigint), (acc, x) -> acc + x)").as("nx"),
+        expr("aggregate(zip_with(xv, xv, (a, b) -> a * b)," +
+          " cast(0 as bigint), (acc, x) -> acc + x)").as("ny"))
+      .select(col("u"), col("v"), expr(
+        s"""1001 - (case when dot < 0 then -1 else 1 end)
+           | * cast(cast(dot as $d38) * dot * 1000
+           |        div (cast(nx as $d38) * ny) as bigint)""".stripMargin)
+        .cast("bigint").as("w"))
+      .cutLineage()
+    val adj = weighted.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionAll(weighted.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      .cutLineage()
+    var d = adj.select(col("dst").as("vec_id")).distinct()
+      .filter(col("vec_id") % 100 === 0)
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to 4) {
+      val next = adj
+        .join(d.select(col("vec_id").as("src"), col("dist").as("dsrc")), Seq("src"))
+        .select(col("dst").as("vec_id"), (col("dsrc") + col("w")).as("dist"))
+      d = d.unionAll(next)
+        .groupBy(col("vec_id")).agg(min(col("dist")).as("dist"))
+        .cutLineage()
+    }
+    d.select(col("vec_id"), col("dist"))
+  }
+
+  val ssspSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT vec_id, MIN(dist) AS dist FROM (
+         |  SELECT * FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT a.dst AS vec_id, d.dist + a.w AS dist
+         |  FROM wadj a JOIN d${i - 1} d ON a.src = d.vec_id) t
+         |GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgeCtes,
+       |x2 AS (
+       |  SELECT vec_id, i - 1 AS dim,
+       |    CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)),
+       |norms AS (
+       |  SELECT vec_id, SUM(CAST(xi AS HUGEINT) * xi) AS nsq
+       |  FROM x2 GROUP BY 1),
+       |dots AS (
+       |  SELECT e.u, e.v, SUM(CAST(xu.xi AS HUGEINT) * xv.xi) AS dot
+       |  FROM e JOIN x2 xu ON xu.vec_id = e.u
+       |         JOIN x2 xv ON xv.vec_id = e.v AND xu.dim = xv.dim
+       |  GROUP BY 1, 2),
+       |we AS MATERIALIZED (
+       |  SELECT dots.u, dots.v,
+       |    CAST(1001 - (CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+       |      * CAST(CAST(dot AS HUGEINT) * dot * 1000
+       |             // (CAST(nu.nsq AS HUGEINT) * nv.nsq) AS BIGINT)
+       |      AS BIGINT) AS w
+       |  FROM dots JOIN norms nu ON dots.u = nu.vec_id
+       |            JOIN norms nv ON dots.v = nv.vec_id),
+       |wadj AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst, w FROM we
+       |  UNION ALL SELECT v AS src, u AS dst, w FROM we),
+       |d0 AS (SELECT DISTINCT dst AS vec_id, CAST(0 AS BIGINT) AS dist
+       |       FROM wadj WHERE dst % 100 = 0),
+       |$rounds
+       |SELECT vec_id, CAST(dist AS BIGINT) AS dist FROM d4""".stripMargin
+  }
+
   /** Similarity histogram of the kNN edges — the "are my neighbors
     * actually close?" sanity report a curation pipeline reads before
     * trusting graph-derived decisions (semantic dedup thresholds,
@@ -682,6 +781,7 @@ object Graph {
     "emb_cosine_hist" -> (cosineHist _),
     "graph_assortativity" -> (assortativity _),
     "graph_reach" -> (reach _),
+    "graph_sssp" -> (sssp _),
     "graph_modularity" -> (modularity _),
     "graph_label_prop" -> (labelProp _),
     "graph_centrality" -> (centrality _),
@@ -695,6 +795,7 @@ object Graph {
     "emb_cosine_hist" -> cosineHistSql,
     "graph_assortativity" -> assortativitySql,
     "graph_reach" -> reachSql,
+    "graph_sssp" -> ssspSql,
     "graph_modularity" -> modularitySql,
     "graph_label_prop" -> labelPropSql,
     "graph_centrality" -> centralitySql,

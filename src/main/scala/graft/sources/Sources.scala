@@ -146,6 +146,98 @@ object Sources {
       .write.mode("overwrite").option("compression", compression).parquet(dstUri)
   }
 
+  /** FILE-LEVEL stats manifest (the Iceberg/Delta pattern, round 13):
+    * one row per (file, column) with footer min/max/null-count/row-count
+    * for the requested INT64/INT32 columns. Row-group skipping still pays
+    * one OPEN + footer read per file — at an object store that is one GET
+    * round-trip per file per query, and at 100 TB a table is tens of
+    * thousands of files. A manifest moves those stats into ONE small
+    * table read at planning time, so a selective scan opens only the
+    * files that can match. Built with the same bounded-pool footer probe
+    * as [[eventsLake]] (32-way, footer-only — never a per-file Spark
+    * scan); rebuilt incrementally in production by appending rows for new
+    * files (the write path knows its own stats).
+    */
+  def writeStatsManifest(spark: SparkSession, tableUri: String,
+      manifestUri: String, cols: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(tableUri)
+    val fs = dir.getFileSystem(conf)
+    val files = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    require(files.nonEmpty, s"statsManifest: no parquet files under $tableUri")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, files.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def fileStats(f: String): Seq[(String, String, Option[Long], Option[Long], Long, Long)] = {
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        cols.map { c =>
+          val chunks = blocks.flatMap(_.getColumns.asScala
+            .find(_.getPath.toDotString == c))
+          def longOf(v: Any): Option[Long] = v match {
+            case l: java.lang.Long => Some(l.longValue)
+            case i: java.lang.Integer => Some(i.longValue)
+            case _ => None
+          }
+          val stats = chunks.map(_.getStatistics).filter(s =>
+            s != null && s.hasNonNullValue)
+          val mins = stats.flatMap(s => longOf(s.genericGetMin()))
+          val maxs = stats.flatMap(s => longOf(s.genericGetMax()))
+          val nulls = chunks.map(ch => Option(ch.getStatistics)
+            .map(_.getNumNulls).getOrElse(0L)).sum
+          val rows = blocks.map(_.getRowCount).sum
+          // complete stats only: a chunk without usable stats makes the
+          // file UNPRUNABLE for this column (min/max null in the manifest)
+          val ok = stats.size == chunks.size && mins.size == chunks.size &&
+            maxs.size == chunks.size && chunks.nonEmpty
+          (f, c, if (ok) Some(mins.min) else None,
+            if (ok) Some(maxs.max) else None, nulls, rows)
+        }
+      } finally reader.close()
+    }
+    val rows = try {
+      Await.result(Future.sequence(files.map(f => Future(fileStats(f)))),
+        Duration.Inf).flatten
+    } finally pool.shutdown()
+    import spark.implicits._
+    rows.toDF("file", "col", "min_val", "max_val", "null_count", "num_rows")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestUri)
+  }
+
+  /** Manifest-pruned scan: plan the file list from the stats manifest
+    * (one small read), open only files whose [min,max] intersects
+    * [lower,upper] (files with missing stats stay in — pruning must be
+    * sound), and apply the same predicate row-level. Value-identical to
+    * the full scan by construction; the saving is OPENS, not just bytes —
+    * measured in SourcesSpec via the graft:// counters.
+    */
+  def manifestPrunedScan(spark: SparkSession, tableUri: String,
+      manifestUri: String, column: String, lower: Long, upper: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val m = spark.read.parquet(manifestUri)
+      .filter(col("col") === column)
+      .filter(col("min_val").isNull || col("max_val").isNull ||
+        (col("max_val") >= lower && col("min_val") <= upper))
+      .select(col("file"))
+      .collect().map(_.getString(0))
+    val pred = col(column) >= lower && col(column) <= upper
+    if (m.isEmpty)
+      spark.read.parquet(tableUri).where(lit(false))
+    else
+      spark.read.parquet(m.toIndexedSeq: _*).where(pred)
+  }
+
   /** Mixed-physical-schema events lake loader (round-8 verdict stretch):
     * a directory of parquet files written by DIFFERENT producers over
     * time, where `ts` appears as BIGINT nanos in some files and as a

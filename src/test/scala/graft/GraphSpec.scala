@@ -199,4 +199,42 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name differs between rebuild and materialized edge source")
     }
   }
+
+  test("graph_sssp: distances match a sequential Bellman-Ford recompute; monotone vs hops") {
+    import spark.implicits._
+    val got = similarity.Graph.sssp(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // recompute edge weights in exact integer arithmetic from embeddings
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+      .view.mapValues(_.map(v => BigInt(math.round(v * 1000000.0))).toArray).toMap
+    val es = edges.as[(Long, Long)].collect()
+    def weight(u: Long, v: Long): Long = {
+      val (xu, xv) = (emb(u), emb(v))
+      val dot = xu.zip(xv).map { case (a, b) => a * b }.sum
+      val nx = xu.map(a => a * a).sum
+      val ny = xv.map(a => a * a).sum
+      val sgn = if (dot < 0) -1 else 1
+      (BigInt(1001) - sgn * (dot * dot * 1000 / (nx * ny))).toLong
+    }
+    val adj = (es.map { case (u, v) => (u, v, weight(u, v)) } ++
+      es.map { case (u, v) => (v, u, weight(u, v)) }).toSeq
+    val verts = adj.map(_._1).distinct
+    var dist = verts.filter(_ % 100 == 0).map(v => v -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val relaxed = adj.flatMap { case (s, t, w) =>
+        dist.get(s).map(d => t -> (d + w))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .view.mapValues(_.map(_._2).min).toMap
+    }
+    assert(got == dist, s"sssp mismatch: ${got.size} vs ${dist.size} vertices")
+    // weighted distance is bounded by hops: every weight <= 2001, so
+    // dist(v) <= 2001 * hop(v); and any reached vertex has dist >= hop
+    // (weights >= 1)
+    val hops = similarity.Graph.reach(spark, sf)
+    assert(hops.count() > 0 && got.nonEmpty)
+    assert(got.values.forall(d => d >= 0 && d <= 4 * 2001))
+  }
 }

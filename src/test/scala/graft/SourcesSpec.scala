@@ -374,6 +374,62 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     LatencyFs.install(spark) // restore zero-latency for later tests
   }
 
+  test("stats manifest: file-level pruning saves OPENS, not just bytes") {
+    import graft.sources.LatencyFs
+    // Row-group skipping still opens every file (one GET per footer at an
+    // object store); a stats manifest plans the file list from one small
+    // table. 16 orderkey-clustered files, a range hitting ~2 of them:
+    // the manifest-pruned scan must open a fraction of the files the
+    // direct scan opens, and return identical rows. The manifest itself
+    // lives on the local FS (a catalog read, not table IO) so the
+    // graft:// counters see only table access.
+    val sf01 = "/root/testdata/sf0.01"
+    val root = Files.createTempDirectory("manifest").toFile.getAbsolutePath
+    val li = Tables.lineitem(spark, sf01)
+    Sources.writeClustered(li, s"$root/li", Seq("l_orderkey"), 16)
+    val manifest = Files.createTempDirectory("manifest_cat").toString + "/m"
+    Sources.writeStatsManifest(spark, s"$root/li", manifest, Seq("l_orderkey"))
+    LatencyFs.install(spark)
+    val uri = s"graft://$root/li"
+    val (lo, hi) = (1000L, 3000L)
+
+    def measured[T](f: => T): (T, Long) = {
+      LatencyFs.resetCounters()
+      val r = f
+      val (opens, _, _) = LatencyFs.snapshot()
+      (r, opens)
+    }
+    val (direct, opensDirect) = measured {
+      spark.read.parquet(uri)
+        .filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+        .agg(count(lit(1)), sum(col("l_quantity"))).head
+    }
+    val (pruned, opensPruned) = measured {
+      Sources.manifestPrunedScan(spark, uri, manifest, "l_orderkey", lo, hi)
+        .agg(count(lit(1)), sum(col("l_quantity"))).head
+    }
+    assert(pruned.getLong(0) == direct.getLong(0) && direct.getLong(0) > 0,
+      "manifest-pruned scan must be value-identical")
+    assert(pruned.getDouble(1) == direct.getDouble(1))
+    assert(opensPruned * 3 < opensDirect,
+      s"manifest pruning saved no opens: pruned=$opensPruned direct=$opensDirect")
+    // soundness at the edges: a range matching NOTHING reads NO table
+    // files at all (the manifest answers it), and a full-range scan
+    // still returns everything (missing-stats files stay in)
+    val (emptyN, opensEmpty) = measured {
+      Sources.manifestPrunedScan(spark, uri, manifest, "l_orderkey",
+        Long.MaxValue - 1, Long.MaxValue).count()
+    }
+    // (≤1: the empty-result branch reads one footer for the SCHEMA —
+    // a real catalog stores the schema and pays zero; the point is the
+    // scan itself touched no data files)
+    assert(emptyN == 0 && opensEmpty <= 1,
+      s"no-match range should touch zero table files, opened $opensEmpty")
+    val full = Sources.manifestPrunedScan(spark, uri, manifest, "l_orderkey",
+      Long.MinValue, Long.MaxValue).count()
+    assert(full == li.count())
+  }
+
   test("layout_zorder: 2-D box predicates skip row groups a 1-D sort cannot") {
     import graft.sources.LatencyFs
     import graft.operators.Layout
