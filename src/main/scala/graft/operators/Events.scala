@@ -74,6 +74,110 @@ object Events {
        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
        |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Time-weighted average of the event value per user — the correct
+    * mean for IRREGULARLY sampled signals (metrics, prices, gauge
+    * readings), where the plain AVG over-weights bursts: each value is
+    * held until the user's next event and weighted by that holding
+    * duration. All arithmetic in exact integers (value quantized to
+    * round(v·10⁶), durations in micros, Σ(v·dur) in decimal(38,0)), so
+    * the ppm-scaled result is engine-exact.
+    *
+    * Scale shape: ONE user-keyed shuffle; the lead() window is
+    * partition-local after it, the aggregate map-side combines. Users
+    * with a single event have no holding interval and drop out (n ≥ 2
+    * kept) — stated, not silent.
+    */
+  def twa(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 1000000.0).cast("long").as("vq"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(byUser))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dur", col("next_us") - col("ts_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur")).cast("bigint").as("total_us"),
+        sum(expr("cast(vq as decimal(38,0)) * dur")).as("wsum"))
+      .filter(col("total_us") > 0)
+      .select(col("user_id"), col("n_intervals"), col("total_us"),
+        expr("cast(wsum div total_us as bigint)").as("twa_micro"))
+  }
+
+  val twaSql: String =
+    """WITH raw AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CAST(ROUND(value * 1000000) AS BIGINT) AS vq
+      |  FROM events),
+      |seg AS (
+      |  SELECT user_id, vq,
+      |    LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |      - ts_us AS dur
+      |  FROM raw
+      |  QUALIFY LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |    IS NOT NULL),
+      |agg AS (
+      |  SELECT user_id, COUNT(*) AS n_intervals,
+      |    CAST(SUM(dur) AS BIGINT) AS total_us,
+      |    SUM(CAST(vq AS HUGEINT) * dur) AS wsum
+      |  FROM seg GROUP BY 1)
+      |SELECT user_id, n_intervals, total_us,
+      |  CAST(wsum // total_us AS BIGINT) AS twa_micro
+      |FROM agg WHERE total_us > 0""".stripMargin
+
+  /** Hourly OHLC bars of the event value — open/high/low/close + volume,
+    * the canonical downsampling of any tick/metric stream (and the batch
+    * mirror of a streaming bar builder). Open/close pick the exact first/
+    * last event by the unique (ts, event_id) order — no min_by/arg_min
+    * tie ambiguity — via two partition-local row_number passes over the
+    * SAME window partitioning; values quantized to round(v·10⁶) so the
+    * bars are engine-exact integers.
+    *
+    * Scale shape: one hour-keyed shuffle shared by both windows and the
+    * aggregate (Catalyst reuses the exchange); bars-per-corpus is
+    * calendar-bounded.
+    */
+  def ohlc(spark: SparkSession, dir: String): DataFrame = {
+    val asc = Window.partitionBy(col("hour_epoch"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val desc = Window.partitionBy(col("hour_epoch"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        round(col("value") * 1000000.0).cast("long").as("vq"))
+      .withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(col("hour_epoch"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("rn_a") === 1, col("vq"))).as("open_micro"),
+        max(col("vq")).as("high_micro"),
+        min(col("vq")).as("low_micro"),
+        max(when(col("rn_d") === 1, col("vq"))).as("close_micro"),
+        sum(col("vq")).cast("bigint").as("volume_micro"))
+  }
+
+  val ohlcSql: String =
+    """WITH raw AS (
+      |  SELECT CAST(epoch(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,
+      |    epoch_us(ts) AS ts_us, event_id,
+      |    CAST(ROUND(value * 1000000) AS BIGINT) AS vq
+      |  FROM events),
+      |flagged AS (
+      |  SELECT hour_epoch, vq,
+      |    ROW_NUMBER() OVER (PARTITION BY hour_epoch
+      |      ORDER BY ts_us, event_id) AS rn_a,
+      |    ROW_NUMBER() OVER (PARTITION BY hour_epoch
+      |      ORDER BY ts_us DESC, event_id DESC) AS rn_d
+      |  FROM raw)
+      |SELECT hour_epoch, COUNT(*) AS n_events,
+      | MAX(CASE WHEN rn_a = 1 THEN vq END) AS open_micro,
+      | MAX(vq) AS high_micro, MIN(vq) AS low_micro,
+      | MAX(CASE WHEN rn_d = 1 THEN vq END) AS close_micro,
+      | CAST(SUM(vq) AS BIGINT) AS volume_micro
+      |FROM flagged GROUP BY 1""".stripMargin
+
   /** Sessionization (gaps-and-islands, 30-min inactivity gap) — batch mirror
     * of `flatMapGroupsWithState` sessionization. One shuffle on user_id;
     * windows + agg stay partition-local. All time math in integral micros.
@@ -1944,6 +2048,8 @@ object Events {
     "ref_filter" -> (refFilter _),
     "ref_aggregation" -> (refAggregation _),
     "q_events_hourly" -> (hourlyAgg _),
+    "q_twa" -> (twa _),
+    "q_ohlc" -> (ohlc _),
     "q_events_sessionize" -> (sessionize _),
     "q_asof_join" -> (asofJoin _),
     "q_asof_fwd" -> (asofJoinForward _),
@@ -1984,6 +2090,8 @@ object Events {
     "ref_filter" -> refFilterSql,
     "ref_aggregation" -> refAggregationSql,
     "q_events_hourly" -> hourlyAggSql,
+    "q_twa" -> twaSql,
+    "q_ohlc" -> ohlcSql,
     "q_events_sessionize" -> sessionizeSql,
     "q_asof_join" -> asofJoinSql,
     "q_asof_fwd" -> asofJoinForwardSql,

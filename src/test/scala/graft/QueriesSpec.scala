@@ -394,6 +394,62 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byStage("click_to_purchase") === f.getAs[Long]("n_purchase_24h"))
   }
 
+  test("q_twa: matches a per-user sequential recompute; bounded by value range") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = operators.Events.twa(spark, sf)
+      .select($"user_id", $"n_intervals", $"total_us", $"twa_micro")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        round($"value" * 1000000.0).cast("long").as("vq"))
+      .as[(Long, Long, Long, Long)].collect()
+    val byUser = ev.groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._3, e._2)).toSeq).toMap
+    var checked = 0
+    byUser.foreach { case (u, es) =>
+      val segs = es.zip(es.tail).map { case (a, b) => (a._4, b._3 - a._3) }
+        .filter(_ => true)
+      val tot = segs.map(_._2).sum
+      if (es.length >= 2 && tot > 0) {
+        val wsum = segs.map { case (v, d) => BigInt(v) * d }.sum
+        val (_, gn, gt, gm) = got(u)
+        assert(gn == segs.length && gt == tot, s"user $u counts")
+        assert(gm == (wsum / tot).toLong, s"user $u twa")
+        val (lo, hi) = (es.map(_._4).min, es.map(_._4).max)
+        assert(gm >= lo && gm <= hi, s"user $u twa outside value range")
+        checked += 1
+      } else assert(!got.contains(u), s"user $u should drop (<2 events)")
+    }
+    assert(checked > 0 && got.size == checked)
+  }
+
+  test("q_ohlc: open/close equal the chronologically first/last event; bars conserve events") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = operators.Events.ohlc(spark, sf).collect()
+      .map(r => r.getAs[Long]("hour_epoch") -> r).toMap
+    val ev = Tables.events(spark, sf)
+      .select(unix_timestamp(date_trunc("hour", $"ts")).as("h"),
+        unix_micros($"ts").as("ts_us"), $"event_id",
+        round($"value" * 1000000.0).cast("long").as("vq"))
+      .as[(Long, Long, Long, Long)].collect()
+    val byHour = ev.groupBy(_._1)
+    assert(got.keySet == byHour.keySet && got.nonEmpty)
+    assert(got.values.map(_.getAs[Long]("n_events")).sum == ev.length)
+    byHour.foreach { case (h, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val bar = got(h)
+      assert(bar.getAs[Long]("open_micro") == sorted.head._4, s"hour $h open")
+      assert(bar.getAs[Long]("close_micro") == sorted.last._4, s"hour $h close")
+      assert(bar.getAs[Long]("high_micro") == es.map(_._4).max, s"hour $h high")
+      assert(bar.getAs[Long]("low_micro") == es.map(_._4).min, s"hour $h low")
+      assert(bar.getAs[Long]("high_micro") >= bar.getAs[Long]("open_micro") &&
+        bar.getAs[Long]("high_micro") >= bar.getAs[Long]("close_micro") &&
+        bar.getAs[Long]("low_micro") <= bar.getAs[Long]("open_micro"))
+    }
+  }
+
   test("rolling_active: trailing actives dominate DAU; first day coincides") {
     import org.apache.spark.sql.functions._
     val out = operators.Events.rollingActive(spark, sf).cache()
