@@ -25,7 +25,11 @@ object Ann {
   def topk(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val q = e.filter(col("vec_id") < 20)
+    // limit(20) is a no-op on the 20-id panel but makes the broadcast side
+    // STRUCTURALLY bounded (GlobalLimit node), so the scale guard proves
+    // it small — and so does every query that composes this baseline
+    // (recall_eval, matryoshka) instead of inheriting an allowlist entry
+    val q = e.filter(col("vec_id") < 20).limit(20)
       .select(col("vec_id").as("query_id"), col("emb").as("ea"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"))
     val w = Window.partitionBy(col("query_id"))
@@ -254,7 +258,7 @@ object Ann {
       s"""SELECT '$name' AS method, COUNT(*) AS n_pairs,
          |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS hits,
-         |  CAST(FLOOR(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |  CAST(FLOOR(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    * 1000000.0 / COUNT(*)) AS BIGINT) AS recall_ppm
          |FROM exact e LEFT JOIN $t a
          |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id""".stripMargin

@@ -145,13 +145,10 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "emb_knn_graph" -> "exact-baseline corpus panel",
       // fixed 20-id query panels: the broadcast side is filter(vec_id < 20)
       // — ≤ 20 rows at ANY corpus size; bounded by the literal key
-      // predicate, which this structural guard can't see
-      "ann_topk" -> "fixed 20-id panel",
+      // predicate, which this structural guard can't see (ann_topk itself
+      // carries a structural limit(20) since round 13 and needs no entry)
       "emb_pq" -> "fixed 20-id panel",
       "ann_topk_ivfpq" -> "fixed 20-id panel",
-      // embeds the ann_topk + ann_topk_lsh branches, so it inherits
-      // their declared fixed-panel broadcasts
-      "ann_recall_eval" -> "fixed 20-id panel (embedded baselines)",
       // the dense branch broadcasts the same filter(vec_id < 20) panel as
       // ann_topk — ≤ 20 rows at ANY corpus size (the lexical branch's
       // broadcast side is Aggregate-bounded and passes structurally)
