@@ -442,6 +442,83 @@ object EventStreams {
 
   case class Dormant(user_id: Long, last_seen_us: Long, alert_at_ms: Long)
 
+  case class Bar(hour_epoch: Long, n_events: Long, open_micro: Long,
+      high_micro: Long, low_micro: Long, close_micro: Long, volume_micro: Long)
+
+  // public like SessionState: the product encoder's generated code must
+  // construct it from a stock session's codegen classloader
+  case class BarState(openTs: Long, openId: Long, openVq: Long,
+      closeTs: Long, closeId: Long, closeVq: Long,
+      high: Long, low: Long, n: Long, volume: Long)
+
+  /** Streaming OHLC bar builder on `transformWithState` — the streaming
+    * twin of [[graft.operators.Events.ohlc]], and the everything-at-once
+    * exercise of the arbitrary-state API: ValueState accumulates the bar
+    * (open/close picked by the exact (ts, event_id) order, late
+    * in-watermark rows INCLUDED — arrival order never decides a bar), an
+    * EVENT-TIME timer at hour-end + watermark closes and emits it exactly
+    * once, state clears on emit so store size is O(open hours), not
+    * O(history). StreamingSpec proves batch ≡ stream on the same rows —
+    * the property that makes a lambda architecture collapse into one
+    * code path.
+    */
+  private class OhlcBarBuilder
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Bar] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var bar: ValueState[BarState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bar = getHandle.getValueState[BarState]("bar",
+        Encoders.product[BarState], TTLConfig.NONE)
+    override def handleInputRows(hourEpoch: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[Bar] = {
+      val existed = bar.exists()
+      var s = if (existed) bar.get() else null
+      rows.foreach { e =>
+        val t = tsUs(e.ts)
+        val vq = math.round(e.value * 1000000.0)
+        s = if (s == null)
+          BarState(t, e.event_id, vq, t, e.event_id, vq, vq, vq, 1L, vq)
+        else {
+          val isOpen = t < s.openTs || (t == s.openTs && e.event_id < s.openId)
+          val isClose = t > s.closeTs || (t == s.closeTs && e.event_id > s.closeId)
+          BarState(
+            if (isOpen) t else s.openTs,
+            if (isOpen) e.event_id else s.openId,
+            if (isOpen) vq else s.openVq,
+            if (isClose) t else s.closeTs,
+            if (isClose) e.event_id else s.closeId,
+            if (isClose) vq else s.closeVq,
+            math.max(s.high, vq), math.min(s.low, vq),
+            s.n + 1L, s.volume + vq)
+        }
+      }
+      bar.update(s)
+      // bar closes when the watermark passes the end of ITS hour; the
+      // timer is registered once, with the bar's first event
+      if (!existed) getHandle.registerTimer((hourEpoch + 3600L) * 1000L)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(hourEpoch: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Bar] = {
+      val s = bar.get()
+      bar.clear()
+      Iterator.single(Bar(hourEpoch, s.n, s.openVq, s.high, s.low,
+        s.closeVq, s.volume))
+    }
+  }
+
+  def ohlcStream(events: Dataset[Event],
+      delay: String = "10 minutes"): Dataset[Bar] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(e => tsUs(e.ts) / 3600000000L * 3600L)
+      .transformWithState(new OhlcBarBuilder,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Dormancy (churn) alerting on `transformWithState` EVENT-TIME TIMERS
     * — the third leg of the Spark 4 arbitrary-state API after ValueState
     * ([[burstStream]]) and MapState ([[milestoneStream]]): a user who

@@ -573,6 +573,93 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("transformWithState OHLC bars equal the batch computation, late-but-in-watermark rows included") {
+    // Two hours of ticks, delivered OUT of order within the watermark:
+    // the bar's open/close must follow EVENT time (ts, event_id), not
+    // arrival order. Hour 0's bar closes when the watermark passes its
+    // end; hour 1 stays open (no emission) until a late sentinel pushes
+    // the watermark past it.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    // 1h watermark delay: the test delivers rows up to ~40 min out of
+    // order ACROSS batches; they must stay inside the watermark or the
+    // dedup-at-source semantics would (correctly) drop them as late
+    val q = EventStreams.ohlcStream(input.toDS(), delay = "1 hour")
+      .writeStream.format("memory").queryName("bars").outputMode("append").start()
+    try {
+      val t0 = 86400000L // hour-aligned epoch ms
+      def ev(id: Long, offsetMin: Long, v: Double) =
+        Event(id, new Timestamp(t0 + offsetMin * 60000L), 1, "tick", v)
+      // hour 0: true order is id 1 (min 5, v=3.0 open), 2 (min 20, 9.0),
+      // 3 (min 50, 1.5), 4 (min 59, 4.0 close) — delivered shuffled,
+      // event 2 arriving a full batch after event 4
+      input.addData(ev(3, 50, 1.5), ev(1, 5, 3.0))
+      q.processAllAvailable()
+      input.addData(ev(4, 59, 4.0), ev(2, 20, 9.0))
+      q.processAllAvailable()
+      assert(spark.table("bars").isEmpty, "no bar may emit before its hour closes")
+      // hour 1 ticks (watermark still below hour 0's end: 82−60 < 60)
+      input.addData(ev(5, 75, 2.0), ev(6, 80, 7.0), ev(7, 82, 5.0))
+      q.processAllAvailable()
+      assert(spark.table("bars").isEmpty, "watermark has not passed hour 0 yet")
+      // sentinel at min 125 → watermark 65 min: hour 0 closes, hour 1 not
+      input.addData(ev(98, 125, 1.0))
+      q.processAllAvailable()
+      input.addData(ev(99, 126, 1.0)) // extra batch so registered timers fire
+      q.processAllAvailable()
+      val bars1 = spark.table("bars").as[EventStreams.Bar].collect()
+      assert(bars1.map(_.hour_epoch).toSeq == Seq(t0 / 1000L),
+        s"exactly hour 0 must have closed: ${bars1.toSeq}")
+      val b0 = bars1.head
+      assert(b0.n_events == 4 && b0.open_micro == 3000000L &&
+        b0.close_micro == 4000000L && b0.high_micro == 9000000L &&
+        b0.low_micro == 1500000L && b0.volume_micro == 17500000L, s"$b0")
+      // sentinel far ahead (min 200 → watermark 140) closes hour 1
+      input.addData(ev(100, 200, 1.0))
+      q.processAllAvailable()
+      input.addData(ev(101, 201, 1.0))
+      q.processAllAvailable()
+      val bars2 = spark.table("bars").as[EventStreams.Bar].collect()
+        .map(b => b.hour_epoch -> b).toMap
+      val b1 = bars2(t0 / 1000L + 3600L)
+      assert(b1.n_events == 3 && b1.open_micro == 2000000L &&
+        b1.close_micro == 5000000L && b1.high_micro == 7000000L &&
+        b1.low_micro == 2000000L, s"$b1")
+      // batch ≡ stream: the same rows through the q_ohlc aggregation
+      // logic give the same closed bars
+      val allEvents = Seq(
+        ev(3, 50, 1.5), ev(1, 5, 3.0), ev(4, 59, 4.0), ev(2, 20, 9.0),
+        ev(5, 75, 2.0), ev(6, 80, 7.0), ev(7, 82, 5.0)).toDS()
+      import org.apache.spark.sql.functions.{date_trunc, round, unix_micros, unix_timestamp}
+      val batch = allEvents
+        .select(unix_timestamp(date_trunc("hour", col("ts"))).as("h"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          round(col("value") * 1000000.0).cast("long").as("vq"))
+        .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+      batch.foreach { case (h, es) =>
+        if (bars2.contains(h)) {
+          val sorted = es.sortBy(e => (e._2, e._3))
+          val b = bars2(h)
+          assert(b.n_events == es.length && b.open_micro == sorted.head._4 &&
+            b.close_micro == sorted.last._4 &&
+            b.high_micro == es.map(_._4).max && b.low_micro == es.map(_._4).min,
+            s"batch/stream divergence at hour $h: $b vs ${sorted.toSeq}")
+        }
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming anomaly flags the burst hour and only it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
