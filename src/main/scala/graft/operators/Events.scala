@@ -74,6 +74,70 @@ object Events {
        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
        |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Difference-in-differences estimator on purchase value — the
+    * quasi-experimental workhorse when randomization isn't available:
+    * treated (the [[abtest]] pmod assignment) vs control, before vs
+    * after a fixed cutoff, effect = (ΔT) − (ΔC) of per-event mean value.
+    * The four cell aggregates are EXACT integers (count + Σ round(v·10⁶)
+    * micros); the estimate itself is three subtractions of four
+    * divisions of those exact integers — identical IEEE arithmetic in
+    * both engines, the [[graft.functions.Portable.centsAvg]] discipline.
+    *
+    * Scale shape: ONE filtered scan collapsing map-side into a single
+    * 8-column row (conditional sums — no shuffle wider than the
+    * 1-row aggregate); any cell with no events yields NULL, not a
+    * divide-by-zero.
+    */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cutUs = 1705363200000000L // 2024-01-16T00:00:00Z in epoch micros
+    val t = pmod(col("user_id"), lit(2)) === 0
+    val post = unix_micros(col("ts")) >= cutUs
+    def cell(c: org.apache.spark.sql.Column, name: String) = Seq(
+      sum(when(c, 1L).otherwise(0L)).cast("bigint").as(s"n_$name"),
+      sum(when(c, col("vq")).otherwise(0L)).cast("bigint").as(s"s_$name"))
+    val cells =
+      cell(t && post, "t_post") ++ cell(t && !post, "t_pre") ++
+        cell(!t && post, "c_post") ++ cell(!t && !post, "c_pre")
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 1000000.0).cast("long").as("vq"))
+      .agg(cells.head, cells.tail: _*)
+      .withColumn("did_micro", expr(
+        """case when n_t_post = 0 or n_t_pre = 0 or n_c_post = 0 or n_c_pre = 0
+          |then null
+          |else (cast(s_t_post as double) / n_t_post
+          |      - cast(s_t_pre as double) / n_t_pre)
+          |   - (cast(s_c_post as double) / n_c_post
+          |      - cast(s_c_pre as double) / n_c_pre) end""".stripMargin))
+  }
+
+  val diffInDiffSql: String = {
+    def cell(c: String, name: String) =
+      s"""CAST(SUM(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT) AS n_$name,
+         | CAST(SUM(CASE WHEN $c THEN vq ELSE 0 END) AS BIGINT) AS s_$name""".stripMargin
+    s"""WITH p AS (
+       |  SELECT user_id % 2 = 0 AS t,
+       |    epoch_us(ts) >= 1705363200000000 AS post,
+       |    CAST(ROUND(value * 1000000) AS BIGINT) AS vq
+       |  FROM events WHERE event_type = 'purchase'),
+       |cells AS (
+       |  SELECT
+       |   ${cell("t AND post", "t_post")},
+       |   ${cell("t AND NOT post", "t_pre")},
+       |   ${cell("NOT t AND post", "c_post")},
+       |   ${cell("NOT t AND NOT post", "c_pre")}
+       |  FROM p)
+       |SELECT *,
+       |  CASE WHEN n_t_post = 0 OR n_t_pre = 0 OR n_c_post = 0 OR n_c_pre = 0
+       |  THEN NULL
+       |  ELSE (CAST(s_t_post AS DOUBLE) / n_t_post
+       |        - CAST(s_t_pre AS DOUBLE) / n_t_pre)
+       |     - (CAST(s_c_post AS DOUBLE) / n_c_post
+       |        - CAST(s_c_pre AS DOUBLE) / n_c_pre) END AS did_micro
+       |FROM cells""".stripMargin
+  }
+
   /** Time-weighted average of the event value per user — the correct
     * mean for IRREGULARLY sampled signals (metrics, prices, gauge
     * readings), where the plain AVG over-weights bursts: each value is
@@ -2049,6 +2113,7 @@ object Events {
     "ref_aggregation" -> (refAggregation _),
     "q_events_hourly" -> (hourlyAgg _),
     "q_twa" -> (twa _),
+    "q_diff_in_diff" -> (diffInDiff _),
     "q_ohlc" -> (ohlc _),
     "q_events_sessionize" -> (sessionize _),
     "q_asof_join" -> (asofJoin _),
@@ -2091,6 +2156,7 @@ object Events {
     "ref_aggregation" -> refAggregationSql,
     "q_events_hourly" -> hourlyAggSql,
     "q_twa" -> twaSql,
+    "q_diff_in_diff" -> diffInDiffSql,
     "q_ohlc" -> ohlcSql,
     "q_events_sessionize" -> sessionizeSql,
     "q_asof_join" -> asofJoinSql,

@@ -450,6 +450,31 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_diff_in_diff: cells partition the purchases; estimate matches a recompute") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val r = operators.Events.diffInDiff(spark, sf).collect()(0)
+    val cut = 1705363200000000L
+    val p = Tables.events(spark, sf).filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("us"),
+        round($"value" * 1000000.0).cast("long").as("vq"))
+      .as[(Long, Long, Long)].collect()
+    def cell(t: Boolean, post: Boolean) =
+      p.filter(e => (e._1 % 2 == 0) == t && (e._2 >= cut) == post)
+    val cells = Map(
+      "t_post" -> cell(true, true), "t_pre" -> cell(true, false),
+      "c_post" -> cell(false, true), "c_pre" -> cell(false, false))
+    assert(cells.values.map(_.length).sum == p.length, "cells must partition")
+    cells.foreach { case (k, es) =>
+      assert(r.getAs[Long](s"n_$k") == es.length, s"n_$k")
+      assert(r.getAs[Long](s"s_$k") == es.map(_._3).sum, s"s_$k")
+    }
+    def mean(k: String) = r.getAs[Long](s"s_$k").toDouble / r.getAs[Long](s"n_$k")
+    assert(cells.values.forall(_.nonEmpty))
+    assert(r.getAs[Double]("did_micro") ==
+      (mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre")))
+  }
+
   test("rolling_active: trailing actives dominate DAU; first day coincides") {
     import org.apache.spark.sql.functions._
     val out = operators.Events.rollingActive(spark, sf).cache()
