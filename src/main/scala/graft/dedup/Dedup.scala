@@ -89,6 +89,84 @@ object Dedup {
       | COUNT(DISTINCT SHA256(text)) AS n_variants
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Content-defined-chunking dedup (the storage-dedup / FastCDC family):
+    * chunk boundaries follow CONTENT via the Gear rolling hash
+    * ([[graft.functions.native.gearChunkEnds]], codegen — boundary when
+    * h mod 64 == 0 at chunk length ≥ 16 code points), so an insertion
+    * early in a document re-chunks only its neighborhood and every
+    * UNSHIFTED run still produces byte-identical chunks — the mutation
+    * class that defeats both [[exact]] (any edit) and [[bow]] (token-set
+    * changes) but leaves most CDC chunks shared. Output: per chunk hash,
+    * occurrence/document counts and the keeper — the dedup ledger a
+    * storage layer or a near-dup miner reads.
+    *
+    * Scale shape: chunking is in-row (one codegen pass per document);
+    * the exchange ships (md5, doc_id) pairs — one chunk-keyed shuffle
+    * with map-side partial aggregation, never document bodies. The
+    * oracle replays the identical Gear walk as a per-character recursive
+    * CTE (all documents advance in lock-step, Σ n_chars total rows), then
+    * cuts the same code-point substrings.
+    */
+  def cdc(spark: SparkSession, dir: String): DataFrame =
+    cdcOf(Tables.documents(spark, dir))
+
+  private[graft] def cdcOf(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("ends", graft.functions.native.gearChunkEnds(col("text")))
+      .select(col("doc_id"), col("text"), col("ends"),
+        posexplode(col("ends")).as(Seq("ci", "e")))
+      .withColumn("s",
+        when(col("ci") === 0, lit(0)).otherwise(expr("element_at(ends, ci)")))
+      .select(col("doc_id"),
+        md5(expr("substring(text, s + 1, e - s)")).as("chunk_md5"))
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper_id"))
+
+  val cdcSql: String =
+    """WITH RECURSIVE chars AS (
+      |  SELECT doc_id, i, unicode(substr(text, i, 1)) AS cp
+      |  FROM documents, unnest(generate_series(1, len(text))) t(i)),
+      |walk AS (
+      |  SELECT doc_id, 0 AS i, CAST(0 AS HUGEINT) AS h, 0 AS start,
+      |    CAST([] AS INT[]) AS ends, len(text) AS n
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT w.doc_id, w.i + 1,
+      |    CASE WHEN (w.i + 1 - w.start >= 16) AND
+      |      (((w.h * 2) + (CAST(c.cp AS HUGEINT) * 2654435761) % 4294967296)
+      |        % 2305843009213693952) % 64 = 0
+      |      THEN CAST(0 AS HUGEINT)
+      |      ELSE ((w.h * 2) + (CAST(c.cp AS HUGEINT) * 2654435761) % 4294967296)
+      |        % 2305843009213693952 END,
+      |    CASE WHEN (w.i + 1 - w.start >= 16) AND
+      |      (((w.h * 2) + (CAST(c.cp AS HUGEINT) * 2654435761) % 4294967296)
+      |        % 2305843009213693952) % 64 = 0
+      |      THEN w.i + 1 ELSE w.start END,
+      |    CASE WHEN (w.i + 1 - w.start >= 16) AND
+      |      (((w.h * 2) + (CAST(c.cp AS HUGEINT) * 2654435761) % 4294967296)
+      |        % 2305843009213693952) % 64 = 0
+      |      THEN list_append(w.ends, w.i + 1) ELSE w.ends END,
+      |    w.n
+      |  FROM walk w JOIN chars c ON c.doc_id = w.doc_id AND c.i = w.i + 1
+      |  WHERE w.i < w.n),
+      |fin AS (
+      |  SELECT doc_id,
+      |    CASE WHEN start < n THEN list_append(ends, n) ELSE ends END AS ends
+      |  FROM walk WHERE i = n),
+      |chunks AS (
+      |  SELECT f.doc_id,
+      |    md5(substr(d.text,
+      |      COALESCE(f.ends[u.ci - 1], 0) + 1,
+      |      f.ends[u.ci] - COALESCE(f.ends[u.ci - 1], 0))) AS chunk_md5
+      |  FROM fin f
+      |  JOIN documents d ON d.doc_id = f.doc_id,
+      |  unnest(generate_series(1, len(f.ends))) u(ci))
+      |SELECT chunk_md5, COUNT(*) AS n_occurrences,
+      |  COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS keeper_id
+      |FROM chunks GROUP BY 1""".stripMargin
+
   /** Word-3gram shingles, distinct, as an array column (no explode: the
     * shingle set stays row-local until the LSH bands shuffle).
     *
@@ -1255,6 +1333,7 @@ object Dedup {
     "dedup_exact" -> (exact _),
     "dedup_exact_hash" -> (exactHash _),
     "dedup_bow" -> (bow _),
+    "dedup_cdc" -> (cdc _),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d)),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -1267,6 +1346,7 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_exact_hash" -> exactHashSql,
     "dedup_bow" -> bowSql,
+    "dedup_cdc" -> cdcSql,
     "dedup_embedding" -> embeddingSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BpeTokenStats, CharNgramHashes, ColumnBridge, CosineSimilarity, DotProduct, HyperplaneBuckets, MinHashSignature, RollingHash, SimHash64, SortedIntersectCount}
+import org.apache.spark.sql.graft.{BpeTokenStats, CharNgramHashes, ColumnBridge, CosineSimilarity, DotProduct, GearChunkEnds, HyperplaneBuckets, MinHashSignature, RollingHash, SimHash64, SortedIntersectCount}
 
 /** Column-API front for graft's native Catalyst expressions. */
 object native {
@@ -37,6 +37,12 @@ object native {
     */
   def bpeTokenStats(text: Column, vocab: Seq[String]): Column =
     ColumnBridge.column(BpeTokenStats(ColumnBridge.expression(text), vocab))
+
+  /** Content-defined chunk END offsets (code points) via Gear rolling
+    * hash (codegen) — the CDC dedup boundary primitive.
+    */
+  def gearChunkEnds(text: Column, minLen: Int = 16, avgMask: Int = 64): Column =
+    ColumnBridge.column(GearChunkEnds(ColumnBridge.expression(text), minLen, avgMask))
 
   /** Sorted distinct 64-bit char-n-gram hashes of a string column (codegen). */
   def charNgramHashes(text: Column, n: Int): Column =

@@ -593,3 +593,90 @@ case class CharNgramHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Content-defined chunk boundaries via a Gear rolling hash — the CDC
+  * primitive behind storage dedup and shift-robust training-data dedup:
+  * unlike fixed-size chunks, boundaries follow CONTENT (`h mod 64 == 0`),
+  * so an insertion early in a document only re-chunks its neighborhood.
+  * Returns the 1-based exclusive END offsets of each chunk in CODE POINTS
+  * (the unit both Spark's `substring` and DuckDB's `substr` count, so the
+  * oracle can cut the identical chunks). Contract shared with the SQL
+  * replay in `Dedup.cdcSql`:
+  *
+  *   gear(cp) = (cp · 2654435761) mod 2³²
+  *   h ← (2h + gear(cp)) mod 2⁶¹            (positive in a long — no
+  *                                            sign-semantics drift vs SQL)
+  *   boundary when chunk length ≥ minLen and h mod avgMask == 0; h resets
+  *   per chunk; the final partial chunk always closes at end-of-string.
+  */
+case class GearChunkEnds(child: Expression, minLen: Int, avgMask: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "gear_chunk_ends"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    var h = 0L
+    var start = 0
+    var cpIdx = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      cpIdx += 1
+      h = ((h << 1) + (cp.toLong * 2654435761L) % 4294967296L) % 2305843009213693952L
+      if (cpIdx - start >= minLen && h % avgMask == 0) {
+        ends += cpIdx
+        start = cpIdx
+        h = 0L
+      }
+    }
+    if (start < cpIdx) ends += cpIdx
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(ends.toArray)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val ends = ctx.freshName("ends")
+      val h = ctx.freshName("h")
+      val start = ctx.freshName("start")
+      val cpIdx = ctx.freshName("cpIdx")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val arr = ctx.freshName("arr")
+      val k = ctx.freshName("k")
+      s"""
+         |String $s = $c.toString();
+         |java.util.ArrayList<Integer> $ends = new java.util.ArrayList<Integer>();
+         |long $h = 0L;
+         |int $start = 0;
+         |int $cpIdx = 0;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $i += Character.charCount($cp);
+         |  $cpIdx++;
+         |  $h = (($h << 1) + ((long) $cp * 2654435761L) % 4294967296L) % 2305843009213693952L;
+         |  if ($cpIdx - $start >= $minLen && $h % $avgMask == 0) {
+         |    $ends.add($cpIdx);
+         |    $start = $cpIdx;
+         |    $h = 0L;
+         |  }
+         |}
+         |if ($start < $cpIdx) $ends.add($cpIdx);
+         |int[] $arr = new int[$ends.size()];
+         |// explicit unbox: Janino compiles without generics, so get()
+         |// is Object — the raw assignment fails to COMPILE in a stock
+         |// session (and silently falls back to interpreted eval in tests)
+         |for (int $k = 0; $k < $arr.length; $k++) $arr[$k] = ((Integer) $ends.get($k)).intValue();
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -223,6 +223,50 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("gearChunkEnds: boundary contract, codegen == interpreted, CDC shift robustness") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val got = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", native.gearChunkEnds($"text").as("ends"))
+      .as[(Long, Seq[Int])].collect().toMap
+    docs.foreach { case (id, text) =>
+      val n = text.codePointCount(0, text.length)
+      val ends = got(id)
+      assert(ends.nonEmpty && ends.last == n, s"doc $id must close at $n: $ends")
+      assert(ends == ends.sorted && ends.distinct == ends, s"doc $id ends ordered")
+      // every chunk except possibly the last respects the min length
+      ends.zip(0 +: ends.init).init.foreach { case (e, s) =>
+        assert(e - s >= 16, s"doc $id chunk ($s,$e] under min length")
+      }
+    }
+    // interpreted eval equals codegen
+    val df = docs.take(20).toSeq.toDF("doc_id", "text")
+    val on = df.select(native.gearChunkEnds(col("text"))).collect().map(_.getSeq[Int](0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val off = df.select(native.gearChunkEnds(col("text"))).collect().map(_.getSeq[Int](0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    assert(on.toSeq == off.toSeq)
+    // THE property fixed-size chunking lacks: prepending a prefix leaves
+    // the chunk set of the unshifted suffix largely intact (the Gear
+    // hash resynchronizes at the first shared boundary)
+    val base = docs.maxBy(_._2.length)._2
+    def chunksOf(s: String): Seq[String] = {
+      val ends = Seq((0L, s)).toDF("doc_id", "text")
+        .select(native.gearChunkEnds(col("text"))).head.getSeq[Int](0)
+      ends.zip(0 +: ends.init).map { case (e, st) =>
+        s.substring(s.offsetByCodePoints(0, st), s.offsetByCodePoints(0, e))
+      }
+    }
+    val orig = chunksOf(base).toSet
+    val shifted = chunksOf("inserted prefix words here " + base).toSet
+    val shared = (orig & shifted).size
+    assert(shared * 2 >= orig.size,
+      s"CDC lost shift robustness: only $shared of ${orig.size} chunks survive a prefix insert")
+  }
+
   test("codegen path produces same results as interpreted eval") {
     import spark.implicits._
     // force both paths: wholestage on (default) vs off
