@@ -267,6 +267,33 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"CDC lost shift robustness: only $shared of ${orig.size} chunks survive a prefix insert")
   }
 
+  test("every native expression COMPILES under CODEGEN_ONLY (no silent interpreted fallback)") {
+    // The round-13 lesson: a doGenCode bug that fails Janino COMPILATION
+    // is invisible in tests (Spark falls back to interpreted eval with a
+    // warning) and only surfaces in a stock session. CODEGEN_ONLY turns
+    // the fallback into a hard error, so this test pins compilability
+    // for the whole native surface.
+    import spark.implicits._
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = Seq(("some text with words", Seq(1.0, 2.0), Seq(2.0, 1.0),
+        Seq("tok", "other"))).toDF("t", "ea", "eb", "toks")
+      val out = df.select(
+        native.cosineSim(col("ea"), col("eb")),
+        native.dotProduct(col("ea"), col("eb")),
+        native.rollingHash(col("t")),
+        native.simHash64(col("toks")),
+        native.minHashSignature(col("toks")),
+        native.charNgramHashes(col("t"), 4),
+        native.gearChunkEnds(col("t"), 4, 8),
+        native.bpeTokenStats(col("t"), Seq("so", "me", "te", "xt")),
+        native.hyperplaneBuckets(col("ea"), Array(0.5, -0.5, 1.0, 0.25), 2, 1),
+        native.sortedIntersectCount(
+          expr("array(1L, 2L, 3L)"), expr("array(2L, 3L, 4L)"))).head
+      assert(!out.anyNull)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("codegen path produces same results as interpreted eval") {
     import spark.implicits._
     // force both paths: wholestage on (default) vs off
