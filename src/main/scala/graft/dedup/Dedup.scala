@@ -111,6 +111,17 @@ object Dedup {
     cdcOf(Tables.documents(spark, dir))
 
   private[graft] def cdcOf(documents: DataFrame): DataFrame =
+    cdcChunks(documents)
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper_id"))
+
+  /** Chunk-level CDC view: (doc_id, chunk_md5) per content-defined chunk —
+    * the composition surface [[cdcOf]] aggregates and
+    * [[graft.pipeline.Curate.runV2]] joins for per-doc duplication share.
+    */
+  private[graft] def cdcChunks(documents: DataFrame): DataFrame =
     documents
       .withColumn("ends", graft.functions.native.gearChunkEnds(col("text")))
       .select(col("doc_id"), col("text"), col("ends"),
@@ -119,13 +130,20 @@ object Dedup {
         when(col("ci") === 0, lit(0)).otherwise(expr("element_at(ends, ci)")))
       .select(col("doc_id"),
         md5(expr("substring(text, s + 1, e - s)")).as("chunk_md5"))
-      .groupBy(col("chunk_md5"))
-      .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id")).as("keeper_id"))
 
   val cdcSql: String =
-    """WITH RECURSIVE chars AS (
+    s"""WITH RECURSIVE $cdcChunksCtes
+       |SELECT chunk_md5, COUNT(*) AS n_occurrences,
+       |  COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS keeper_id
+       |FROM chunks GROUP BY 1""".stripMargin
+
+  /** The Gear-walk CTE chain ending at `chunks(doc_id, chunk_md5)` —
+    * shared by [[cdcSql]] and the curate-v2 oracle. A `def`, not a `val`:
+    * `cdcSql` above interpolates it, and a val would still be null there
+    * (object vals initialize in declaration order).
+    */
+  private[graft] def cdcChunksCtes: String =
+    """chars AS (
       |  SELECT doc_id, i, unicode(substr(text, i, 1)) AS cp
       |  FROM documents, unnest(generate_series(1, len(text))) t(i)),
       |walk AS (
@@ -162,10 +180,7 @@ object Dedup {
       |      f.ends[u.ci] - COALESCE(f.ends[u.ci - 1], 0))) AS chunk_md5
       |  FROM fin f
       |  JOIN documents d ON d.doc_id = f.doc_id,
-      |  unnest(generate_series(1, len(f.ends))) u(ci))
-      |SELECT chunk_md5, COUNT(*) AS n_occurrences,
-      |  COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS keeper_id
-      |FROM chunks GROUP BY 1""".stripMargin
+      |  unnest(generate_series(1, len(f.ends))) u(ci))""".stripMargin
 
   /** Word-3gram shingles, distinct, as an array column (no explode: the
     * shingle set stays row-local until the LSH bands shuffle).

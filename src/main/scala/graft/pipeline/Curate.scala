@@ -111,9 +111,115 @@ object Curate {
       |FROM flags
       |GROUP BY 1, 2""".stripMargin
 
+  /** Round-13 curation pipeline over the round's new operator families,
+    * composed the way they'd actually chain:
+    *
+    *   1. Gopher rule panel    (Text.withGopherPanel — exact-integer rules)
+    *   2. BoW canonical dedup  (sorted-token-set sha2, keep min doc_id)
+    *   3. CDC duplication gate (GearChunkEnds chunks; drop docs whose
+    *                            shared-with-a-lower-id chunk share > 50%)
+    *   4. diversity floor      (Simpson ≤ 55k ppm — template/boilerplate cut)
+    *   5. audit                (per lang × source: pass counts per stage)
+    *
+    * Stages 1/2/4 ride ONE document scan (projection + one window);
+    * stage 3 is the chunk pipeline (in-row chunking → chunk-keyed group →
+    * doc-keyed join back), the one genuinely separate aggregation path.
+    * Every stage is deterministic integers, so unlike [[run]]'s LSH seam
+    * the WHOLE audit is hash-exact against the oracle.
+    */
+  def runV2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.textanalysis.Text
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, dir)
+    val paneled = Text.withDiversity(Text.withGopherPanel(docs))
+      .withColumnRenamed("passes", "pass_gopher")
+      .withColumn("pass_div", col("simpson_ppm") <= 55000L)
+    val bowKeeper = Window
+      .partitionBy(sha2(array_join(array_sort(array_distinct(split(col("text"), " "))), " "), 256))
+      .orderBy(col("doc_id"))
+    val st2 = paneled
+      .withColumn("pass_bow", row_number().over(bowKeeper) === 1)
+    val chunks = Dedup.cdcChunks(docs)
+    val keepers = chunks.groupBy(col("chunk_md5"))
+      .agg(min(col("doc_id")).as("chunk_keeper"))
+    val dupShare = chunks.join(keepers, Seq("chunk_md5"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("chunk_keeper") < col("doc_id"), 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"),
+        expr("n_shared * 1000000 div n_chunks").as("cdc_dup_ppm"))
+    st2.join(dupShare, Seq("doc_id"))
+      .withColumn("pass_cdc", col("cdc_dup_ppm") <= 500000L)
+      .withColumn("kept",
+        col("pass_gopher") && col("pass_bow") && col("pass_cdc") && col("pass_div"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("pass_gopher"), 1L).otherwise(0L)).as("drop_gopher"),
+        sum(when(!col("pass_bow"), 1L).otherwise(0L)).as("drop_bow_dup"),
+        sum(when(!col("pass_cdc"), 1L).otherwise(0L)).as("drop_cdc_dup"),
+        sum(when(!col("pass_div"), 1L).otherwise(0L)).as("drop_diversity"))
+  }
+
+  /** DuckDB mirror of [[runV2]] — deterministic end to end (no LSH seam):
+    * the Gopher booleans, BoW keeper window, the Gear-walk chunk CTEs
+    * (shared string with `Dedup.cdcSql`), and the Simpson floor replay
+    * exactly; the audit hash must match bit-for-bit.
+    */
+  val oracleV2Sql: String = {
+    val nW = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)"
+    val chars = "LENGTH(REPLACE(text, ' ', ''))"
+    val alpha =
+      "len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[a-zA-Z]')))"
+    val stops =
+      "len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','and','of','to','in','is','that','it','for'], w)))"
+    val sym =
+      "((LENGTH(text) - LENGTH(REPLACE(text, '#', ''))) + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3)"
+    s"""WITH RECURSIVE ${graft.dedup.Dedup.cdcChunksCtes},
+       |keepers AS (
+       |  SELECT chunk_md5, MIN(doc_id) AS chunk_keeper FROM chunks GROUP BY 1),
+       |share AS (
+       |  SELECT c.doc_id,
+       |    CAST(SUM(CASE WHEN k.chunk_keeper < c.doc_id THEN 1 ELSE 0 END)
+       |      AS BIGINT) * 1000000
+       |      // CAST(COUNT(*) AS BIGINT) AS cdc_dup_ppm
+       |  FROM chunks c JOIN keepers k USING (chunk_md5) GROUP BY 1),
+       |div AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(list_distinct(string_split(text, ' ')),
+       |      t -> CAST(len(list_filter(string_split(text, ' '), w -> w = t)) AS BIGINT)
+       |        * CAST(len(list_filter(string_split(text, ' '), w -> w = t)) AS BIGINT)))
+       |      AS BIGINT) * 1000000
+       |      // (CAST($nW AS BIGINT) * $nW) AS simpson_ppm
+       |  FROM documents),
+       |flags AS (
+       |  SELECT d.doc_id, d.lang, d.source,
+       |    ($nW >= 50 AND $nW <= 100000 AND $nW * 3 <= $chars
+       |      AND $chars <= $nW * 10 AND $sym * 10 <= $nW
+       |      AND $alpha * 5 >= $nW * 4 AND $stops >= 2) AS pass_gopher,
+       |    (ROW_NUMBER() OVER (
+       |      PARTITION BY SHA256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+       |      ORDER BY d.doc_id)) = 1 AS pass_bow,
+       |    s.cdc_dup_ppm <= 500000 AS pass_cdc,
+       |    v.simpson_ppm <= 55000 AS pass_div
+       |  FROM documents d
+       |  JOIN share s ON s.doc_id = d.doc_id
+       |  JOIN div v ON v.doc_id = d.doc_id)
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN pass_gopher AND pass_bow AND pass_cdc AND pass_div
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN NOT pass_gopher THEN 1 ELSE 0 END) AS BIGINT) AS drop_gopher,
+       |  CAST(SUM(CASE WHEN NOT pass_bow THEN 1 ELSE 0 END) AS BIGINT) AS drop_bow_dup,
+       |  CAST(SUM(CASE WHEN NOT pass_cdc THEN 1 ELSE 0 END) AS BIGINT) AS drop_cdc_dup,
+       |  CAST(SUM(CASE WHEN NOT pass_div THEN 1 ELSE 0 END) AS BIGINT) AS drop_diversity
+       |FROM flags GROUP BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_curate" -> (run _))
+    "pipeline_curate" -> (run _),
+    "pipeline_curate_v2" -> (runV2 _))
 
   val oracles: Map[String, String] = Map(
-    "pipeline_curate" -> oracleSql)
+    "pipeline_curate" -> oracleSql,
+    "pipeline_curate_v2" -> oracleV2Sql)
 }

@@ -1058,7 +1058,18 @@ object Text {
     * end to end — the panel is a projection, so at 100 TB it rides the
     * scan and the filter pushes into whatever consumes it.
     */
-  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame =
+    withGopherPanel(Tables.documents(spark, dir)).select(
+      col("doc_id"), col("n_words"), col("alpha_words"), col("stop_hits"),
+      col("symbols"), col("mean_word_len"), col("words_ok"),
+      col("wordlen_ok"), col("symbol_ok"), col("alpha_ok"),
+      col("stopword_ok"), col("passes"))
+
+  /** Adds the Gopher rule columns to any frame with a `text` column — the
+    * composition surface [[graft.pipeline.Curate.runV2]] chains so the
+    * gate rides the pipeline's single scan.
+    */
+  private[graft] def withGopherPanel(df: DataFrame): DataFrame = {
     val nWords = nTokens
     val alphaWords =
       expr("size(filter(split(text, ' '), w -> w rlike '[a-zA-Z]'))").cast("bigint")
@@ -1069,23 +1080,19 @@ object Text {
     val ellipsisCount =
       (length(col("text")) - length(expr("replace(text, '...', '')"))).divide(3).cast("bigint")
     val symbols = (hashCount + ellipsisCount).cast("bigint")
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      nWords.as("n_words"),
-      alphaWords.as("alpha_words"),
-      stopHits.as("stop_hits"),
-      symbols.as("symbols"),
-      (noSpaceLen.cast("double") / nWords).as("mean_word_len"),
-      (nWords >= 50 && nWords <= 100000).as("words_ok"),
-      (nWords * 3 <= noSpaceLen && noSpaceLen <= nWords * 10).as("wordlen_ok"),
-      (symbols * 10 <= nWords).as("symbol_ok"),
-      (alphaWords * 5 >= nWords * 4).as("alpha_ok"),
-      (stopHits >= 2).as("stopword_ok"),
-      (nWords >= 50 && nWords <= 100000 &&
-        nWords * 3 <= noSpaceLen && noSpaceLen <= nWords * 10 &&
-        symbols * 10 <= nWords &&
-        alphaWords * 5 >= nWords * 4 &&
-        stopHits >= 2).as("passes"))
+    df
+      .withColumn("n_words", nWords)
+      .withColumn("alpha_words", alphaWords)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("symbols", symbols)
+      .withColumn("mean_word_len", noSpaceLen.cast("double") / nWords)
+      .withColumn("words_ok", nWords >= 50 && nWords <= 100000)
+      .withColumn("wordlen_ok", nWords * 3 <= noSpaceLen && noSpaceLen <= nWords * 10)
+      .withColumn("symbol_ok", symbols * 10 <= nWords)
+      .withColumn("alpha_ok", alphaWords * 5 >= nWords * 4)
+      .withColumn("stopword_ok", stopHits >= 2)
+      .withColumn("passes", col("words_ok") && col("wordlen_ok") &&
+        col("symbol_ok") && col("alpha_ok") && col("stopword_ok"))
   }
 
   val gopherQualitySql: String = {
@@ -1125,7 +1132,15 @@ object Text {
     * length); no shuffle at all, the whole operator is a projection.
     */
   def unigramDiversity(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    withDiversity(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        col("ttr_ppm"), col("simpson_ppm"))
+
+  /** Adds n_tokens / n_types / ttr_ppm / simpson_ppm to any frame with a
+    * `text` column (composition surface, like [[withGopherPanel]]).
+    */
+  private[graft] def withDiversity(df: DataFrame): DataFrame =
+    df
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_tokens", size(col("words")).cast("bigint"))
       .withColumn("n_types", size(array_distinct(col("words"))).cast("bigint"))
@@ -1133,9 +1148,9 @@ object Text {
         """aggregate(transform(array_distinct(words),
           |  t -> cast(size(filter(words, w -> w = t)) as bigint)),
           |  cast(0 as bigint), (acc, c) -> acc + c * c)""".stripMargin))
-      .select(col("doc_id"), col("n_tokens"), col("n_types"),
-        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
-        expr("sum_sq * 1000000 div (n_tokens * n_tokens)").as("simpson_ppm"))
+      .withColumn("ttr_ppm", expr("n_types * 1000000 div n_tokens"))
+      .withColumn("simpson_ppm", expr("sum_sq * 1000000 div (n_tokens * n_tokens)"))
+      .drop("words", "sum_sq")
 
   val unigramDiversitySql: String =
     """WITH w AS (

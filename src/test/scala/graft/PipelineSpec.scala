@@ -67,6 +67,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("pipeline_curate_v2: audit conserves docs and matches the standalone operators") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.pipeline.Curate.runV2(spark, sf).cache()
+    val total = Tables.documents(spark, sf).count()
+    val sums = out.agg(
+      sum($"n_docs"), sum($"n_kept"), sum($"drop_gopher"),
+      sum($"drop_bow_dup"), sum($"drop_cdc_dup"), sum($"drop_diversity"))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(sums._1 == total, "audit must conserve the corpus")
+    assert(sums._2 > 0 && sums._2 < total, "the composed gate must split")
+    // cross-consistency with the standalone operators the stages reuse
+    val gopherFails = graft.textanalysis.Text.gopherQuality(spark, sf)
+      .filter(!$"passes").count()
+    assert(sums._3 == gopherFails, "drop_gopher != standalone gopher fails")
+    val bowGroups = graft.dedup.Dedup.bow(spark, sf).count()
+    assert(sums._4 == total - bowGroups, "drop_bow_dup != docs - bow groups")
+    val divFails = graft.textanalysis.Text.unigramDiversity(spark, sf)
+      .filter($"simpson_ppm" > 55000L).count()
+    assert(sums._6 == divFails, "drop_diversity != standalone diversity fails")
+    // kept docs pass every gate: kept <= n_docs - each drop column
+    out.collect().foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      Seq("drop_gopher", "drop_bow_dup", "drop_cdc_dup", "drop_diversity").foreach { c =>
+        assert(kept <= r.getAs[Long]("n_docs") - r.getAs[Long](c),
+          s"($c) inconsistent in ${r}")
+      }
+    }
+    out.unpersist()
+  }
+
   test("the chain is one lazy Catalyst plan (no eager jobs at build time)") {
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val df = docs.transform(qualityGate()).transform(exactDedup())
