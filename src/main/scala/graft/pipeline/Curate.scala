@@ -127,10 +127,16 @@ object Curate {
     * Every stage is deterministic integers, so unlike [[run]]'s LSH seam
     * the WHOLE audit is hash-exact against the oracle.
     */
-  def runV2(spark: SparkSession, dir: String): DataFrame = {
+  def runV2(spark: SparkSession, dir: String): DataFrame =
+    runV2Of(Tables.documents(spark, dir))
+
+  /** [[runV2]] over an arbitrary documents frame (spec injection surface —
+    * PipelineSpec proves conservation on corpora with empty documents,
+    * which produce ZERO CDC chunks and must still reach the audit).
+    */
+  private[graft] def runV2Of(docs: DataFrame): DataFrame = {
     import graft.textanalysis.Text
     import graft.dedup.Dedup
-    val docs = Tables.documents(spark, dir)
     val paneled = Text.withDiversity(Text.withGopherPanel(docs))
       .withColumnRenamed("passes", "pass_gopher")
       .withColumn("pass_div", col("simpson_ppm") <= 55000L)
@@ -154,8 +160,11 @@ object Curate {
         sum(when(col("chunk_keeper") < col("doc_id"), 1L).otherwise(0L)).as("n_shared"))
       .select(col("doc_id"),
         expr("n_shared * 1000000 div n_chunks").as("cdc_dup_ppm"))
-    st2.join(dupShare, Seq("doc_id"))
-      .withColumn("pass_cdc", col("cdc_dup_ppm") <= 500000L)
+    // LEFT join: a document producing zero CDC chunks (empty text) has no
+    // dupShare row — it shared nothing, so its dup share is 0, and it must
+    // still reach the audit (the conservation invariant PipelineSpec asserts)
+    st2.join(dupShare, Seq("doc_id"), "left_outer")
+      .withColumn("pass_cdc", coalesce(col("cdc_dup_ppm"), lit(0L)) <= 500000L)
       .withColumn("kept",
         col("pass_gopher") && col("pass_bow") && col("pass_cdc") && col("pass_div"))
       .groupBy(col("lang"), col("source"))
@@ -206,10 +215,10 @@ object Curate {
        |    (ROW_NUMBER() OVER (
        |      PARTITION BY SHA256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
        |      ORDER BY d.doc_id)) = 1 AS pass_bow,
-       |    s.cdc_dup_ppm <= 500000 AS pass_cdc,
+       |    COALESCE(s.cdc_dup_ppm, 0) <= 500000 AS pass_cdc,
        |    v.simpson_ppm <= 55000 AS pass_div
        |  FROM documents d
-       |  JOIN share s ON s.doc_id = d.doc_id
+       |  LEFT JOIN share s ON s.doc_id = d.doc_id
        |  JOIN div v ON v.doc_id = d.doc_id)
        |SELECT lang, source, COUNT(*) AS n_docs,
        |  CAST(SUM(CASE WHEN pass_gopher AND pass_bow AND pass_cdc AND pass_div

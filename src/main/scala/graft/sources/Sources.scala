@@ -176,7 +176,7 @@ object Sources {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(32, files.size))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    def fileStats(f: String): Seq[(String, String, Option[Long], Option[Long], Long, Long)] = {
+    def fileStats(f: String): Seq[(String, String, Option[Long], Option[Long], Option[Long], Long)] = {
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(f), conf))
       try {
@@ -193,8 +193,14 @@ object Sources {
             s != null && s.hasNonNullValue)
           val mins = stats.flatMap(s => longOf(s.genericGetMin()))
           val maxs = stats.flatMap(s => longOf(s.genericGetMax()))
-          val nulls = chunks.map(ch => Option(ch.getStatistics)
-            .map(_.getNumNulls).getOrElse(0L)).sum
+          // parquet-mr surfaces an UNSET null count as -1 (isNumNullsSet
+          // false); summing the sentinel would fabricate a wrong or
+          // negative count, so any chunk without a set null count makes
+          // the file's null_count UNKNOWN (null in the manifest)
+          val nullCounts = chunks.map(ch => Option(ch.getStatistics)
+            .filter(_.isNumNullsSet).map(_.getNumNulls).getOrElse(-1L))
+          val nulls = if (nullCounts.nonEmpty && nullCounts.forall(_ >= 0L))
+            Some(nullCounts.sum) else None
           val rows = blocks.map(_.getRowCount).sum
           // complete stats only: a chunk without usable stats makes the
           // file UNPRUNABLE for this column (min/max null in the manifest)
@@ -224,18 +230,46 @@ object Sources {
     */
   def manifestPrunedScan(spark: SparkSession, tableUri: String,
       manifestUri: String, column: String, lower: Long, upper: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.{col, lit}
+    // one row per manifested file: keep = the file's [min,max] can
+    // intersect [lower,upper] (missing stats ⇒ keep — pruning stays sound)
+    // match files by URI path: the manifest may have been built through a
+    // different scheme view of the same directory (file: vs graft: vs s3a:)
+    def pathOf(s: String): String = new Path(s).toUri.getPath
     val m = spark.read.parquet(manifestUri)
       .filter(col("col") === column)
-      .filter(col("min_val").isNull || col("max_val").isNull ||
-        (col("max_val") >= lower && col("min_val") <= upper))
-      .select(col("file"))
-      .collect().map(_.getString(0))
+      .select(col("file"),
+        (col("min_val").isNull || col("max_val").isNull ||
+          (col("max_val") >= lower && col("min_val") <= upper)).as("keep"))
+      .collect().map(r => pathOf(r.getString(0)) -> r.getBoolean(1)).toMap
+    // an empty slice means the manifest knows NOTHING about this column
+    // (misspelled / never manifested) — that must be an error, not an
+    // empty result: "proves nothing matches" and "proves nothing" differ
+    require(m.nonEmpty,
+      s"statsManifest at $manifestUri has no rows for column '$column' — " +
+        "refusing to prune on an unmanifested column")
     val pred = col(column) >= lower && col(column) <= upper
-    if (m.isEmpty)
-      spark.read.parquet(tableUri).where(lit(false))
-    else
-      spark.read.parquet(m.toIndexedSeq: _*).where(pred)
+    val dir = new Path(tableUri)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tableFiles = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    if (!tableFiles.forall(f => m.contains(pathOf(f)))) {
+      // stale manifest: files exist that the manifest never probed (e.g.
+      // written after the build). Pruning would silently drop their rows —
+      // fall back to the full scan (correct, just unpruned).
+      spark.read.parquet(tableUri).where(pred)
+    } else {
+      // kept paths keep the TABLE's scheme (the caller's IO view), not
+      // the scheme the manifest happened to be built through
+      val kept = tableFiles.filter(f => m(pathOf(f)))
+      if (kept.isEmpty)
+        // the manifest PROVES no file can match — empty result, full schema
+        spark.read.parquet(tableUri).where(lit(false))
+      else
+        spark.read.parquet(kept: _*).where(pred)
+    }
   }
 
   /** Mixed-physical-schema events lake loader (round-8 verdict stretch):

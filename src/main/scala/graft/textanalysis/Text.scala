@@ -1127,9 +1127,11 @@ object Text {
     * junk, the signal an entropy score carries without needing libm logs,
     * so the oracle is hash-exact).
     *
-    * Scale shape: all counting happens IN-ROW over the token array
-    * (distinct + per-type filter counts — O(types·tokens) on bounded doc
-    * length); no shuffle at all, the whole operator is a projection.
+    * Scale shape: all counting happens IN-ROW over the token array —
+    * one O(L log L) sort + one linear run-length fold per document (the
+    * per-type filter pass of rounds ≤13 was O(types·tokens), a
+    * multi-minute straggler for a single million-token document); no
+    * shuffle at all, the whole operator is a projection.
     */
   def unigramDiversity(spark: SparkSession, dir: String): DataFrame =
     withDiversity(Tables.documents(spark, dir))
@@ -1143,14 +1145,21 @@ object Text {
     df
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_tokens", size(col("words")).cast("bigint"))
-      .withColumn("n_types", size(array_distinct(col("words"))).cast("bigint"))
-      .withColumn("sum_sq", expr(
-        """aggregate(transform(array_distinct(words),
-          |  t -> cast(size(filter(words, w -> w = t)) as bigint)),
-          |  cast(0 as bigint), (acc, c) -> acc + c * c)""".stripMargin))
+      // sort once, then fold run-lengths: each maximal run of an equal
+      // token is one type contributing run² to Σc² — O(L log L) total,
+      // same exact integers as the per-type counting it replaces (split
+      // never yields nulls, so the null `prev` marks only the first token)
+      .withColumn("divstate", expr(
+        """aggregate(array_sort(words),
+          |  named_struct('prev', cast(null as string), 'run', 0L, 'acc', 0L, 'types', 0L),
+          |  (s, w) -> if(s.prev is not null and w = s.prev,
+          |    named_struct('prev', w, 'run', s.run + 1L, 'acc', s.acc, 'types', s.types),
+          |    named_struct('prev', w, 'run', 1L, 'acc', s.acc + s.run * s.run, 'types', s.types + 1L)),
+          |  s -> named_struct('sum_sq', s.acc + s.run * s.run, 'n_types', s.types))""".stripMargin))
+      .withColumn("n_types", col("divstate.n_types"))
       .withColumn("ttr_ppm", expr("n_types * 1000000 div n_tokens"))
-      .withColumn("simpson_ppm", expr("sum_sq * 1000000 div (n_tokens * n_tokens)"))
-      .drop("words", "sum_sq")
+      .withColumn("simpson_ppm", expr("divstate.sum_sq * 1000000 div (n_tokens * n_tokens)"))
+      .drop("words", "divstate")
 
   val unigramDiversitySql: String =
     """WITH w AS (

@@ -98,6 +98,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.unpersist()
   }
 
+  test("pipeline_curate_v2 conserves a corpus containing empty documents (zero CDC chunks)") {
+    import spark.implicits._
+    // an empty text produces ZERO Gear chunks, so it has no dupShare row;
+    // the audit must still count it (left join + dup share 0), not drop it
+    val docs = Seq(
+      (1L, "", "en", "s1"),
+      (2L, (1 to 60).map(i => s"w$i and the of to in is that it for w$i").mkString(" "), "en", "s1"),
+      (3L, (1 to 60).map(i => s"v$i and the of to in is that it for v$i").mkString(" "), "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.pipeline.Curate.runV2Of(docs)
+    val total = out.agg(sum($"n_docs")).as[Long].head()
+    assert(total == 3L, s"audit must conserve the corpus incl. the empty doc, got $total")
+    // the empty doc shares no chunks: it must not be a cdc drop
+    val cdcDrops = out.agg(sum($"drop_cdc_dup")).as[Long].head()
+    assert(cdcDrops == 0L, s"no doc here shares chunks with a lower id, got $cdcDrops cdc drops")
+  }
+
   test("the chain is one lazy Catalyst plan (no eager jobs at build time)") {
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val df = docs.transform(qualityGate()).transform(exactDedup())

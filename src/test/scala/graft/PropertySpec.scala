@@ -287,4 +287,33 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == want, s"diverged on ${edges.size} edges")
     }
   }
+
+  test("diversity run-length fold matches the per-type recompute on long skewed docs") {
+    import spark.implicits._
+    // the r14 fold is O(L log L); this pins its integers to the quadratic
+    // definition on documents long enough that the old per-type pass would
+    // visibly drag (200k tokens, Zipf-ish skew), plus the degenerate edges
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 5000).map(i => s"tok$i")
+    val long1 = Array.fill(200000)(vocab(math.min(4999,
+      (math.pow(rnd.nextDouble(), 3) * 5000).toInt))).mkString(" ")
+    val docs = Seq(
+      (1L, long1), (2L, "solo"), (3L, "a a a a a"), (4L, ""),
+      (5L, (1 to 1000).map(_ => "same").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = textanalysis.Text.withDiversity(docs)
+      .select($"doc_id", $"n_tokens", $"n_types", $"ttr_ppm", $"simpson_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    docs.select($"doc_id", $"text").as[(Long, String)].collect().foreach {
+      case (id, text) =>
+        val words = text.split(" ", -1)
+        val n = words.length.toLong
+        val counts = words.groupBy(identity).view.mapValues(_.length.toLong)
+        val sumSq = counts.values.map(c => c * c).sum
+        val (_, gn, gt, gttr, gsim) = got(id)
+        assert(gn == n && gt == counts.size.toLong, s"doc $id counts")
+        assert(gttr == counts.size.toLong * 1000000L / n, s"doc $id ttr")
+        assert(gsim == sumSq * 1000000L / (n * n), s"doc $id simpson")
+    }
+  }
 }

@@ -430,6 +430,34 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full == li.count())
   }
 
+  test("manifest pruning soundness: unmanifested column errors, stale manifest falls back") {
+    // "the manifest proves nothing matches" and "the manifest knows
+    // nothing" must not be conflated (ADVICE r13): an unmanifested column
+    // is an error, and a table file the manifest never probed forces a
+    // full (unpruned, correct) scan instead of silently dropping its rows.
+    val sf001 = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("manifest_sound").toFile.getAbsolutePath
+    val li = Tables.lineitem(spark, sf001)
+    Sources.writeClustered(li, s"$root/li", Seq("l_orderkey"), 4)
+    val manifest = Files.createTempDirectory("manifest_sound_cat").toString + "/m"
+    Sources.writeStatsManifest(spark, s"$root/li", manifest, Seq("l_orderkey"))
+    // misspelled / never-manifested column → error, not an empty result
+    val ex = intercept[IllegalArgumentException] {
+      Sources.manifestPrunedScan(spark, s"$root/li", manifest, "l_orderkeyy", 0L, 10L)
+    }
+    assert(ex.getMessage.contains("unmanifested column"))
+    // a file written AFTER the manifest build: the pruned scan must still
+    // return every matching row (full-scan fallback), not lose the file
+    val lo = li.agg(org.apache.spark.sql.functions.min(col("l_orderkey"))).head.getLong(0)
+    li.limit(100).write.mode("append").parquet(s"$root/li")
+    val expect = spark.read.parquet(s"$root/li")
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") <= lo + 500).count()
+    val got = Sources.manifestPrunedScan(spark, s"$root/li", manifest,
+      "l_orderkey", lo, lo + 500).count()
+    assert(got == expect && got > 0,
+      s"stale manifest must fall back to a full scan: got $got want $expect")
+  }
+
   test("layout_zorder: 2-D box predicates skip row groups a 1-D sort cannot") {
     import graft.sources.LatencyFs
     import graft.operators.Layout
