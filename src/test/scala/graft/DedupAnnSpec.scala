@@ -233,6 +233,39 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SNM stitch is executor-side: no task result ships gram arrays to the driver") {
+    // r13 verdict finding #1: the per-pass boundary stitch used to collect
+    // every partition's head rows - gram arrays included - to the driver.
+    // Fixture: 64 docs x 12k-long gram arrays (~96 KB each) over 8
+    // partitions; with the old heads-collect, each planning task returned
+    // ~window x 96 KB >= 700 KB. The count-only stitch plus the slim
+    // executor-side shift must keep EVERY task result far below one gram
+    // array's size.
+    import spark.implicits._
+    val grams = (0 until 64).map { i =>
+      ("blk", i.toLong, Array.tabulate(12000)(g => (g + i % 4).toLong))
+    }.toDF("block", "doc_id", "grams").repartition(8)
+    val maxResult = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          val sz = te.taskMetrics.resultSize
+          var cur = maxResult.get()
+          while (sz > cur && !maxResult.compareAndSet(cur, sz)) cur = maxResult.get()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pairs = dedup.Dedup.snmPairs(grams, passes = 2, window = 8, threshold = 0.3)
+      assert(pairs.count() > 0, "fixture must produce SNM pairs")
+      Thread.sleep(2000) // let the listener bus drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val oneGram = 12000L * 8 // one doc's gram array in bytes
+    assert(maxResult.get() < oneGram,
+      s"a task shipped ${maxResult.get()} B to the driver - gram-array sized; " +
+        "the stitch must stay executor-side")
+  }
+
   test("ngram jaccard: huge-block SNM with window >= block size equals the exact path") {
     // With one pass and a window covering the whole block, the sorted-
     // neighborhood leg degenerates to exact all-pairs (every pair is
