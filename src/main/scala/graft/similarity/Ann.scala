@@ -21,6 +21,14 @@ object Ann {
   /** Exact top-5 cosine neighbors for each query vector (vec_id < 20),
     * ranked with a unique tie-break. The query side is broadcast; the
     * candidate side streams — one pass over the corpus regardless of scale.
+    *
+    * Ranking rides [[graft.operators.TopK.perKey]] (round 14): the
+    * custom operator's PARTIAL heap pass reduces each partition to ≤ k
+    * rows per query BEFORE the exchange, so the full candidate stream
+    * never sorts through the ≤ 20 window tasks a panel-partitioned
+    * row_number would use. The rank column is then attached by a window
+    * over the already-cut ≤ panel × k rows — same rows, same ranks (the
+    * ordering carries a unique tie-break), one bounded window.
     */
   def topk(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -32,13 +40,25 @@ object Ann {
     val q = e.filter(col("vec_id") < 20).limit(20)
       .select(col("vec_id").as("query_id"), col("emb").as("ea"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", native.cosineSim(col("ea"), col("eb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        native.cosineSim(col("ea"), col("eb")).as("cos"))
+    rankTopCut(scored, Seq("query_id"), "cos", "neighbor_id", 5)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Heap-cut + rank for the panel rankers: TopKPerKey retains the top-k
+    * rows per key (score desc, tiebreak asc — unique, so the set and the
+    * ranks are well-defined), then row_number runs over ONLY those
+    * ≤ keys × k survivors to attach the rank the output contracts expect.
+    */
+  private def rankTopCut(scored: DataFrame, keys: Seq[String],
+      scoreCol: String, tieCol: String, k: Int): DataFrame = {
+    val cut = graft.operators.TopK.perKey(scored, keys,
+      order = Seq(scoreCol -> true, tieCol -> false), k = k)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(tieCol))
+    cut.withColumn("rank", row_number().over(w))
   }
 
   val topkSql: String =
@@ -84,12 +104,10 @@ object Ann {
     val q = e.filter(col("vec_id") < 20).limit(20)
       .select(col("vec_id").as("query_id"), col("emb").as("ea"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("ip").desc, col("neighbor_id"))
-    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("ip", native.dotProduct(col("ea"), col("eb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        native.dotProduct(col("ea"), col("eb")).as("ip"))
+    rankTopCut(scored, Seq("query_id"), "ip", "neighbor_id", 5)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
@@ -122,12 +140,10 @@ object Ann {
         col("label").as("qlabel"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"),
       col("label").as("clabel"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    broadcast(q).join(c, col("qlabel") =!= col("clabel"))
-      .withColumn("cos", native.cosineSim(col("ea"), col("eb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    val scored = broadcast(q).join(c, col("qlabel") =!= col("clabel"))
+      .select(col("query_id"), col("neighbor_id"),
+        native.cosineSim(col("ea"), col("eb")).as("cos"))
+    rankTopCut(scored, Seq("query_id"), "cos", "neighbor_id", 5)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
@@ -165,16 +181,13 @@ object Ann {
         col("vec_id").as("qvec"), col("emb").as("ea"))
     val c = e.select(col("vec_id").as("cand"), col("emb").as("eb"),
       col("label").as("doc_label"))
-    val w = Window.partitionBy(col("query_group"))
-      .orderBy(col("maxsim").desc, col("doc_label"))
-    broadcast(q).join(c)
+    val scored = broadcast(q).join(c)
       .withColumn("cos", native.cosineSim(col("ea"), col("eb")))
       .groupBy(col("query_group"), col("qvec"), col("doc_label"))
       .agg(max(col("cos")).as("m"))
       .groupBy(col("query_group"), col("doc_label"))
       .agg(sum(col("m")).as("maxsim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+    rankTopCut(scored, Seq("query_group"), "maxsim", "doc_label", 3)
       .select(col("query_group"), col("doc_label"), col("rank"), col("maxsim"))
   }
 
@@ -223,12 +236,10 @@ object Ann {
       val q = e.filter(col("vec_id") < 20).limit(20)
         .select(col("vec_id").as("query_id"), col("emb").as("ea"))
       val c = e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos", native.cosineSim(col("ea"), col("eb")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          native.cosineSim(col("ea"), col("eb")).as("cos"))
+      rankTopCut(scored, Seq("query_id"), "cos", "neighbor_id", 3)
         .select(col("query_id"), col("neighbor_id"))
     }
     def branch(name: String, approx: DataFrame): DataFrame = exact

@@ -618,4 +618,17 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     val po = planOf("q_orc_source")
     assert(po.contains("FileScan orc"), s"vectorized ORC scan expected:\n$po")
   }
+
+  test("panel rankers heap-reduce through TopKPerKey, never sort the candidate stream") {
+    // r13 verdict item 4: ann_topk / ann_mips / ann_filtered / ann_maxsim /
+    // ann_recall_matryoshka must cut candidates via the custom operator's
+    // PARTIAL pass (≤ k rows per query per partition reach the exchange);
+    // the rank window then runs over only the ≤ panel × k survivors.
+    for (name <- Seq("ann_topk", "ann_mips", "ann_filtered", "ann_maxsim",
+        "ann_recall_matryoshka")) {
+      val p = planOf(name).split("== Initial Plan ==").head
+      assert(p.contains("TopKPerKeyPartial"),
+        s"$name: candidate stream not heap-reduced before the exchange:\n$p")
+    }
+  }
 }
