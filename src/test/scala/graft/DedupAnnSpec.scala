@@ -79,6 +79,21 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.4, f"PQ ADC recall@3 $recall%.3f below floor 0.4")
   }
 
+  test("ann_filtered_ivf: constrained IVF route holds a recall@5 floor vs brute-force filtered") {
+    import spark.implicits._
+    val exact = similarity.Ann.filteredTopk(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val routed = similarity.Ann.filteredTopkIvf(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "brute-force filtered panel must produce pairs")
+    val recall = exact.count(routed.contains).toDouble / exact.size
+    info(f"ann_filtered_ivf recall@5 vs brute-force filtered: $recall%.3f")
+    println(f"[recall] ann_filtered_ivf recall@5 = $recall%.3f")
+    // same candidate-fraction bound as the unfiltered IVF route on this
+    // noise-heavy corpus (knn_graph_ivf measures 0.62 at 50% candidates)
+    assert(recall >= 0.4, f"filtered-IVF recall@5 $recall%.3f below floor 0.4")
+  }
+
   test("ann_topk_ivfpq: IVF+ADC composition holds a measured recall@3 floor vs exact integer L2") {
     // the composed path loses recall at TWO stages (cell pruning, then
     // the ADC shortlist cut) — gate the product, not the parts, against
