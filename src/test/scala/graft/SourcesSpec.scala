@@ -430,6 +430,39 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full == li.count())
   }
 
+  test("incremental manifest update probes ONLY the appended files") {
+    import graft.sources.LatencyFs
+    // write-time manifest economics: after an appended micro-batch,
+    // updateStatsManifest must read exactly the new files' footers -
+    // never re-probe the table. Counted with the graft:// open counters
+    // (the manifest itself lives on the plain local FS).
+    val sf001 = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("manifest_incr").toFile.getAbsolutePath
+    val orders = Tables.orders(spark, sf001)
+    Sources.writeClustered(orders, s"$root/t", Seq("o_custkey"), 8)
+    val manifest = Files.createTempDirectory("manifest_incr_cat").toString + "/m"
+    Sources.writeStatsManifest(spark, s"$root/t", manifest, Seq("o_custkey"))
+    val before = spark.read.parquet(manifest).count()
+    assert(before == 8L, s"expected 8 manifest rows, got $before")
+    // append 2 files, then update THROUGH the counting scheme
+    orders.limit(50).repartition(2).write.mode("append").parquet(s"$root/t")
+    LatencyFs.install(spark)
+    LatencyFs.resetCounters()
+    Sources.updateStatsManifest(spark, s"graft://$root/t", manifest, Seq("o_custkey"))
+    val (opens, _, _) = LatencyFs.snapshot()
+    assert(opens <= 3,
+      s"incremental update re-probed old files: $opens graft:// opens for 2 new files")
+    val after = spark.read.parquet(manifest).count()
+    assert(after == 10L, s"expected 10 manifest rows after append, got $after")
+    // the refreshed manifest serves correct pruned scans over the grown table
+    val lo = 1L
+    val expect = spark.read.parquet(s"$root/t")
+      .filter(col("o_custkey") >= lo && col("o_custkey") <= 200L).count()
+    val got = Sources.manifestPrunedScan(spark, s"$root/t", manifest,
+      "o_custkey", lo, 200L).count()
+    assert(got == expect && got > 0, s"pruned=$got full=$expect")
+  }
+
   test("manifest pruning soundness: unmanifested column errors, stale manifest falls back") {
     // "the manifest proves nothing matches" and "the manifest knows
     // nothing" must not be conflated (ADVICE r13): an unmanifested column
