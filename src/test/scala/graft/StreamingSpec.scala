@@ -748,4 +748,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("transformWithState BoW dedup over the real documents table equals the batch keepers") {
+    // r13 verdict item 8: the batch dedup family's streaming mirror on
+    // arbitrary state. The REAL sf0.001 documents stream in doc_id-ordered
+    // micro-batches through the canonical-hash FirstKeeper on RocksDB;
+    // the emitted keeper set must equal Dedup.bow's batch keepers (min
+    // doc_id per BoW hash), each emitted exactly once, with state rows
+    // = distinct keys (bounded), and a replayed batch must add nothing.
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"lang").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+      .map(d => Doc(d._1, ts(d._1), d._2, d._3))
+    val batchKeepers = graft.dedup.Dedup.bow(spark, sf)
+      .select($"keeper_id", $"bow_hash").as[(Long, String)].collect().toSet
+    val input = MemoryStream[Doc]
+    val q = DocStreams.bowDedupStream(input.toDS())
+      .writeStream.format("memory").queryName("bow_keepers")
+      .outputMode("append").start()
+    try {
+      docs.grouped(120).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      // full replay of the first chunk: every key already has a keeper
+      input.addData(docs.take(120): _*)
+      q.processAllAvailable()
+      val got = spark.table("bow_keepers")
+        .select($"doc_id", $"key_sha").as[(Long, String)].collect()
+      assert(got.length == got.toSet.size, "a keeper emitted twice")
+      assert(got.toSet == batchKeepers,
+        s"stream keepers (${got.length}) != batch keepers (${batchKeepers.size})")
+      val so = q.recentProgress.flatMap(p => p.stateOperators).lastOption
+        .getOrElse(fail("no stateOperators progress reported"))
+      assert(so.numRowsTotal == batchKeepers.size,
+        s"state rows ${so.numRowsTotal} != distinct BoW keys ${batchKeepers.size}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
