@@ -60,8 +60,14 @@ object Graph {
         java.nio.file.Files.createTempDirectory("graft_edges").toString + "/edges"
       }))
     if (!edgeArtifactsWritten.containsKey(target)) {
+      // file count = cluster parallelism, floor 8: the artifact's input
+      // splits ARE the analyses' scan parallelism, and the r14 2M-vector
+      // frontier measured the 8-file layout capping every edge scan at
+      // 8 of 32 cores (32 files: jaccard 59.8→40.5 s, modularity
+      // 45.2→30.3 s, reach 19.7→11.4 s, label_prop 37.3→26.8 s)
+      val nFiles = math.max(8, spark.sparkContext.defaultParallelism)
       graft.sources.Sources.writeClustered(
-        edges(spark, dir), target, Seq("u", "v"), nFiles = 8)
+        edges(spark, dir), target, Seq("u", "v"), nFiles = nFiles)
       edgeArtifactsWritten.put(target, java.lang.Boolean.TRUE)
     }
     spark.read.parquet(target)
@@ -208,7 +214,7 @@ object Graph {
     * round keeps the plan linear in rounds (the CC loop discipline,
     * Dedup.connectedComponents).
     */
-  private[graft] def kcoreOf(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kcoreOf(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var e = edges.cutLineage()
     for (_ <- 1 to rounds) {
       val live = e.select(explode(array(col("u"), col("v"))).as("vec_id"))

@@ -24,11 +24,20 @@ KEY_OFFSET = 100_000_000  # far above any base key
 def main() -> int:
     src, dst = sys.argv[1], sys.argv[2]
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    # optional 4th arg: comma-separated table subset (frontier corpora only
+    # need the tables their operator family reads - K=1000 of everything
+    # would be hundreds of GB for nothing)
+    tables = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads={os.cpu_count() or 8}")
 
+    def wanted(table: str) -> bool:
+        return tables is None or table in tables
+
     def gen(table: str, select_body: str) -> None:
+        if not wanted(table):
+            return
         out = os.path.join(dst, f"{table}.parquet")
         q = f"""
         COPY (
@@ -42,6 +51,8 @@ def main() -> int:
         print(f"{table}: {n} rows")
 
     def copy(table: str) -> None:
+        if not wanted(table):
+            return
         out = os.path.join(dst, f"{table}.parquet")
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{src}/{table}.parquet')) "
