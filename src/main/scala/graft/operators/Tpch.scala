@@ -7,8 +7,8 @@ import org.apache.spark.sql.types.TimestampType
 import graft.Tables
 import graft.functions.Portable._
 
-/** The remaining TPC-H query shapes (Q2, Q4, Q7-Q10, Q12, Q14-Q16, Q19,
-  * Q20) — with Relational.scala's Q1/Q3/Q5/Q6/Q11/Q13/Q17/Q18/Q21/Q22 this
+/** The remaining TPC-H query shapes (Q2, Q4, Q7-Q10, Q12, Q14-Q17, Q19,
+  * Q20) — with Relational.scala's Q1/Q3/Q5/Q6/Q11/Q13/Q18/Q21/Q22 this
   * completes all 22 stock shapes the reference can run through DataFusion's
   * planner (`benches/query.rs:37-47` registers parquet and accepts arbitrary
   * SQL; the TPC-H deck is the canonical workload for exactly that surface).
@@ -410,6 +410,50 @@ object Tpch {
        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
        |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** TPC-H Q17 — small-quantity-order revenue (round 14; the last of the
+    * 22 stock shapes): lines of one brand's small parts whose quantity is
+    * below 20% of that PART's all-time average quantity, summed and
+    * divided by 7 (the stock "yearly average loss" figure). The
+    * correlated scalar AVG decorrelates into one per-part (sum, count)
+    * aggregate joined back — and the 0.2·avg comparison is restated in
+    * EXACT integers (quantities are integer-valued):
+    * q < 0.2·(sum/cnt) ⇔ 5·q·cnt < sum, so the filter is engine-exact
+    * and only the terminal cents-sum ÷ 7 touches IEEE.
+    *
+    * Scale shape: part is a broadcast dim (filtered BEFORE the join on
+    * both legs, so the per-part aggregate shuffles 1/|brands| of the
+    * fact — the q2 r11 lesson); the stats aggregate is map-side combined
+    * on l_partkey and the stats table it produces is part-sized, itself
+    * broadcast back against the fact stream. No global exchange.
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#3" && col("p_size") <= 10)
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val stats = li.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_q"),
+        count(lit(1)).as("cnt_q"))
+    li.join(broadcast(stats), Seq("l_partkey"))
+      .filter(lit(5L) * col("l_quantity").cast("long") * col("cnt_q") < col("sum_q"))
+      .agg((centsSum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    s"""WITH s AS (
+       |  SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_q,
+       |         COUNT(*) AS cnt_q
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_brand = 'Brand#3' AND p_size <= 10
+       |  GROUP BY 1)
+       |SELECT ${centsSumSql("l_extendedprice")} / 7.0 AS avg_yearly
+       |FROM lineitem l
+       |JOIN part p ON l.l_partkey = p.p_partkey
+       |JOIN s ON s.l_partkey = l.l_partkey
+       |WHERE p.p_brand = 'Brand#3' AND p.p_size <= 10
+       |  AND 5 * CAST(l.l_quantity AS BIGINT) * s.cnt_q < s.sum_q""".stripMargin
+
   /** TPC-H Q20 shape — potential part promotion: the nested-IN +
     * correlated-threshold decorrelation. The stock query keeps suppliers
     * whose availqty exceeds half their shipped quantity; with lineitem as
@@ -467,6 +511,7 @@ object Tpch {
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q16_part_supplier" -> (q16PartSupplier _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q19_discounted_revenue" -> (q19DiscountedRevenue _),
     "q20_promotion_suppliers" -> (q20PromotionSuppliers _))
 
@@ -481,6 +526,7 @@ object Tpch {
     "q14_promo_revenue" -> q14Sql,
     "q15_top_supplier" -> q15Sql,
     "q16_part_supplier" -> q16Sql,
+    "q17_small_qty_revenue" -> q17Sql,
     "q19_discounted_revenue" -> q19Sql,
     "q20_promotion_suppliers" -> q20Sql)
 }
