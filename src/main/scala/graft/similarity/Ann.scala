@@ -173,6 +173,11 @@ object Ann {
     val replicas = 2
     val cells = coarseCells(spark, dir, math.max(nProbe, replicas))
       .select(col("vec_id"), col("cell"), col("rn"))
+    filteredTopkIvfOver(spark, dir, cells, nProbe, replicas)
+  }
+
+  private def filteredTopkIvfOver(spark: SparkSession, dir: String,
+      cells: DataFrame, nProbe: Int, replicas: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
         col("label"))
@@ -195,6 +200,55 @@ object Ann {
         native.cosineSim(col("ea"), col("eb")).as("cos"))
     rankTopCut(scored, Seq("query_id"), "cos", "neighbor_id", 5)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Write-once/reuse IVF cell-assignment artifact (round 14 — the
+    * addendum-4 economics made executable): [[coarseCells]] is the
+    * expensive half of every panel-sized IVF query (at the 2M-vector
+    * frontier the quantizer build is ~150 s while the routed scoring is
+    * seconds), and like the kNN edge set it is a PER-CORPUS-SNAPSHOT
+    * artifact — build once, route every query against the parquet.
+    * Clustered on (cell, vec_id) so the cell-routed candidate join reads
+    * tight row groups; file count = cluster parallelism (the
+    * materializedEdges lesson). Cached per (dir, maxRn) in this JVM.
+    */
+  def materializedCells(spark: SparkSession, dir: String, maxRn: Int,
+      uri: Option[String] = None): DataFrame = {
+    val key = s"$dir#$maxRn"
+    val target = uri.getOrElse(
+      cellArtifacts.computeIfAbsent(key, { _ =>
+        java.nio.file.Files.createTempDirectory("graft_cells").toString + "/cells"
+      }))
+    if (!cellArtifactsWritten.containsKey(target)) {
+      val nFiles = math.max(8, spark.sparkContext.defaultParallelism)
+      graft.sources.Sources.writeClustered(
+        coarseCells(spark, dir, maxRn).select(col("vec_id"), col("cell"), col("rn")),
+        target, Seq("cell", "vec_id"), nFiles = nFiles)
+      cellArtifactsWritten.put(target, java.lang.Boolean.TRUE)
+    }
+    spark.read.parquet(target)
+  }
+
+  private val cellArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val cellArtifactsWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** [[filteredTopkIvf]] over the [[materializedCells]] artifact — the
+    * production composition: the quantizer is built once per corpus
+    * snapshot and every constrained panel query routes against the
+    * parquet cell table instead of re-deriving it. Result-identical to
+    * the rebuild path by construction (same cells, same routing, same
+    * re-rank), so it shares the SAME DuckDB oracle; the bench floor
+    * measures the amortized per-query cost (first sample in a JVM pays
+    * the build, the min-of-samples floor is the routed query alone —
+    * the graph_cached philosophy, self-contained in one key).
+    */
+  def filteredTopkIvfCached(spark: SparkSession, dir: String): DataFrame = {
+    val nProbe = 3
+    val replicas = 2
+    val cells = materializedCells(spark, dir, math.max(nProbe, replicas))
+    filteredTopkIvfOver(spark, dir, cells, nProbe, replicas)
   }
 
   /** DuckDB replay of [[filteredTopkIvf]] — the [[topkIvfSql]] integer-
@@ -802,13 +856,12 @@ object Ann {
         .select(col("vec_id").as("neighbor_id"), col("cell")), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    cand
+    val scored = cand
       .join(e.select(col("vec_id").as("query_id"), col("emb").as("ea")), "query_id")
       .join(e.select(col("vec_id").as("neighbor_id"), col("emb").as("eb")), "neighbor_id")
-      .withColumn("cos", native.cosineSim(col("ea"), col("eb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"),
+        native.cosineSim(col("ea"), col("eb")).as("cos"))
+    rankTopCut(scored, Seq("query_id"), "cos", "neighbor_id", 3)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
@@ -1919,7 +1972,8 @@ object Ann {
     "ann_range" -> (rangeSearch _),
     "emb_quant" -> (quantize _),
     "emb_centroids" -> (labelCentroids _),
-    "ann_filtered_ivf" -> (filteredTopkIvf _))
+    "ann_filtered_ivf" -> (filteredTopkIvf _),
+    "ann_filtered_ivf_cached" -> (filteredTopkIvfCached _))
 
   val oracles: Map[String, String] = Map(
     "ann_rrf" -> rrfHybridSql,
@@ -1945,5 +1999,6 @@ object Ann {
     "ann_range" -> rangeSearchSql,
     "emb_quant" -> quantizeSql,
     "emb_centroids" -> labelCentroidsSql,
-    "ann_filtered_ivf" -> filteredTopkIvfSql)
+    "ann_filtered_ivf" -> filteredTopkIvfSql,
+    "ann_filtered_ivf_cached" -> filteredTopkIvfSql)
 }
