@@ -94,6 +94,18 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.4, f"filtered-IVF recall@5 $recall%.3f below floor 0.4")
   }
 
+  test("ann_filtered_ivf_cached: materializedCells route is result-identical to the rebuild path") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"rank")
+        .as[(Long, Long, Long)].collect().toSet
+    val rebuilt = rows(similarity.Ann.filteredTopkIvf(spark, sf))
+    val cached = rows(similarity.Ann.filteredTopkIvfCached(spark, sf))
+    assert(cached == rebuilt, "cached cell artifact changed the routed result")
+    // second call must reuse the artifact (same JVM cache) and still agree
+    assert(rows(similarity.Ann.filteredTopkIvfCached(spark, sf)) == rebuilt)
+  }
+
   test("ann_topk_ivfpq: IVF+ADC composition holds a measured recall@3 floor vs exact integer L2") {
     // the composed path loses recall at TWO stages (cell pruning, then
     // the ADC shortlist cut) — gate the product, not the parts, against
