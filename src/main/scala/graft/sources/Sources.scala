@@ -193,7 +193,11 @@ object Sources {
     val existing: Seq[(String, String, Option[Long], Option[Long], Option[Long], Long)] =
       if (incremental && mFs.exists(mPath)) {
         val live = files.map(pathOf).toSet
-        spark.read.parquet(manifestUri).collect().toSeq
+        // select by NAME before collect: positional gets would silently
+        // misread a manifest written with a different column order
+        spark.read.parquet(manifestUri)
+          .select("file", "col", "min_val", "max_val", "null_count", "num_rows")
+          .collect().toSeq
           .map(r => (r.getString(0), r.getString(1),
             if (r.isNullAt(2)) None else Some(r.getLong(2)),
             if (r.isNullAt(3)) None else Some(r.getLong(3)),
@@ -201,9 +205,19 @@ object Sources {
             r.getLong(5)))
           .filter(t => live.contains(pathOf(t._1)) && cols.contains(t._2))
       } else Seq.empty
-    val covered = existing.map(t => pathOf(t._1)).toSet
+    // a file counts as covered only when EVERY requested column has a row
+    // for it — a widened cols list forces a re-probe of old files, not a
+    // manifest that silently lacks the new column
+    val colsByFile = existing.groupBy(t => pathOf(t._1))
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val covered = colsByFile.collect {
+      case (p, cs) if cols.forall(cs.contains) => p
+    }.toSet
     val fresh = files.filterNot(f => covered.contains(pathOf(f)))
-    val rows = if (fresh.isEmpty) existing else {
+    // drop the partial rows of any file being re-probed, or they duplicate
+    val freshPaths = fresh.map(pathOf).toSet
+    val kept = existing.filterNot(t => freshPaths.contains(pathOf(t._1)))
+    val rows = if (fresh.isEmpty) kept else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(32, fresh.size))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -211,7 +225,7 @@ object Sources {
         Await.result(Future.sequence(
           fresh.map(f => Future(fileStats(conf, f, cols)))), Duration.Inf).flatten
       } finally pool.shutdown()
-      existing ++ probed
+      kept ++ probed
     }
     import spark.implicits._
     rows.toDF("file", "col", "min_val", "max_val", "null_count", "num_rows")

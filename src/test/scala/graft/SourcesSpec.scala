@@ -461,6 +461,15 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Sources.manifestPrunedScan(spark, s"$root/t", manifest,
       "o_custkey", lo, 200L).count()
     assert(got == expect && got > 0, s"pruned=$got full=$expect")
+    // widening the column set forces a re-probe: every file must end up
+    // with rows for BOTH columns (a manifest silently lacking the new
+    // column would make pruning on it error forever)
+    Sources.updateStatsManifest(spark, s"$root/t", manifest,
+      Seq("o_custkey", "o_orderkey"))
+    val perCol = spark.read.parquet(manifest).groupBy(col("col")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perCol == Map("o_custkey" -> 10L, "o_orderkey" -> 10L),
+      s"widened cols must cover every file: $perCol")
   }
 
   test("manifest pruning soundness: unmanifested column errors, stale manifest falls back") {
