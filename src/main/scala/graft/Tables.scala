@@ -101,6 +101,45 @@ object Tables {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Size-aware broadcast hint for dimension sides whose TRUE size is
+    * SF-proportional (part, supplier, customer, and aggregates over the
+    * fact) — the round-14 scale finding: a forced `broadcast()` hint
+    * bypasses both `spark.sql.autoBroadcastJoinThreshold` and AQE's
+    * runtime demotion, so hinting an SF-scaled relation OOMs the cluster
+    * at 100 TB TPC-H (part alone is ~20B rows there) no matter what
+    * Catalyst estimates at test SF.
+    *
+    * The hint still earns its keep at moderate SFs: Catalyst's
+    * size-only stats don't shrink a filtered dim (a brand-filtered
+    * `part` keeps the full scan estimate), so auto-broadcast under-fires
+    * exactly where the builder knows the side is small. `dimHint` keeps
+    * that benefit with a ceiling: emit the hint only while the subtree's
+    * PLANNED size estimate stays under `spark.graft.dimHint.maxBytes`
+    * (default 256 MB — compressed-scan bytes; even a conservative 4x
+    * in-memory blow-up broadcasts safely on real executors). Above the
+    * bound, no hint: the join plans as shuffle and AQE's
+    * OptimizeShuffleWithLocalRead / runtime broadcast conversion decides
+    * from ACTUAL sizes — which still broadcasts genuinely small sides,
+    * and never the 20B-row ones. Results are unchanged either way (these
+    * are inner/semi equi joins; only the physical strategy moves).
+    *
+    * Join-bearing subtrees (e.g. a per-key stats aggregate over the
+    * fact) carry multiplied size-only estimates far above any bound, so
+    * they simply never hint — deliberate: their true size is
+    * key-domain-proportional, i.e. SF-scaled, the exact class the
+    * round-14 verdict flagged.
+    *
+    * Setting `spark.graft.dimHint.maxBytes=0` disables every dimHint —
+    * ScalePatternsSpec uses that to prove the at-scale plans carry no
+    * forced broadcast of an SF-scaled relation.
+    */
+  def dimHint(df: DataFrame): DataFrame = {
+    val maxBytes = BigInt(df.sparkSession.conf
+      .get("spark.graft.dimHint.maxBytes", (256L * 1024 * 1024).toString))
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= maxBytes) org.apache.spark.sql.functions.broadcast(df) else df
+  }
+
   /** registerAll for a subset of tables — lets fixture dirs that carry only
     * some tables (e.g. an events-only drift fixture) register just those.
     */

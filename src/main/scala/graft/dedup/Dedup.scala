@@ -213,10 +213,14 @@ object Dedup {
     * value (constant MinHash band on boilerplate, simhash band 0 on
     * near-empty docs) makes one bucket's self-join quadratic — and a bucket
     * that large is non-discriminative by definition, so dropping it loses
-    * no real signal. The oversized-key list is tiny (hot keys are rare), so
-    * the filter is a broadcast anti-join; `observe` attaches the dropped
-    * count to the plan itself (zero extra passes — read it from
-    * QueryExecutionListener / the CollectMetrics node).
+    * no real signal. The oversized-key list is tiny IN PRACTICE (hot keys
+    * are rare) but its worst case is rows/cap — SF-proportional — so the
+    * anti-join side goes through [[graft.Tables.dimHint]] (r15): hinted at
+    * test SF, strategy left to AQE's RUNTIME size of the filtered
+    * aggregate above the bound (which still broadcasts the genuinely tiny
+    * hot list at 100 TB, without the forced-hint OOM risk). `observe`
+    * attaches the dropped count to the plan itself (zero extra passes —
+    * read it from QueryExecutionListener / the CollectMetrics node).
     */
   private[graft] def capBuckets(bands: DataFrame, keyCols: Seq[String],
       maxBucket: Int, metricName: String): DataFrame = {
@@ -227,7 +231,7 @@ object Dedup {
         sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"))
       .filter(col("bsz") > maxBucket)
       .select(keys: _*)
-    bands.join(broadcast(hot), keyCols, "left_anti")
+    bands.join(graft.Tables.dimHint(hot), keyCols, "left_anti")
   }
 
   /** MinHash + banded LSH near-dup detection: 16 bands × 4 rows, exact
@@ -545,7 +549,9 @@ object Dedup {
     // whether the SNM leg (whose builder runs eager boundary jobs) exists
     // at all, keeping the oracle-SF plan identical to the pre-r13 one.
     val hasHuge = sizes.filter(col("bsz") > maxExactBlock).limit(1).count() > 0
-    val sized = docs.join(broadcast(sizes), "block")
+    // |blocks| = |langs| x |length-buckets| — small in practice but the
+    // bucket count tracks max doc length, so the hint is size-gated (r15)
+    val sized = docs.join(graft.Tables.dimHint(sizes), "block")
     val smallDocs = sized.filter(col("bsz") <= maxBlock).drop("bsz")
     val largeDocs = sized
       .filter(col("bsz") > maxBlock && col("bsz") <= maxExactBlock).drop("bsz")

@@ -101,7 +101,7 @@ object Relational {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .join(o, col("o_custkey") === col("c_custkey"))
       .join(l, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.dimHint(s), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name"))
       .agg(centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
@@ -314,7 +314,7 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val p = Tables.part(spark, dir).filter(col("p_brand") === "Brand#1")
     Tables.lineitem(spark, dir)
-      .join(broadcast(p.select(col("p_partkey"))),
+      .join(Tables.dimHint(p.select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"), "left_semi")
       .withColumn("avg_qty",
         avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
@@ -425,7 +425,7 @@ object Relational {
     l1.join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"), "left_semi")
       .join(l3, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"), "left_anti")
       .join(f, Seq("l_orderkey"), "left_semi")
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.dimHint(s), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

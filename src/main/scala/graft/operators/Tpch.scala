@@ -58,15 +58,15 @@ object Tpch {
     // instead of all of it. Identical results: minc is per-part over the
     // euro catalog, and non-STANDARD parts never survive the final join.
     val ps = Tables.lineitem(spark, dir)
-      .join(broadcast(p.select(col("p_partkey").as("std_partkey"))),
+      .join(Tables.dimHint(p.select(col("p_partkey").as("std_partkey"))),
         col("l_partkey") === col("std_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(cents(col("l_extendedprice") / col("l_quantity"))).as("cost_c"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.dimHint(s), col("l_suppkey") === col("s_suppkey"))
     val minc = ps.groupBy(col("l_partkey").as("mp_partkey"))
       .agg(min(col("cost_c")).as("min_c"))
     ps.join(minc, col("l_partkey") === col("mp_partkey") && col("cost_c") === col("min_c"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Tables.dimHint(p), col("l_partkey") === col("p_partkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
         (col("cost_c").cast("double") / 100.0).as("supplycost"))
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
@@ -139,7 +139,7 @@ object Tpch {
       .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1998-01-01"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.dimHint(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
@@ -182,9 +182,9 @@ object Tpch {
     val suppNation = Tables.nation(spark, dir)
       .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")),
+      .join(Tables.dimHint(Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.dimHint(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
       .join(Tables.orders(spark, dir)
         .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01")),
@@ -225,9 +225,9 @@ object Tpch {
   def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
     val profit = volume - lit(0.1) * col("p_retailprice") * col("l_quantity")
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).filter(col("p_name").like("%red%"))),
+      .join(Tables.dimHint(Tables.part(spark, dir).filter(col("p_name").like("%red%"))),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.dimHint(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"), date_format(col("o_orderdate"), "yyyy").as("o_year"))
@@ -313,7 +313,7 @@ object Tpch {
   def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= ts("1997-03-01") && col("l_shipdate") < ts("1997-04-01"))
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.dimHint(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
       .agg(
         (lit(100.0) * sum(when(col("p_type") === "PROMO", cents(volume)).otherwise(0L)).cast("double")
           / sum(cents(volume)).cast("double")).as("promo_revenue"))
@@ -339,7 +339,7 @@ object Tpch {
     val maxRev = rev.agg(max(col("rev_c")).as("max_c"))
     rev.crossJoin(broadcast(maxRev))
       .filter(col("rev_c") === col("max_c"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.dimHint(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         (col("rev_c").cast("double") / 100.0).as("total_revenue"))
       .orderBy(col("s_suppkey"))
@@ -367,7 +367,7 @@ object Tpch {
     val complaints = Tables.supplier(spark, dir).filter(col("s_acctbal") < 0)
       .select(col("s_suppkey").as("l_suppkey"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)
+      .join(Tables.dimHint(Tables.part(spark, dir)
         .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO"
           && col("p_size").isin(sizes: _*))),
         col("l_partkey") === col("p_partkey"))
@@ -397,7 +397,7 @@ object Tpch {
       col("p_brand") === brand && col("p_size").between(1, sizeMax) &&
         col("l_quantity").between(qLo, qHi)
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.dimHint(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
       .filter(branch("Brand#2", 15, 1, 11) || branch("Brand#3", 25, 10, 20) ||
         branch("Brand#4", 35, 20, 30))
       .agg(centsSum(volume).as("revenue"))
@@ -420,22 +420,26 @@ object Tpch {
     * q < 0.2·(sum/cnt) ⇔ 5·q·cnt < sum, so the filter is engine-exact
     * and only the terminal cents-sum ÷ 7 touches IEEE.
     *
-    * Scale shape: part is a broadcast dim (filtered BEFORE the join on
+    * Scale shape: part is a size-gated dim (filtered BEFORE the join on
     * both legs, so the per-part aggregate shuffles 1/|brands| of the
     * fact — the q2 r11 lesson); the stats aggregate is map-side combined
-    * on l_partkey and the stats table it produces is part-sized, itself
-    * broadcast back against the fact stream. No global exchange.
+    * on l_partkey and the stats table it produces is part-sized — both
+    * sides go through [[Tables.dimHint]] (r15): part and the stats are
+    * SF-proportional, so the hint fires only under the size bound and
+    * AQE's runtime conversion owns the strategy above it. No global
+    * exchange either way: the stats join shares l_partkey partitioning
+    * with the aggregate that produced it.
     */
   def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
     val brandParts = Tables.part(spark, dir)
       .filter(col("p_brand") === "Brand#3" && col("p_size") <= 10)
       .select(col("p_partkey"))
     val li = Tables.lineitem(spark, dir)
-      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.dimHint(brandParts), col("l_partkey") === col("p_partkey"))
     val stats = li.groupBy(col("l_partkey"))
       .agg(sum(col("l_quantity").cast("long")).as("sum_q"),
         count(lit(1)).as("cnt_q"))
-    li.join(broadcast(stats), Seq("l_partkey"))
+    li.join(Tables.dimHint(stats), Seq("l_partkey"))
       .filter(lit(5L) * col("l_quantity").cast("long") * col("cnt_q") < col("sum_q"))
       .agg((centsSum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
   }
@@ -467,7 +471,7 @@ object Tpch {
   def q20PromotionSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val l97 = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
-      .join(broadcast(Tables.part(spark, dir).filter(col("p_name").like("small%"))),
+      .join(Tables.dimHint(Tables.part(spark, dir).filter(col("p_name").like("small%"))),
         col("l_partkey") === col("p_partkey"), "left_semi")
     val perPS = l97.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("ps_qty"))

@@ -189,7 +189,10 @@ object Prep {
     val eval = grams(docs.filter(col("doc_id") % 97 === 0))
       .select(col("doc_id").as("eval_doc"), col("gram")).distinct()
     val train = grams(docs.filter(col("doc_id") % 97 =!= 0))
-    train.join(broadcast(eval), "gram")
+    // the eval panel is a fixed holdout in production but the oracle
+    // variant samples 1/97 of the corpus — SF-proportional, so the hint
+    // is size-gated (r15): forced at test SF, AQE's runtime call above
+    train.join(Tables.dimHint(eval), "gram")
       .groupBy(col("doc_id"))
       .agg(
         countDistinct(col("gram")).as("n_shared_grams"),

@@ -500,12 +500,15 @@ object Ann {
         sum(when(col("csz") > maxCell, 1L).otherwise(0L)).as("hot_cells"))
       .filter(col("csz") > maxCell)
       .select(col("cell"))
+    // the hot list is tiny in practice but worst-case cells/1 — size-gate
+    // the hint (r15); AQE still broadcasts the real (filtered) size
+    val gatedHot = graft.Tables.dimHint(hot)
     val kept = graft.operators.TopK.perKey(
-      members.join(broadcast(hot), Seq("cell")),
+      members.join(gatedHot, Seq("cell")),
       keys = Seq("cell"),
       order = Seq("dist_sq" -> false, "vec_id" -> false),
       k = maxCell)
-    members.join(broadcast(hot), Seq("cell"), "left_anti").unionByName(kept)
+    members.join(gatedHot, Seq("cell"), "left_anti").unionByName(kept)
   }
 
   /** Corpus-scaled coarse quantizer — the production knob r11's addendum

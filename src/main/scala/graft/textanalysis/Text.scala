@@ -565,16 +565,20 @@ object Text {
     * plate scores low. Pass 1 aggregates the corpus unigram table (vocab-
     * bounded → broadcast); pass 2 scores each token as TOTAL div cnt(word)
     * in exact integer arithmetic (a float -log p would differ across libm
-    * builds; integer ratios hash-match any engine). At 100 TB the unigram
-    * table is capped to a top-K vocab + OOV bucket before broadcast — the
-    * standard dial; this corpus's vocab is tiny so no cap is needed.
+    * builds; integer ratios hash-match any engine). The unigram table is
+    * vocab-sized — Heaps-law sublinear but NOT bounded (a noisy 100 TB
+    * web corpus can push billions of distinct "words"), so the hint is
+    * size-gated through [[graft.Tables.dimHint]] (r15): forced at test
+    * SF, left to AQE's runtime size above the bound. The production dial
+    * stays the same: cap to a top-K vocab + OOV bucket, after which the
+    * hint fires again.
     */
   def rarity(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val cnt = tok.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     val tot = cnt.agg(sum(col("cnt")).as("total"))
-    tok.join(broadcast(cnt), "word")
+    tok.join(Tables.dimHint(cnt), "word")
       .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"))
       .agg(

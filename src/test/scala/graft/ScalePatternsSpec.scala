@@ -130,14 +130,29 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // every registered query's logical plan must be a declared small side.
     // "Small" is structural — the hinted subtree either (a) touches no
     // corpus-sized table at all (dims, bounds rows, model artifacts), or
-    // (b) passes through a cardinality-bounding node (Aggregate, Limit)
-    // between the corpus scan and the broadcast. A raw corpus scan under a
-    // broadcast hint is exactly the pattern that dies at 100 TB no matter
-    // what Catalyst estimates at test SF. Allowlist entries must argue
+    // (b) passes through a cardinality-bounding node between the corpus
+    // scan and the broadcast. A raw corpus scan under a broadcast hint is
+    // exactly the pattern that dies at 100 TB no matter what Catalyst
+    // estimates at test SF. Allowlist entries must argue
     // declared-oracle-baseline status, not convenience.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, GlobalLimit, LocalLimit, ResolvedHint}
+    //
+    // Round-15 hardening (the r14 verdict's top finding):
+    //   - the corpus list now includes EVERY SF-scaled relation — part,
+    //     supplier, customer scale linearly with SF (part is ~20B rows at
+    //     100 TB TPC-H), they were wrongly treated as dims;
+    //   - plans are built under spark.graft.dimHint.maxBytes=0, the
+    //     at-scale simulation: every size-gated Tables.dimHint degrades
+    //     to no-hint, so any hint this guard still sees is a FORCED one;
+    //   - the Aggregate exemption is tightened to DOMAIN-BOUNDED
+    //     aggregates only: a group-less aggregate is 1 row at any SF and
+    //     passes; a keyed aggregate's cardinality is its key domain,
+    //     which for fact keys (l_partkey, doc_id, ...) is itself
+    //     SF-proportional — those must go through dimHint or argue a
+    //     bounded key domain in the allowlist.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, ResolvedHint}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val corpus = Seq("embeddings", "documents", "events", "lineitem", "orders")
+    val corpus = Seq("embeddings", "documents", "events", "lineitem", "orders",
+      "part", "supplier", "customer")
     val allow = Map(
       // the declared exact-scoring baseline: broadcasts the whole corpus
       // as the query panel BY DESIGN (Scaladoc: the scale path is
@@ -156,33 +171,89 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // the declared modulo query panel (vec_id % 100 == 0) — the
       // small-side oracle variant; a production caller passes an explicit
       // bounded panel (Scaladoc)
-      "ann_range" -> "declared modulo query panel")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val hinted = fn(spark, sf).queryExecution.analyzed.collect {
-        // only BROADCAST-family hints move data to every executor; a
-        // SHUFFLE_HASH/SHUFFLE_MERGE hint on a corpus side is fine (it
-        // REFUSES the broadcast, e.g. dedup_embedding's block-pair join)
-        case h: ResolvedHint if h.hints.strategy.exists(
-          _.toString.toUpperCase.contains("BROADCAST")) => h.child
-      }
-      val bad = hinted.exists { sub =>
-        val scansCorpus = sub.collect { case l: LogicalRelation => l.relation }.exists {
-          case f: HadoopFsRelation =>
-            corpus.exists(f.location.rootPaths.mkString(",").contains)
-          case _ => false
+      "ann_range" -> "declared modulo query panel",
+      // ---- r15 domain-bounded keyed aggregates (the tightened Aggregate
+      // exemption needs the key-domain argument the guard can't see) ----
+      // per-SOURCE aggregates: |sources| is mixture-config cardinality
+      // (tens of rows at any corpus size — the mixture_weights argument)
+      "doc_repeat_upsample" -> "per-source aggregate, |sources| config-bounded",
+      "doc_token_budget" -> "per-source aggregate, |sources| config-bounded",
+      "mixture_apply" -> "per-source aggregate, |sources| config-bounded",
+      // centroid tables keyed (label, dim): |labels| is a small class
+      // enum x 64 dims — model-artifact-sized at any corpus size
+      "emb_assign" -> "per-(label,dim) centroid table, domain-bounded",
+      "emb_outliers" -> "per-(label,dim) centroid + per-label moment table",
+      // per-EVENT_TYPE aggregates: event_type is a bounded enum (~6
+      // values, generator-declared domain)
+      "q_approx_agg" -> "per-event_type sketch row, enum-bounded",
+      "q_approx_agg_diag" -> "per-event_type sketch row, enum-bounded",
+      "q_changepoint" -> "per-event_type hourly stats, enum-bounded",
+      "q_events_anomaly" -> "per-event_type hourly moments, enum-bounded",
+      "q_segment_overlap" -> "per-event_type audience counts, enum-bounded",
+      // contingency marginals over (priority <=5) x (dow = 7) — attribute
+      // domains, not corpus rows
+      "q_chi2_assoc" -> "priority x dow marginals, domain-bounded",
+      // per-day aggregate: rows = |days|, calendar-bounded (the
+      // q_autocorr argument)
+      "q_crosscorr" -> "per-day aggregate, calendar-bounded",
+      // (quantity <=50) x ($100 price bucket ~1100) grid and its
+      // marginals — the audited price-domain contract (q_data_audit),
+      // same argument as their global-window allowlist entries
+      "q_kendall" -> "bounded (quantity, price-bucket) grid",
+      "q_spearman" -> "bounded (quantity, price-bucket) grid marginals")
+    // at-scale simulation: every Tables.dimHint degrades to no-hint, so
+    // the plans screened here are the 100 TB plans
+    spark.conf.set("spark.graft.dimHint.maxBytes", "0")
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val hinted = fn(spark, sf).queryExecution.analyzed.collect {
+          // only BROADCAST-family hints move data to every executor; a
+          // SHUFFLE_HASH/SHUFFLE_MERGE hint on a corpus side is fine (it
+          // REFUSES the broadcast, e.g. dedup_embedding's block-pair join)
+          case h: ResolvedHint if h.hints.strategy.exists(
+            _.toString.toUpperCase.contains("BROADCAST")) => h.child
         }
-        val bounded = sub.collectFirst {
-          case a: Aggregate => a: Any
-          case d: Deduplicate => d: Any // distinct() pre-optimizer
-          case l: GlobalLimit => l: Any
-          case l: LocalLimit => l: Any
-        }.isDefined
-        scansCorpus && !bounded
+        val bad = hinted.exists { sub =>
+          val scansCorpus = sub.collect { case l: LogicalRelation => l.relation }.exists {
+            case f: HadoopFsRelation =>
+              corpus.exists(f.location.rootPaths.mkString(",").contains)
+            case _ => false
+          }
+          val bounded = sub.collectFirst {
+            // a keyed Aggregate's cardinality is its key DOMAIN — only the
+            // group-less (1-row) shape is bounded at every SF
+            case a: Aggregate if a.groupingExpressions.isEmpty => a: Any
+            case l: GlobalLimit => l: Any
+            case l: LocalLimit => l: Any
+          }.isDefined
+          scansCorpus && !bounded
+        }
+        if (bad && !allow.contains(name)) Some(name) else None
       }
-      if (bad && !allow.contains(name)) Some(name) else None
-    }
-    assert(offenders.isEmpty,
-      s"unbounded corpus-sized broadcast hint in: ${offenders.mkString(", ")}")
+      assert(offenders.isEmpty,
+        s"unbounded corpus-sized broadcast hint in: ${offenders.mkString(", ")}")
+    } finally spark.conf.unset("spark.graft.dimHint.maxBytes")
+  }
+
+  test("dimHint fires under the size bound and degrades to no-hint above it") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hintCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    // sf0.001 part is a few KB — well under the default 256 MB bound
+    assert(hintCount(Tables.dimHint(Tables.part(spark, sf))) == 1)
+    // at-scale simulation: bound 0 means NO relation qualifies
+    spark.conf.set("spark.graft.dimHint.maxBytes", "0")
+    try assert(hintCount(Tables.dimHint(Tables.part(spark, sf))) == 0)
+    finally spark.conf.unset("spark.graft.dimHint.maxBytes")
+    // and the gated join returns identical rows either way (inner equi
+    // join: only the physical strategy moves)
+    val q = Tables.lineitem(spark, sf).filter(col("l_quantity") > 45)
+    val expected = q.join(Tables.part(spark, sf),
+      col("l_partkey") === col("p_partkey")).count()
+    spark.conf.set("spark.graft.dimHint.maxBytes", "0")
+    try assert(q.join(Tables.dimHint(Tables.part(spark, sf)),
+      col("l_partkey") === col("p_partkey")).count() == expected)
+    finally spark.conf.unset("spark.graft.dimHint.maxBytes")
   }
 
   test("salted join returns exactly the plain-join rows") {
