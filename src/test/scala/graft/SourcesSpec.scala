@@ -472,6 +472,85 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"widened cols must cover every file: $perCol")
   }
 
+  test("manifest column coverage is a UNION across updates; shards scale with rows") {
+    // ADVICE r15: an update with a NARROWER column list must keep the rows
+    // of every other already-manifested column — otherwise a later pruned
+    // scan on a previously-manifested column errors 'unmanifested'.
+    val sf001 = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("manifest_union").toFile.getAbsolutePath
+    val orders = Tables.orders(spark, sf001)
+    Sources.writeClustered(orders, s"$root/t", Seq("o_custkey"), 8)
+    val manifest = Files.createTempDirectory("manifest_union_cat").toString + "/m"
+    Sources.writeStatsManifest(spark, s"$root/t", manifest,
+      Seq("o_custkey", "o_orderkey"))
+    // narrower update: only o_custkey requested — o_orderkey rows survive
+    Sources.updateStatsManifest(spark, s"$root/t", manifest, Seq("o_custkey"))
+    val perCol = spark.read.parquet(manifest).groupBy(col("col")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perCol == Map("o_custkey" -> 8L, "o_orderkey" -> 8L),
+      s"narrowing update dropped columns: $perCol")
+    // and pruning on the column OUTSIDE the narrower update still works
+    val expect = spark.read.parquet(s"$root/t")
+      .filter(col("o_orderkey") >= 1L && col("o_orderkey") <= 500L).count()
+    val got = Sources.manifestPrunedScan(spark, s"$root/t", manifest,
+      "o_orderkey", 1L, 500L).count()
+    assert(got == expect, s"pruned=$got full=$expect")
+    // shard layout: with rowsPerShard forced tiny, the manifest writes as
+    // a MULTI-file clustered table (the million-file-table shape), and
+    // every reader above keeps working unchanged
+    spark.conf.set("spark.graft.manifest.rowsPerShard", "4")
+    try {
+      Sources.updateStatsManifest(spark, s"$root/t", manifest,
+        Seq("o_custkey", "o_orderkey"), incremental = false)
+      val shards = new java.io.File(manifest).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(shards >= 4, s"expected >=4 manifest shards, got $shards")
+      val got2 = Sources.manifestPrunedScan(spark, s"$root/t", manifest,
+        "o_orderkey", 1L, 500L).count()
+      assert(got2 == expect, s"sharded manifest pruning broke: $got2 vs $expect")
+    } finally spark.conf.unset("spark.graft.manifest.rowsPerShard")
+  }
+
+  test("manifest planning never collects the pruned-away majority") {
+    // The million-file design point: a manifest carrying 20k file entries
+    // where the predicate keeps ~2. Planning must bring back only the
+    // kept rows (the join filters executor-side), touch zero table files
+    // (graft:// counters), and the scan must stay value-identical. The 20k
+    // synthetic entries stand in for files this table doesn't have — fine
+    // for PLANNING, which only consults the manifest for files that exist.
+    import graft.sources.LatencyFs
+    val sf001 = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("manifest_big").toFile.getAbsolutePath
+    val li = Tables.lineitem(spark, sf001)
+    Sources.writeClustered(li, s"$root/li", Seq("l_orderkey"), 4)
+    val manifest = Files.createTempDirectory("manifest_big_cat").toString + "/m"
+    Sources.writeStatsManifest(spark, s"$root/li", manifest, Seq("l_orderkey"))
+    // graft 20k synthetic non-matching entries into the manifest: distinct
+    // fake paths, min/max ranges far above any real l_orderkey
+    val synth = spark.range(20000).selectExpr(
+      "concat('/nowhere/part-', id, '.parquet') AS file",
+      "'l_orderkey' AS col",
+      "10000000 + id * 10 AS min_val", "10000005 + id * 10 AS max_val",
+      "CAST(0 AS BIGINT) AS null_count", "CAST(100 AS BIGINT) AS num_rows")
+    spark.read.parquet(manifest).unionByName(synth)
+      .write.mode("overwrite").parquet(manifest + "_big")
+    val lo = li.agg(org.apache.spark.sql.functions.min(col("l_orderkey")))
+      .head.getLong(0)
+    LatencyFs.install(spark)
+    LatencyFs.resetCounters()
+    val df = Sources.manifestPrunedScan(spark, s"graft://$root/li",
+      manifest + "_big", "l_orderkey", lo, lo + 100)
+    val (opensPlan, _, _) = LatencyFs.snapshot()
+    // ≤1: DataFrame construction reads ONE kept footer for the schema (a
+    // real catalog stores the schema and pays zero); the pruning decision
+    // itself — 20k manifest entries — cost zero table opens
+    assert(opensPlan <= 1, s"planning opened $opensPlan table files")
+    val got = df.count()
+    val expect = li.filter(col("l_orderkey") >= lo &&
+      col("l_orderkey") <= lo + 100).count()
+    assert(got == expect && got > 0, s"pruned=$got full=$expect")
+  }
+
   test("manifest pruning soundness: unmanifested column errors, stale manifest falls back") {
     // "the manifest proves nothing matches" and "the manifest knows
     // nothing" must not be conflated (ADVICE r13): an unmanifested column
