@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BpeTokenStats, CharNgramHashes, ColumnBridge, CosineSimilarity, DotProduct, GearChunkEnds, HyperplaneBuckets, MinHashSignature, RollingHash, SimHash64, SortedIntersectCount}
+import org.apache.spark.sql.graft.{BpeTokenStats, CharNgramHashes, ColumnBridge, CosineSimilarity, DotProduct, GearChunkEnds, HyperplaneBuckets, IntSquaredL2, MinHashSignature, RollingHash, SimHash64, SortedIntersectCount}
 
 /** Column-API front for graft's native Catalyst expressions. */
 object native {
@@ -31,6 +31,12 @@ object native {
   /** |A ∩ B| of two ascending-sorted `array<long>` columns (codegen). */
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Σ(a−b)² of two `array<bigint>` columns (codegen) — the integer
+    * quantizer's exact squared-L2 routing kernel.
+    */
+  def intSquaredL2(a: Column, b: Column): Column =
+    ColumnBridge.column(IntSquaredL2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Greedy longest-match subword token stats [n_tokens, n_fallback] of a
     * string column over an ASCII vocab (codegen).

@@ -289,7 +289,9 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         native.bpeTokenStats(col("t"), Seq("so", "me", "te", "xt")),
         native.hyperplaneBuckets(col("ea"), Array(0.5, -0.5, 1.0, 0.25), 2, 1),
         native.sortedIntersectCount(
-          expr("array(1L, 2L, 3L)"), expr("array(2L, 3L, 4L)"))).head
+          expr("array(1L, 2L, 3L)"), expr("array(2L, 3L, 4L)")),
+        native.intSquaredL2(
+          expr("array(1L, 2L, 3L)"), expr("array(2L, 4L, 6L)"))).head
       assert(!out.anyNull)
     } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
