@@ -94,6 +94,33 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.4, f"filtered-IVF recall@5 $recall%.3f below floor 0.4")
   }
 
+  test("ann_maxsim_ivf: routed late-interaction holds a recall floor; surviving scores exact") {
+    import spark.implicits._
+    // recall: fraction of the brute-force panel's top-3 docs the routed
+    // path surfaces (per query group, order-insensitive)
+    val exact = similarity.Ann.maxsim(spark, sf)
+      .select($"query_group", $"doc_label").as[(Long, Long)].collect().toSet
+    val routedRows = similarity.Ann.maxsimIvf(spark, sf)
+      .select($"query_group", $"doc_label", $"maxsim")
+      .as[(Long, Long, Double)].collect()
+    val routed = routedRows.map(r => (r._1, r._2)).toSet
+    assert(exact.nonEmpty, "brute-force MaxSim panel must produce rows")
+    val recall = exact.count(routed.contains).toDouble / exact.size
+    info(f"ann_maxsim_ivf recall@3 vs brute-force MaxSim: $recall%.3f")
+    println(f"[recall] ann_maxsim_ivf recall@3 = $recall%.3f")
+    assert(recall >= 0.4, f"routed MaxSim recall@3 $recall%.3f below floor 0.4")
+    // exactness: any doc BOTH paths rank must carry the identical score —
+    // the route changes which docs are scored, never how
+    val exactScores = similarity.Ann.maxsim(spark, sf)
+      .select($"query_group", $"doc_label", $"maxsim")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    routedRows.foreach { case (qg, dl, s) =>
+      exactScores.get((qg, dl)).foreach(es =>
+        assert(es == s, s"score drift for ($qg,$dl): routed=$s exact=$es"))
+    }
+  }
+
   test("ann_filtered_ivf_cached: materializedCells route is result-identical to the rebuild path") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame) =
