@@ -204,7 +204,7 @@ object Dedup {
     * for O(n+m) exact-Jaccard verification (hash Jaccard ≡ shingle Jaccard
     * w.h.p. at 64 bits).
     */
-  private def withMinhash(df: DataFrame): DataFrame =
+  private[graft] def withMinhash(df: DataFrame): DataFrame =
     withShingles(df)
       .withColumn("sig", native.minHashSignature(col("shingles")))
       .withColumn("gh", array_sort(array_distinct(expr("transform(shingles, s -> xxhash64(s))"))))

@@ -91,6 +91,20 @@ object DocStreams {
     * The canonicalization is computed stateless map-side; only the
     * 64-hex key and the doc_id reach the stateful operator, so state and
     * shuffle stay slim no matter how large the documents are.
+    *
+    * KEEPER SEMANTICS (ADVICE r15): the keeper is FIRST-ARRIVAL-WINS —
+    * the first micro-batch containing a key emits that batch's min
+    * doc_id, and the choice is final (Append mode cannot retract). This
+    * equals the BATCH keeper (global min doc_id per key) exactly when
+    * arrivals are doc_id-ordered — an ingest stream with monotone ids,
+    * or a replay sorted by doc_id (what StreamingSpec drives). On an
+    * UNORDERED production stream the kept SET of keys is identical but
+    * the representative doc_id per key may differ from the batch job's;
+    * first-arrival-wins is also `dedup_incremental`'s contract, so the
+    * two incremental paths agree with each other by construction. If
+    * batch-identical representatives on unordered streams are required,
+    * run the batch keeper re-election over the kept set at compaction
+    * time instead of retracting mid-stream.
     */
   def canonicalDedupStream(docs: Dataset[Doc], canonical: Column): Dataset[Kept] = {
     import docs.sparkSession.implicits._
@@ -113,4 +127,84 @@ object DocStreams {
   def bowDedupStream(docs: Dataset[Doc]): Dataset[Kept] =
     canonicalDedupStream(docs,
       sha2(array_join(array_sort(array_distinct(split(col("text"), " "))), " "), 256))
+
+  /** A candidate near-duplicate pair from the banded-LSH stream:
+    * `new_id` arrived strictly after `old_id` (previous micro-batch, or
+    * earlier in the same one) and the two collide on at least one MinHash
+    * band. Candidates, not verdicts — the exact-Jaccard verification joins
+    * the pair ids back to the document store downstream, exactly like the
+    * batch path's verify stage.
+    */
+  case class BandCand(new_id: Long, old_id: Long)
+
+  /** Per-band-bucket membership keeper (round 15 — r14 verdict item 4,
+    * the streaming mirror of `Dedup.incremental`'s banded candidate
+    * generation): one ListState of doc_ids per DISTINCT (band, bandhash)
+    * bucket, bounded at `cap` members. An arriving doc emits a candidate
+    * against every doc already in its bucket, then joins it; state is
+    * O(buckets × min(bucket size, cap)) — each doc contributes exactly
+    * one entry to each of its 16 band buckets, never its text or
+    * signature.
+    *
+    * Saturation (the hot-band cap): once a bucket holds `cap` members it
+    * stops BOTH matching and storing — the streaming analog of
+    * `Dedup.capBuckets` dropping degenerate buckets, except Append mode
+    * cannot retract, so saturation is prefix-censoring (the first `cap`
+    * members' candidates stand) rather than the batch path's retroactive
+    * drop. A bucket that hot is non-discriminative either way.
+    */
+  private class BandKeeper(cap: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Long), BandCand] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var members: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[Long]("members",
+        Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        tv: TimerValues): Iterator[BandCand] = {
+      val stored = scala.collection.mutable.ArrayBuffer.empty[Long]
+      members.get().foreach(stored += _)
+      val out = scala.collection.mutable.ArrayBuffer.empty[BandCand]
+      rows.foreach { case (_, docId) =>
+        // contains-guard: a replayed doc re-pairs and re-stores nothing
+        if (stored.size < cap && !stored.contains(docId)) {
+          stored.foreach(old => out += BandCand(docId, old))
+          stored += docId
+          members.appendValue(docId)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming banded near-dup candidates — the incremental-dedup mirror:
+    * each arriving document pairs against every STRICTLY EARLIER arrival
+    * it shares a MinHash band with (the same 64-permutation signature and
+    * 16×4 banding as `Dedup.minhashLsh` / `Dedup.incremental`, computed
+    * stateless map-side; only the band key and doc_id reach state). With
+    * the corpus streamed first and a new batch after, the cross-side
+    * candidate set equals the batch `incremental` path's band-collision
+    * candidates exactly (StreamingSpec proves batch ≡ stream through the
+    * identical exact-Jaccard verify on the real documents table).
+    *
+    * A pair colliding in several bands emits once per band — downstream
+    * verification deduplicates, exactly as the batch path's `distinct()`
+    * does. Intra-micro-batch arrivals pair in iterator order, so the
+    * stream's contract is a total arrival order, not batch boundaries.
+    */
+  def bandCandidatesStream(docs: Dataset[Doc], cap: Int = 10000): Dataset[BandCand] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    graft.dedup.Dedup.withMinhash(docs.toDF())
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 15),
+          |  b -> concat_ws(':', b, xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3])))""".stripMargin))
+        .as("bkey"))
+      .select(col("bkey"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new BandKeeper(cap),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

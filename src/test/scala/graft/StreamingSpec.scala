@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode, expr, row_number, size}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -740,6 +740,102 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sst + mem > 0L, "RocksDB metrics absent — wrong provider?")
       assert(sst + mem < 32L * 1024 * 1024,
         s"state footprint ${sst + mem} B is not key-bounded (sst=$sst mem=$mem)")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("streaming banded near-dup reproduces batch incremental through the identical verify") {
+    // r14 verdict item 4: the batch family has MinHash/SimHash/incremental
+    // near-dedup; the stream only mirrored exact/BoW. BandKeeper holds one
+    // bounded doc_id list per (band, bandhash) bucket; an arriving doc
+    // emits candidates against every strictly earlier bucket member. With
+    // the REAL sf0.001 documents' corpus side streamed first and the batch
+    // side after, the cross-side candidate pairs fed through the batch
+    // path's exact-Jaccard verify must reproduce Dedup.incremental's
+    // output row-for-row — and state must stay O(band buckets), never
+    // O(arrivals²) or O(text).
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.{BandCand, Doc}
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sf = "/root/testdata/sf0.001"
+    val sideRows = Tables.documents(spark, sf)
+      .select($"doc_id",
+        (graft.functions.Portable.md5Byte0($"doc_id") < 64).as("is_batch"),
+        $"text", $"lang")
+      .as[(Long, Boolean, String, String)].collect().sortBy(_._1)
+    val corpusDocs = sideRows.filter(!_._2).map(d => Doc(d._1, ts(d._1), d._3, d._4))
+    val batchDocs = sideRows.filter(_._2).map(d => Doc(d._1, ts(d._1), d._3, d._4))
+    val batchIds = batchDocs.map(_.doc_id).toSet
+    val corpusIds = corpusDocs.map(_.doc_id).toSet
+    val input = MemoryStream[Doc]
+    val q = DocStreams.bandCandidatesStream(input.toDS())
+      .writeStream.format("memory").queryName("band_cands")
+      .outputMode("append").start()
+    try {
+      // corpus arrives first (two micro-batches — cross-batch state reuse),
+      // then the new batch in one micro-batch, like a daily increment
+      corpusDocs.grouped(math.max(1, corpusDocs.length / 2 + 1)).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      input.addData(batchDocs: _*)
+      q.processAllAvailable()
+      val cands = spark.table("band_cands").as[BandCand].collect()
+      // replay the corpus: the contains-guard must add nothing
+      input.addData(corpusDocs.take(40): _*)
+      q.processAllAvailable()
+      assert(spark.table("band_cands").count() == cands.length,
+        "replayed docs re-emitted candidates")
+      // cross-side candidates through the batch path's EXACT verify
+      val cross = cands.collect {
+        case BandCand(n, o) if batchIds(n) && corpusIds(o) => (n, o)
+      }.distinct.toSeq
+      val docsM = graft.dedup.Dedup.withMinhash(Tables.documents(spark, sf))
+        .select($"doc_id", $"gh")
+      val verified = cross.toDF("batch_id", "corpus_id")
+        .join(docsM.select($"doc_id".as("batch_id"), $"gh".as("gh_a")), "batch_id")
+        .join(docsM.select($"doc_id".as("corpus_id"), $"gh".as("gh_b")), "corpus_id")
+        .withColumn("inter", graft.functions.native.sortedIntersectCount($"gh_a", $"gh_b"))
+        .select($"batch_id", $"corpus_id", ($"inter".cast("double") /
+          (size($"gh_a") + size($"gh_b") - $"inter")).as("jaccard"))
+        .filter($"jaccard" >= 0.8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"batch_id").orderBy($"jaccard".desc, $"corpus_id")
+      val best = verified.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).drop("rn")
+      val got = batchIds.toSeq.toDF("batch_id")
+        .join(best, Seq("batch_id"), "left")
+        .select($"batch_id", $"corpus_id", $"jaccard")
+        .as[(Long, Option[Long], Option[Double])].collect().toSet
+      val want = graft.dedup.Dedup.incremental(spark, sf)
+        .select($"doc_id", $"dup_of", $"jaccard")
+        .as[(Long, Option[Long], Option[Double])].collect().toSet
+      assert(got == want,
+        s"stream+verify (${got.size}) != batch incremental (${want.size})")
+      assert(want.exists(_._2.nonEmpty), "fixture has no near-dups — vacuous test")
+      // state is O(band buckets): every doc contributes exactly one entry
+      // to each of its 16 buckets — never its text, grams, or signature
+      val nDocs = (corpusIds.size + batchIds.size).toLong
+      val nKeys = graft.dedup.Dedup.withMinhash(Tables.documents(spark, sf))
+        .select(explode(expr(
+          """transform(sequence(0, 15),
+            |  b -> concat_ws(':', b, xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3])))""".stripMargin)))
+        .distinct().count()
+      val so = q.recentProgress.flatMap(p => p.stateOperators).lastOption
+        .getOrElse(fail("no stateOperators progress reported"))
+      assert(so.numRowsTotal == nKeys || so.numRowsTotal == 16L * nDocs,
+        s"state rows ${so.numRowsTotal}: not O(buckets) — " +
+          s"buckets=$nKeys, members=${16L * nDocs}")
     } finally {
       q.stop()
       prev match {
