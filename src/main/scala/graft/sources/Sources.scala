@@ -358,6 +358,64 @@ object Sources {
       incremental = false)
   }
 
+  /** Write-path manifest for the STREAMING sink (round 15 — r14 verdict
+    * item 7): the foreachBatch idempotent file sink composed with
+    * incremental manifest emission, so a streamed table is
+    * manifest-prunable without a maintenance pass. Per committed
+    * micro-batch:
+    *
+    *   1. stage the batch's parquet, then move its files into the FLAT
+    *      table root under deterministic names (`b<batchId>-<i>.parquet`)
+    *      — flat because the manifest listing is non-recursive, and
+    *      deterministic so a crash-replay of the same batch deletes and
+    *      rewrites exactly its own files (idempotent, duplicate-free);
+    *   2. emit the batch's manifest rows through [[updateStatsManifest]]
+    *      (incremental): covered files carry over through the join path,
+    *      so the update probes ONLY this batch's footers — O(files
+    *      written), never O(table);
+    *   3. drop a `.b<batchId>.done` marker; a replayed batchId returns
+    *      before any IO.
+    *
+    * Mid-stream soundness falls out of [[manifestPrunedScan]]'s stale
+    * check: a reader racing between step 1 and step 2 sees files the
+    * manifest doesn't know and takes the full-scan fallback (correct,
+    * unpruned); after step 2 it prunes. SourcesSpec measures both with
+    * the graft:// counters.
+    *
+    * Usage: `stream.writeStream.foreachBatch(
+    *   Sources.manifestedStreamSink(base, manifest, Seq("col")) _)`.
+    */
+  def manifestedStreamSink(basePath: String, manifestUri: String,
+      statsCols: Seq[String], filesPerBatch: Int = 2)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(basePath)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val marker = new Path(root, s".b$batchId.done")
+    if (fs.exists(marker)) return // replay of a committed batch: no-op
+    val staging = new Path(root, s".stage_b$batchId")
+    batch.coalesce(filesPerBatch).write.mode("overwrite")
+      .parquet(staging.toString)
+    // a half-committed previous attempt of THIS batch leaves files under
+    // the same deterministic names: clear them, then rename the fresh set
+    fs.listStatus(root)
+      .filter(st => st.isFile && st.getPath.getName.startsWith(s"b$batchId-"))
+      .foreach(st => fs.delete(st.getPath, false))
+    fs.listStatus(staging).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName).zipWithIndex
+      .foreach { case (st, i) =>
+        require(fs.rename(st.getPath, new Path(root, s"b$batchId-$i.parquet")),
+          s"manifestedStreamSink: rename failed for ${st.getPath}")
+      }
+    fs.delete(staging, true)
+    updateStatsManifest(spark, basePath, manifestUri, statsCols)
+    fs.create(marker, true).close()
+  }
+
   /** Manifest-pruned scan: plan the file list from the stats manifest
     * (one small read), open only files whose [min,max] intersects
     * [lower,upper] (files with missing stats stay in — pruning must be

@@ -551,6 +551,60 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect && got > 0, s"pruned=$got full=$expect")
   }
 
+  test("manifested stream sink: O(new files) probes per batch, sound mid-stream, idempotent replay") {
+    import graft.sources.LatencyFs
+    // r14 verdict item 7: the idempotent foreachBatch file sink composed
+    // with write-time manifest emission. Driven as foreachBatch drives it —
+    // direct (batch, batchId) calls — against the graft:// counters.
+    val sf001 = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("sink_manifest").toFile.getAbsolutePath
+    val manifest = Files.createTempDirectory("sink_manifest_cat").toString + "/m"
+    val orders = Tables.orders(spark, sf001)
+    def b(i: Int) = orders.filter(col("o_orderkey") % 3 === i)
+    LatencyFs.install(spark)
+    val base = s"graft://$root/t"
+    val sink = Sources.manifestedStreamSink(base, manifest, Seq("o_custkey")) _
+    sink(b(0), 0L)
+    sink(b(1), 1L)
+    // the third batch must probe ONLY its own files (2 new + schema slack),
+    // never re-probe the table — the O(new files) write-path economics
+    LatencyFs.resetCounters()
+    sink(b(2), 2L)
+    val (opens3, _, _) = LatencyFs.snapshot()
+    assert(opens3 <= 4, s"batch 3 cost $opens3 opens — re-probed the table?")
+    val total = spark.read.parquet(base).count()
+    assert(total == orders.count(), s"sink lost rows: $total")
+    // replayed batchId: no IO, no new rows, manifest untouched
+    LatencyFs.resetCounters()
+    sink(b(2), 2L)
+    assert(LatencyFs.snapshot()._1 == 0, "replayed batch did IO")
+    assert(spark.read.parquet(base).count() == total, "replay duplicated rows")
+    // the streamed table prunes: a selective range opens fewer files than
+    // the 6-file table holds, value-identical to the direct filter
+    val expect = spark.read.parquet(base)
+      .filter(col("o_custkey") >= 1L && col("o_custkey") <= 60L).count()
+    LatencyFs.resetCounters()
+    val got = Sources.manifestPrunedScan(spark, base, manifest,
+      "o_custkey", 1L, 60L).count()
+    val (opensPruned, _, _) = LatencyFs.snapshot()
+    assert(got == expect && got > 0, s"pruned=$got direct=$expect")
+    assert(opensPruned < 6, s"pruning opened all $opensPruned files")
+    // mid-stream race: a file landed (step 1) before its manifest rows
+    // (step 2) — the reader must take the full-scan fallback, not lose rows
+    orders.limit(30).coalesce(1).write.mode("append").parquet(base)
+    val expectStale = spark.read.parquet(base)
+      .filter(col("o_custkey") >= 1L && col("o_custkey") <= 60L).count()
+    val gotStale = Sources.manifestPrunedScan(spark, base, manifest,
+      "o_custkey", 1L, 60L).count()
+    assert(gotStale == expectStale,
+      s"mid-stream reader lost rows: $gotStale vs $expectStale")
+    // once the manifest catches up, pruning resumes over the grown table
+    Sources.updateStatsManifest(spark, base, manifest, Seq("o_custkey"))
+    val gotFresh = Sources.manifestPrunedScan(spark, base, manifest,
+      "o_custkey", 1L, 60L).count()
+    assert(gotFresh == expectStale, s"post-refresh pruning broke: $gotFresh")
+  }
+
   test("manifest pruning soundness: unmanifested column errors, stale manifest falls back") {
     // "the manifest proves nothing matches" and "the manifest knows
     // nothing" must not be conflated (ADVICE r13): an unmanifested column
