@@ -59,7 +59,10 @@ object Graph {
       edgeArtifacts.computeIfAbsent(dir, { _ =>
         java.nio.file.Files.createTempDirectory("graft_edges").toString + "/edges"
       }))
-    if (!edgeArtifactsWritten.containsKey(target)) {
+    // computeIfAbsent, not containsKey-then-put (ADVICE r15): one write
+    // per target; a concurrent caller blocks until it finishes instead of
+    // racing the overwrite
+    edgeArtifactsWritten.computeIfAbsent(target, { _ =>
       // file count = cluster parallelism, floor 8: the artifact's input
       // splits ARE the analyses' scan parallelism, and the r14 2M-vector
       // frontier measured the 8-file layout capping every edge scan at
@@ -68,8 +71,8 @@ object Graph {
       val nFiles = math.max(8, spark.sparkContext.defaultParallelism)
       graft.sources.Sources.writeClustered(
         edges(spark, dir), target, Seq("u", "v"), nFiles = nFiles)
-      edgeArtifactsWritten.put(target, java.lang.Boolean.TRUE)
-    }
+      java.lang.Boolean.TRUE
+    })
     spark.read.parquet(target)
   }
 

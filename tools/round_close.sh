@@ -48,4 +48,41 @@ EOF
 python3 tools/merge_floor.py bench_detail.json "$OUT/detail_close.json" \
   > "$OUT/bench_detail_merged.json"
 mv "$OUT/bench_detail_merged.json" bench_detail.json
+
+# Regression guard (round 15 — r14 verdict item 8): the min-merge can never
+# regress vs the WORKING bench_detail.json, but the r13 incident was the
+# working file itself having been overwritten by a raw capture before close
+# (losing historic floors, recovered post-hoc from git). Compare the merged
+# floor against the last COMMITTED floor: any query whose floor got slower,
+# or that vanished, means the working file was corrupted — fail loudly
+# BEFORE the bad floor is committed.
+python3 - <<'EOF'
+import json, subprocess, sys
+try:
+    committed = json.loads(subprocess.check_output(
+        ["git", "show", "HEAD:bench_detail.json"], text=True))
+except subprocess.CalledProcessError:
+    print("floor guard: no committed bench_detail.json at HEAD (first capture)")
+    sys.exit(0)
+merged = json.load(open("bench_detail.json"))
+def floors(d):
+    q = d.get("queries", d)
+    return {k: (v["sec"] if isinstance(v, dict) and "sec" in v else v)
+            for k, v in q.items() if isinstance(v, (int, float, dict))}
+old, new = floors(committed), floors(merged)
+bad = [k for k in old if k not in new]
+slower = [(k, old[k], new[k]) for k in old if k in new
+          and isinstance(old[k], (int, float)) and isinstance(new[k], (int, float))
+          and new[k] > old[k] + 1e-9]
+if bad or slower:
+    for k in bad:
+        print(f"floor guard: query '{k}' VANISHED from the merged floor")
+    for k, o, n in slower:
+        print(f"floor guard: '{k}' floor regressed {o:.3f} -> {n:.3f}")
+    print("floor guard: the working bench_detail.json was likely overwritten "
+          "by a raw capture — recover the committed floor (git checkout HEAD "
+          "-- bench_detail.json) and re-run the merge")
+    sys.exit(1)
+print(f"floor guard: ok ({len(new)} queries, no regressions vs HEAD)")
+EOF
 echo "floor merged; review git diff bench_detail.json before committing"
