@@ -115,8 +115,11 @@ object Tables {
     * exactly where the builder knows the side is small. `dimHint` keeps
     * that benefit with a ceiling: emit the hint only while the subtree's
     * PLANNED size estimate stays under `spark.graft.dimHint.maxBytes`
-    * (default 256 MB — compressed-scan bytes; even a conservative 4x
-    * in-memory blow-up broadcasts safely on real executors). Above the
+    * (default 64 MB, matching the session's autoBroadcastJoinThreshold —
+    * the estimate is COMPRESSED-scan bytes, and the r15 17 GB frontier
+    * measured a 146 MB zstd part hashing to ~2 GB in memory: a hint
+    * bound should stretch Catalyst's under-estimates for filtered dims,
+    * not quadruple the platform's broadcast ceiling). Above the
     * bound, no hint: the join plans as shuffle and AQE's
     * OptimizeShuffleWithLocalRead / runtime broadcast conversion decides
     * from ACTUAL sizes — which still broadcasts genuinely small sides,
@@ -135,7 +138,7 @@ object Tables {
     */
   def dimHint(df: DataFrame): DataFrame = {
     val maxBytes = BigInt(df.sparkSession.conf
-      .get("spark.graft.dimHint.maxBytes", (256L * 1024 * 1024).toString))
+      .get("spark.graft.dimHint.maxBytes", (64L * 1024 * 1024).toString))
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est <= maxBytes) org.apache.spark.sql.functions.broadcast(df) else df
   }

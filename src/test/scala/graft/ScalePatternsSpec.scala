@@ -239,7 +239,7 @@ class ScalePatternsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     def hintCount(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
-    // sf0.001 part is a few KB — well under the default 256 MB bound
+    // sf0.001 part is a few KB — well under the default 64 MB bound
     assert(hintCount(Tables.dimHint(Tables.part(spark, sf))) == 1)
     // at-scale simulation: bound 0 means NO relation qualifies
     spark.conf.set("spark.graft.dimHint.maxBytes", "0")
