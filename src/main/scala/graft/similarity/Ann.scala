@@ -351,6 +351,26 @@ object Ann {
     val replicas = 2
     val cells = coarseCells(spark, dir, math.max(nProbe, replicas))
       .select(col("vec_id"), col("cell"), col("rn"))
+    maxsimIvfOver(spark, dir, cells, nProbe, replicas)
+  }
+
+  /** [[maxsimIvf]] over the write-once [[materializedCells]] artifact —
+    * the amortized shape the 2M-vector frontier economics point to
+    * (BENCH_NOTES r15 addendum 2: the routed leg is quantizer-build
+    * dominated): the cell assignment is built once per corpus snapshot
+    * and every late-interaction query routes against the parquet cell
+    * table. Result-identical to the rebuild path by construction, so it
+    * shares the SAME DuckDB oracle.
+    */
+  def maxsimIvfCached(spark: SparkSession, dir: String): DataFrame = {
+    val nProbe = 3
+    val replicas = 2
+    val cells = materializedCells(spark, dir, math.max(nProbe, replicas))
+    maxsimIvfOver(spark, dir, cells, nProbe, replicas)
+  }
+
+  private def maxsimIvfOver(spark: SparkSession, dir: String,
+      cells: DataFrame, nProbe: Int, replicas: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
         col("label"))
@@ -2122,7 +2142,8 @@ object Ann {
     "emb_centroids" -> (labelCentroids _),
     "ann_filtered_ivf" -> (filteredTopkIvf _),
     "ann_filtered_ivf_cached" -> (filteredTopkIvfCached _),
-    "ann_maxsim_ivf" -> (maxsimIvf _))
+    "ann_maxsim_ivf" -> (maxsimIvf _),
+    "ann_maxsim_ivf_cached" -> (maxsimIvfCached _))
 
   val oracles: Map[String, String] = Map(
     "ann_rrf" -> rrfHybridSql,
@@ -2150,5 +2171,6 @@ object Ann {
     "emb_centroids" -> labelCentroidsSql,
     "ann_filtered_ivf" -> filteredTopkIvfSql,
     "ann_filtered_ivf_cached" -> filteredTopkIvfSql,
-    "ann_maxsim_ivf" -> maxsimIvfSql)
+    "ann_maxsim_ivf" -> maxsimIvfSql,
+    "ann_maxsim_ivf_cached" -> maxsimIvfSql)
 }

@@ -121,6 +121,16 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ann_maxsim_ivf_cached: materializedCells route is result-identical to the rebuild path") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_group", $"doc_label", $"rank", $"maxsim")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val rebuilt = rows(similarity.Ann.maxsimIvf(spark, sf))
+    val cached = rows(similarity.Ann.maxsimIvfCached(spark, sf))
+    assert(cached == rebuilt, "cached cell artifact changed the routed MaxSim result")
+  }
+
   test("ann_filtered_ivf_cached: materializedCells route is result-identical to the rebuild path") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame) =
