@@ -291,13 +291,53 @@ object Sources {
     val nShards = math.max(1L, (estRows + rowsPerShard - 1) / rowsPerShard).toInt
     val staging = new Path(mPath.getParent,
       s".${mPath.getName}_staging_${java.util.UUID.randomUUID().toString.take(8)}")
-    keptDf.unionByName(probedDf)
+    // distinct: the rewrite doubles as COMPACTION of the streaming sink's
+    // append-only shards, which can hold value-identical duplicate rows
+    // after a crash replay
+    keptDf.unionByName(probedDf).distinct()
       .repartitionByRange(nShards, col("file"))
       .sortWithinPartitions(col("file"), col("col"))
       .write.mode("overwrite").parquet(staging.toString)
     if (mFs.exists(mPath)) mFs.delete(mPath, true)
     require(mFs.rename(staging, mPath),
       s"statsManifest: staging swap failed for $manifestUri")
+  }
+
+  /** APPEND-ONLY manifest shard for a known-new file set (round 15 — the
+    * streaming-sink write path): probe exactly `files` (executor-parallel
+    * footer reads) and append their rows to the manifest as a NEW shard,
+    * touching no existing shard. This is O(batch) in both probes AND
+    * write IO — [[updateStatsManifest]] rewrites the whole manifest
+    * through its staging swap, which is right for maintenance (it also
+    * compacts appended shards and drops deleted files' rows) but is an
+    * O(manifest) write a per-micro-batch sink must not pay. Caller
+    * guarantees `files` are not already manifested; a crash-replay that
+    * re-appends the same batch's rows is harmless — the deterministic
+    * sink file names make the duplicate rows value-identical, and
+    * [[manifestPrunedScan]] deduplicates paths before planning.
+    */
+  private[graft] def appendStatsManifest(spark: SparkSession,
+      files: Seq[String], manifestUri: String, cols: Seq[String]): Unit = {
+    import spark.implicits._
+    require(files.nonEmpty, "appendStatsManifest: empty file list")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val confEntries = {
+      import scala.jdk.CollectionConverters._
+      conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+    }
+    val bc = spark.sparkContext.broadcast(confEntries)
+    val nTasks = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism))
+    val reqCols = cols
+    spark.createDataset(files).repartition(nTasks)
+      .mapPartitions { it =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        bc.value.foreach { case (k, v) => c.set(k, v) }
+        it.flatMap(f => fileStats(c, f, reqCols))
+      }
+      .toDF("file", "col", "min_val", "max_val", "null_count", "num_rows")
+      .coalesce(1)
+      .write.mode("append").parquet(manifestUri)
   }
 
   /** One file's footer stats for the requested columns — the bounded
@@ -369,10 +409,14 @@ object Sources {
     *      — flat because the manifest listing is non-recursive, and
     *      deterministic so a crash-replay of the same batch deletes and
     *      rewrites exactly its own files (idempotent, duplicate-free);
-    *   2. emit the batch's manifest rows through [[updateStatsManifest]]
-    *      (incremental): covered files carry over through the join path,
-    *      so the update probes ONLY this batch's footers — O(files
-    *      written), never O(table);
+    *   2. emit the batch's manifest rows through [[appendStatsManifest]]:
+    *      probe ONLY this batch's footers and append them as a NEW shard
+    *      — O(files written) in probes AND write IO, never O(table)
+    *      (round-15 upgrade: the first cut ran the incremental
+    *      [[updateStatsManifest]], whose staging rewrite is O(manifest)
+    *      per batch; a maintenance [[updateStatsManifest]] pass still
+    *      compacts the accumulated shards whenever the table is
+    *      re-clustered);
     *   3. drop a `.b<batchId>.done` marker; a replayed batchId returns
     *      before any IO.
     *
@@ -412,7 +456,10 @@ object Sources {
           s"manifestedStreamSink: rename failed for ${st.getPath}")
       }
     fs.delete(staging, true)
-    updateStatsManifest(spark, basePath, manifestUri, statsCols)
+    val batchFiles = fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(s"b$batchId-"))
+      .map(_.getPath.toString)
+    appendStatsManifest(spark, batchFiles, manifestUri, statsCols)
     fs.create(marker, true).close()
   }
 
@@ -454,10 +501,14 @@ object Sources {
     // manifest slice, and ONLY files that are kept or unknown come back —
     // the pruned-away majority never reaches the driver. A null keep means
     // the manifest never probed that file (stale).
+    // distinct: an append-only manifest (the streaming sink's shards) may
+    // carry value-identical duplicate rows for a file after a crash
+    // replay — planning must never schedule the same file twice
     val back = tableFiles.map(pathOf).toDF("live_path")
       .join(m, col("live_path") === col("mpath"), "left")
       .filter(col("keep").isNull || col("keep"))
       .select(col("live_path"), col("keep"))
+      .distinct()
       .collect()
     if (back.exists(_.isNullAt(1))) {
       // stale manifest: files exist that the manifest never probed (e.g.

@@ -579,6 +579,23 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     sink(b(2), 2L)
     assert(LatencyFs.snapshot()._1 == 0, "replayed batch did IO")
     assert(spark.read.parquet(base).count() == total, "replay duplicated rows")
+    // the manifest is APPEND-only from the sink: one shard per batch,
+    // never a rewrite of earlier shards (O(batch) write IO)
+    val shardFiles = new java.io.File(manifest).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(shardFiles.size == 3, s"expected 3 shards, got ${shardFiles.size}")
+    // a CRASH replay (marker lost after the manifest append) re-runs the
+    // batch: files rewritten under the same names, value-identical rows
+    // appended again — pruning must stay duplicate-free and sound
+    val rowsBefore = spark.read.parquet(manifest).count()
+    val b2Files = new java.io.File(s"$root/t").listFiles()
+      .count(f => f.getName.startsWith("b2-") && f.getName.endsWith(".parquet"))
+    assert(new java.io.File(s"$root/t/.b2.done").delete(), "marker delete failed")
+    sink(b(2), 2L)
+    assert(spark.read.parquet(base).count() == total, "crash replay duplicated rows")
+    val dupRows = spark.read.parquet(manifest).count()
+    assert(dupRows == rowsBefore + b2Files,
+      s"crash replay should append $b2Files duplicate rows (before=$rowsBefore after=$dupRows)")
     // the streamed table prunes: a selective range opens fewer files than
     // the 6-file table holds, value-identical to the direct filter
     val expect = spark.read.parquet(base)
