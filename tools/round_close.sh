@@ -44,7 +44,16 @@ with open(f"BENCH_r{n:02d}.json", "w") as f:
 print(f"BENCH_r{n}.json written (rc={rc}, parsed={'ok' if parsed else 'null'})")
 EOF
 
-# floor merge: fresh capture min-merged into the committed floor
+# Historic heal (round 15 cont.): the r13/r15 incidents were the working
+# floor file itself being a raw capture (once committed by the DRIVER's
+# verdict commit, which the HEAD-relative guard below cannot see — HEAD is
+# the corruption). Heal from the last 12 committed versions first, so an
+# overwrite anywhere in the recent chain is undone mechanically before the
+# fresh capture is merged in. Rebased queries are exempt by design — see
+# tools/floor_recover.py's header.
+python3 tools/floor_recover.py --write
+
+# floor merge: fresh capture min-merged into the (healed) committed floor
 python3 tools/merge_floor.py bench_detail.json "$OUT/detail_close.json" \
   > "$OUT/bench_detail_merged.json"
 mv "$OUT/bench_detail_merged.json" bench_detail.json
