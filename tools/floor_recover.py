@@ -24,13 +24,16 @@ performance the current code never exhibits. Recent history is era-safe:
 semantics changes inside it are recorded by merge_floor's --rebase flag
 at the time they happen.
 
-Why rebased queries are excluded outright: the "rebased" record is a
+Why LEGACY rebased queries are excluded: the "rebased" record is a
 UNION across time — it marks that a query's algorithm changed at SOME
 point, not when. Within a window that spans a rebase, pre-rebase versions
 still list the query (from an earlier rebase's union), so a min over
 "versions that flag it" can resurrect an intentionally-retired floor.
-Rebases are rare; if an overwrite ever clips a rebased query's floor,
-recover it manually from the rebase commit.
+Queries rebased AFTER merge_floor.py started stamping "rebase_gen" (a
+per-query epoch counter bumped at each --rebase) ARE healed: the pool is
+exactly the in-window versions carrying the query's highest generation,
+i.e. the current epoch. Queries whose rebases all predate the stamp stay
+refused — recover those manually from the rebase commit.
 
 Non-rebased floors are monotone non-increasing under correct operation
 (min-merge only ever lowers them), so within the window, min-over-versions
@@ -78,20 +81,40 @@ def main(argv):
     p50 = dict(working.get("p50", {}))
     stddev = dict(working.get("stddev", {}))
     n_samples = dict(working.get("n_samples", {}))
+    # current rebase epoch per query: the highest generation stamped on any
+    # in-window version (the working file may be a raw capture that lost
+    # its own rebase_gen, so history is the authority)
+    hist_gen = {}
+    for _, v in hist:
+        for q, g in v.get("rebase_gen", {}).items():
+            hist_gen[q] = max(hist_gen.get(q, 0), int(g))
+    for q, g in working.get("rebase_gen", {}).items():
+        hist_gen[q] = max(hist_gen.get(q, 0), int(g))
     fixed, skipped = [], []
     for name, cur in list(queries.items()):
         if not isinstance(cur, (int, float)):
             continue
         pool = [(rev, v) for rev, v in hist
                 if isinstance(v.get("queries", {}).get(name), (int, float))]
+        if name in rebased:
+            if name in hist_gen:
+                # epoch-stamped rebase: only current-generation versions
+                pool = [(rev, v) for rev, v in pool
+                        if v.get("rebase_gen", {}).get(name) == hist_gen[name]]
+            else:
+                pool = []  # legacy undated rebase — refuse below
         if not pool:
+            if name in rebased:
+                lower = [v["queries"][name] for _, v in hist
+                         if isinstance(v.get("queries", {}).get(name),
+                                       (int, float))
+                         and v["queries"][name] < cur - 1e-9]
+                if lower:
+                    skipped.append((name, cur, min(lower)))
             continue
         rev, best = min(pool, key=lambda rv: rv[1]["queries"][name])
         val = best["queries"][name]
         if val < cur - 1e-9:
-            if name in rebased:
-                skipped.append((name, cur, val))
-                continue
             fixed.append((name, cur, val, rev[:7]))
             queries[name] = val
             p50[name] = best.get("p50", {}).get(name, val)
@@ -146,6 +169,8 @@ def main(argv):
                           if isinstance(v, (int, float)))
     if rebased:
         healed["rebased"] = sorted(rebased)
+    if hist_gen:
+        healed["rebase_gen"] = hist_gen  # restore epochs an overwrite lost
     for name, cur, val in sorted(skipped):
         print(f"floor_recover: '{name}' has a lower value in-window "
               f"({val:.3f} < {cur:.3f}) but is REBASED — left alone "

@@ -112,6 +112,20 @@ def main(argv):
     recorded = {n for c in caps for n in c.get("rebased", [])} | rebase
     if recorded:
         base["rebased"] = sorted(recorded)
+    # "rebase_gen" DATES each rebase: a per-query epoch counter, bumped
+    # every time --rebase names the query, max-merged across inputs. The
+    # plain "rebased" union says a floor was retired at SOME point, which
+    # forces tools/floor_recover.py to refuse healing those queries after
+    # an overwrite (it cannot tell pre- from post-rebase history); the
+    # generation stamp lets it pool exactly the current-epoch versions.
+    gens = {}
+    for c in caps:
+        for q, g in c.get("rebase_gen", {}).items():
+            gens[q] = max(gens.get(q, 0), int(g))
+    for q in rebase:
+        gens[q] = gens.get(q, 0) + 1
+    if gens:
+        base["rebase_gen"] = gens
     # compact separators: Bench.committedMins regex-parses '"queries":{...}'
     json.dump(base, sys.stdout, separators=(",", ":"))
     print()
