@@ -116,6 +116,69 @@ object DocStreams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Re-electing min-keeper for UNORDERED streams (ADVICE r15's second
+    * branch, complementing the ordered-arrival contract documented on
+    * [[canonicalDedupStream]]): the state per key is still one Long (the
+    * best keeper so far), but an arrival SMALLER than it re-elects —
+    * emits the new keeper in Update mode — so the LATEST emission per key
+    * (equivalently the min across emissions, since re-elections are
+    * strictly decreasing) equals the BATCH keeper (global min doc_id per
+    * key) on ANY arrival order, once the stream has drained. Emission
+    * count per key = 1 + number of strict improvements: doc_id-ordered
+    * input degenerates to exactly [[FirstKeeper]]'s one-per-key output,
+    * and even fully reversed input emits at most O(arrivals) updates —
+    * there is no retraction, consumers keep last-write-wins per key (the
+    * natural shape for a keyed store / compacted log sink).
+    */
+  private class MinKeeper
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Long), Kept] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var keeper: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      keeper = getHandle.getValueState[Long]("keeper",
+        Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        tv: TimerValues): Iterator[Kept] = {
+      var m = Long.MaxValue
+      rows.foreach(r => if (r._2 < m) m = r._2)
+      if (keeper.exists() && keeper.get() <= m) Iterator.empty
+      else {
+        keeper.update(m)
+        Iterator.single(Kept(m, key))
+      }
+    }
+  }
+
+  /** [[canonicalDedupStream]]'s unordered-safe twin: same slim
+    * (key, doc_id) state and shuffle, Update output, last emission per
+    * key = the batch keeper regardless of arrival order.
+    */
+  def canonicalDedupStreamUnordered(docs: Dataset[Doc], canonical: Column): Dataset[Kept] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    docs.select(canonical.cast("string").as("key_sha"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new MinKeeper,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming twin of `Dedup.exact` for unordered arrivals: keyed on
+    * sha2(text), batch-identical keepers under last-write-wins.
+    */
+  def exactDedupStreamUnordered(docs: Dataset[Doc]): Dataset[Kept] =
+    canonicalDedupStreamUnordered(docs, sha2(col("text"), 256))
+
+  /** Streaming twin of `Dedup.bow` for unordered arrivals: keyed on the
+    * sorted-distinct-token canonical hash (the canonicalization under
+    * which the test corpus actually HAS multi-member groups, so the
+    * re-election path is exercised against real merges).
+    */
+  def bowDedupStreamUnordered(docs: Dataset[Doc]): Dataset[Kept] =
+    canonicalDedupStreamUnordered(docs,
+      sha2(array_join(array_sort(array_distinct(split(col("text"), " "))), " "), 256))
+
   /** Streaming twin of `Dedup.exactHash`: keyed on sha2(text). */
   def exactDedupStream(docs: Dataset[Doc]): Dataset[Kept] =
     canonicalDedupStream(docs, sha2(col("text"), 256))

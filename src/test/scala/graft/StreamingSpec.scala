@@ -896,4 +896,93 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("unordered-stream min-keeper converges to the batch keepers exactly") {
+    // ADVICE r15's second branch: FirstKeeper's batch-equivalence needs
+    // doc_id-ordered arrivals (documented contract); MinKeeper re-elects
+    // in Update mode, so the last emission per key equals the batch keeper
+    // on ANY order. Drive the WORST case — every dup group's NON-min
+    // members stream first, the group minima only at the end (the real
+    // corpus's dup ids are adjacent, so a plain reversed feed never splits
+    // a group across micro-batches: measured zero re-elections) — and
+    // require the emission multiset to match a per-key replay of the
+    // re-election rule exactly, the converged keepers to equal
+    // Dedup.exact's, state to stay O(keys), and a replay of already-seen
+    // (necessarily not-smaller) docs to add nothing.
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sf = "/root/testdata/sf0.001"
+    // key on the BoW canonicalization: the corpus has NO byte-exact dups
+    // (25 BoW groups), so exact keying would leave re-election untested
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    def keyOf(text: String): String =
+      sha.digest(text.split(" ").distinct.sorted.mkString(" ")
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val raw = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"lang").as[(Long, String, String)]
+      .collect()
+      .map(d => Doc(d._1, ts(d._1), d._2, d._3))
+    val minIds = raw.groupBy(d => keyOf(d.text))
+      .values.map(_.map(_.doc_id).min).toSet
+    val dups = raw.filter(d => !minIds(d.doc_id)).sortBy(-_.doc_id)
+    assert(dups.nonEmpty, "corpus has no duplicate groups to re-elect")
+    val docs = dups ++ raw.filter(d => minIds(d.doc_id)).sortBy(-_.doc_id)
+    val batchKeepers = graft.dedup.Dedup.bow(spark, sf)
+      .select($"keeper_id", $"bow_hash").as[(Long, String)].collect().toSet
+    val chunks = docs.grouped(120).toSeq
+    // expected emissions: replay the rule — per key, a chunk whose min
+    // doc_id beats the running keeper emits that min
+    val running = scala.collection.mutable.Map.empty[String, Long]
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    chunks.foreach { chunk =>
+      chunk.groupBy(d => keyOf(d.text)).foreach { case (k, ds) =>
+        val m = ds.map(_.doc_id).min
+        if (running.get(k).forall(m < _)) {
+          running(k) = m
+          expected += ((m, k))
+        }
+      }
+    }
+    val input = MemoryStream[Doc]
+    val q = DocStreams.bowDedupStreamUnordered(input.toDS())
+      .writeStream.format("memory").queryName("min_keepers")
+      .outputMode("update").start()
+    try {
+      chunks.foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("min_keepers")
+        .select($"doc_id", $"key_sha").as[(Long, String)].collect()
+      assert(got.sorted.toSeq == expected.sorted.toSeq,
+        s"emissions (${got.length}) != the re-election replay (${expected.length})")
+      assert(got.length > batchKeepers.size,
+        "descending feed never re-elected — the update path went unexercised")
+      // converged keepers: min emission per key == the batch keeper
+      val converged = got.groupBy(_._2).map { case (k, es) => (es.map(_._1).min, k) }.toSet
+      assert(converged == batchKeepers,
+        s"converged keepers (${converged.size}) != batch keepers (${batchKeepers.size})")
+      // replayed docs can never beat an existing keeper: nothing new
+      input.addData(docs.take(120): _*)
+      q.processAllAvailable()
+      assert(spark.table("min_keepers").count() == got.length,
+        "a replayed (not-smaller) doc re-elected")
+      val so = q.recentProgress.flatMap(p => p.stateOperators).lastOption
+        .getOrElse(fail("no stateOperators progress reported"))
+      assert(so.numRowsTotal == batchKeepers.size,
+        s"state rows ${so.numRowsTotal} != distinct keys ${batchKeepers.size}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
