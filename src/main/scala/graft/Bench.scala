@@ -358,7 +358,66 @@ object Bench {
         case Some(v) => spark.conf.set(providerKey, v)
         case None => spark.conf.unset(providerKey)
       }
+    // document-keeper legs (round 15): the streaming dedup mirrors over
+    // the REAL documents table — FirstKeeper (append, ordered contract)
+    // and MinKeeper (update, re-electing) through the same RocksDB
+    // provider. The corpus is small (5k docs at sf0.1) so these measure
+    // the per-key state path + micro-batch overhead, not bulk scan; fed
+    // doc_id-DESCENDING so MinKeeper pays its worst-case re-elections.
+    val docRows =
+      try Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .as[(Long, String, String)].collect().sortBy(-_._1)
+        .map(d => graft.streaming.DocStreams.Doc(
+          d._1, new java.sql.Timestamp(86400000L + d._1), d._2, d._3))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] doc stream input FAILED: ${e.getMessage}")
+        Array.empty[graft.streaming.DocStreams.Doc]
+      }
+    def runDocs(outMode: String)(mk: org.apache.spark.sql.Dataset[graft.streaming.DocStreams.Doc] =>
+        org.apache.spark.sql.Dataset[_]): Double = {
+      if (docRows.isEmpty) return -1.0
+      try {
+        val ms = MemoryStream[graft.streaming.DocStreams.Doc]
+        val q = mk(ms.toDS()).writeStream.format("noop").outputMode(outMode).start()
+        val t0 = System.nanoTime()
+        docRows.grouped(docRows.length / StreamChunks + 1).foreach(ch => ms.addData(ch))
+        q.processAllAvailable()
+        val t = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        t
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] doc stream FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        -1.0
+      }
+    }
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def warmDocs(outMode: String)(mk: org.apache.spark.sql.Dataset[graft.streaming.DocStreams.Doc] =>
+        org.apache.spark.sql.Dataset[_]): Unit = {
+      if (docRows.isEmpty) return
+      try {
+        val ms = MemoryStream[graft.streaming.DocStreams.Doc]
+        val q = mk(ms.toDS()).writeStream.format("noop").outputMode(outMode).start()
+        ms.addData(docRows.take(500))
+        q.processAllAvailable()
+        q.stop()
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] doc stream warm-up FAILED: ${e.getMessage}")
+      }
+    }
+    val (keeperT, minKeeperT) =
+      try {
+        warmDocs("append")(ds => graft.streaming.DocStreams.bowDedupStream(ds))
+        warmDocs("update")(ds => graft.streaming.DocStreams.bowDedupStreamUnordered(ds))
+        (runDocs("append")(ds => graft.streaming.DocStreams.bowDedupStream(ds)),
+         runDocs("update")(ds => graft.streaming.DocStreams.bowDedupStreamUnordered(ds)))
+      } finally prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
     def rps(t: Double): String = if (t <= 0) "-1" else f"${rows.length / t}%.0f"
+    def drps(t: Double): String = if (t <= 0) "-1" else f"${docRows.length / t}%.0f"
     jmap(Seq(
       "rows" -> rows.length.toString,
       "sessionize_rows_per_sec" -> rps(sessT),
@@ -368,7 +427,10 @@ object Bench {
       "tws_burst_rows_per_sec" -> rps(burstT),
       "tws_milestone_rows_per_sec" -> rps(milestoneT),
       "tws_dormancy_rows_per_sec" -> rps(dormancyT),
-      "tws_errctx_rows_per_sec" -> rps(errctxT)))
+      "tws_errctx_rows_per_sec" -> rps(errctxT),
+      "doc_rows" -> docRows.length.toString,
+      "tws_dockeeper_rows_per_sec" -> drps(keeperT),
+      "tws_minkeeper_rows_per_sec" -> drps(minKeeperT)))
   }
 
   /** Graph analytics over the write-once edge artifact (round-9 verdict
@@ -453,6 +515,26 @@ object Bench {
           System.err.println(s"[bench] detail write FAILED: $e")
         }
       }
+      println(line)
+      Console.out.flush()
+      spark.stop()
+      return
+    }
+
+    // SPARK_GRAFT_BENCH_STREAMING_ONLY=1 runs ONLY the streaming section
+    // and exits — for validating a new streaming leg without the
+    // 254-query timed pass. Like graph-only mode, it never clobbers the
+    // committed floor file.
+    if (sys.env.contains("SPARK_GRAFT_BENCH_STREAMING_ONLY")) {
+      val stOnly =
+        try streamingBench(spark, sfDir)
+        catch { case scala.util.control.NonFatal(e) =>
+          jmap(Seq("error" -> jstr(String.valueOf(e.getMessage).take(160))))
+        }
+      val line = jmap(Seq(
+        "metric" -> jstr("streaming_only"),
+        "streaming" -> stOnly,
+        "sf" -> jstr(sfDir), "cpus" -> cpus))
       println(line)
       Console.out.flush()
       spark.stop()
