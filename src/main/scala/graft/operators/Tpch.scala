@@ -420,26 +420,27 @@ object Tpch {
     * q < 0.2·(sum/cnt) ⇔ 5·q·cnt < sum, so the filter is engine-exact
     * and only the terminal cents-sum ÷ 7 touches IEEE.
     *
-    * Scale shape: part is a size-gated dim (filtered BEFORE the join on
-    * both legs, so the per-part aggregate shuffles 1/|brands| of the
-    * fact — the q2 r11 lesson); the stats aggregate is map-side combined
-    * on l_partkey and the stats table it produces is part-sized — both
-    * sides go through [[Tables.dimHint]] (r15): part and the stats are
-    * SF-proportional, so the hint fires only under the size bound and
-    * AQE's runtime conversion owns the strategy above it. No global
-    * exchange either way: the stats join shares l_partkey partitioning
-    * with the aggregate that produced it.
+    * Scale shape (r15): part is a size-gated dim (filtered BEFORE the
+    * join, so only 1/|brands| of the fact survives — the q2 r11 lesson),
+    * and the per-part stats are computed by a WINDOW over l_partkey on
+    * the brand-filtered lines instead of an aggregate-and-join-back —
+    * the join-back form scanned the 600M-row lineitem TWICE (the two
+    * legs' filters differ post-pushdown, so exchange reuse never fires);
+    * the window form scans it ONCE and shuffles only the brand-filtered
+    * sliver for the per-part sort. The window is key-partitioned
+    * (thousands of parts per brand — no single-partition funnel).
     */
   def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val brandParts = Tables.part(spark, dir)
       .filter(col("p_brand") === "Brand#3" && col("p_size") <= 10)
       .select(col("p_partkey"))
-    val li = Tables.lineitem(spark, dir)
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, dir)
       .join(Tables.dimHint(brandParts), col("l_partkey") === col("p_partkey"))
-    val stats = li.groupBy(col("l_partkey"))
-      .agg(sum(col("l_quantity").cast("long")).as("sum_q"),
-        count(lit(1)).as("cnt_q"))
-    li.join(Tables.dimHint(stats), Seq("l_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .withColumn("sum_q", sum(col("l_quantity").cast("long")).over(w))
+      .withColumn("cnt_q", count(lit(1)).over(w))
       .filter(lit(5L) * col("l_quantity").cast("long") * col("cnt_q") < col("sum_q"))
       .agg((centsSum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
   }

@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+import graft.{GraftSession, SparkEntry}
+
+/** Dev-loop profiler: run one query, print per-stage wall/task metrics so a
+  * slow toy-SF capture can be attributed to a stage rather than guessed at.
+  *
+  *   sbt "runMain graft.tools.ProfQ21 q21_waiting_suppliers /root/testdata/sf0.1"
+  */
+object ProfQ21 {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.tune(
+        SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    @volatile var lines = List.empty[String]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
+        lines ::= f"stage ${i.stageId}%3d tasks=${i.numTasks}%4d wall=$wall%6.2fs  ${i.name.split('\n').head.take(90)}"
+      }
+    })
+    // warm run then measured run, per-stage print for the measured one
+    SparkEntry.queries(name)(spark, sfDir).count()
+    graft.Checkpoints.releaseAll()
+    lines = Nil
+    val t0 = System.nanoTime()
+    val n = SparkEntry.queries(name)(spark, sfDir).count()
+    println(f"total ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+    Thread.sleep(500)
+    lines.reverse.foreach(println)
+    spark.stop()
+  }
+}

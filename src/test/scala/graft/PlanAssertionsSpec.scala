@@ -67,16 +67,42 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q21: EXISTS/NOT EXISTS decorrelate to semi/anti joins — no per-row re-scan") {
-    // the chained-subquery shape must plan as hash semi/anti joins on
-    // l_orderkey (three bounded scans of lineitem total), never a
-    // nested-loop per-row re-scan; the anti side's returned-lines filter
-    // prunes at its scan
+  test("q21: EXISTS/NOT EXISTS chain folds to ONE lineitem scan — no self-joins") {
+    // the chained-subquery semantics are carried by the two-level
+    // per-order aggregate, so lineitem must be scanned exactly once
+    // (the self-join form scanned it three times); finished-order
+    // filtering stays a semi join at ORDER granularity (post-aggregate,
+    // one row per order), and nothing nested-loops
     val p = planOf("q21_waiting_suppliers")
-    assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
-    assert(p.contains("LeftAnti"), s"NOT EXISTS must become an anti join:\n$p")
-    assert("EqualTo\\(l_returnflag,R\\)".r.findAllIn(p).size >= 2,
-      "returned-lines filter must reach both l1 and l3 scans")
+    // AQE's plan string appends an "== Initial Plan ==" twin — count
+    // scans in the final section only
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val lineitemScans = finalPlan.split("\n").count(l =>
+      l.contains("FileScan") && l.contains("lineitem"))
+    assert(lineitemScans == 1,
+      s"lineitem must be scanned once, saw $lineitemScans scans:\n$p")
+    assert(p.contains("LeftSemi"), s"finished-order filter must stay a semi join:\n$p")
+    assert(!p.contains("LeftAnti"), s"the anti self-join must be gone:\n$p")
+    assert(!p.contains("Expand"), s"no countDistinct Expand in the aggregate:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "two-level per-order aggregation expected")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q17: correlated AVG folds to a key-partitioned window — one lineitem scan") {
+    // the aggregate-and-join-back form scanned lineitem twice; the
+    // window form must show exactly one scan, and the window must be
+    // PARTITIONED on l_partkey (a global window would funnel the fact
+    // through one task)
+    val p = planOf("q17_small_qty_revenue")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val lineitemScans = finalPlan.split("\n").count(l =>
+      l.contains("FileScan") && l.contains("lineitem"))
+    assert(lineitemScans == 1,
+      s"lineitem must be scanned once, saw $lineitemScans scans:\n$p")
+    assert(p.contains("Window") && p.contains("partitionBy" ) ||
+      "Window \\[.*windowspecdefinition\\(l_partkey".r.findFirstIn(p).isDefined,
+      s"window must partition on l_partkey:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
