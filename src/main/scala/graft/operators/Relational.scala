@@ -474,25 +474,21 @@ object Relational {
     * itself a full-fact AGGREGATE (group-by l_orderkey, filter on the
     * sum), so the planner must evaluate the aggregate once, not per row.
     *
-    * Scale shape: the qualifying-orders aggregate is map-side-combined
-    * on l_orderkey, and its post-HAVING output (big-order keys — a
-    * sliver) is the semi-join build side; the outer
-    * customer⋈orders⋈lineitem star then shuffles on the usual keys with
-    * the final sum re-aggregated per order. TakeOrdered caps the output.
+    * Scale shape (r15): ONE lineitem scan. The HAVING aggregate IS the
+    * output quantity — the old semi-join form threw it away and re-joined
+    * the full fact to re-sum it (two lineitem scans); here the per-order
+    * aggregate is computed once, map-side-combined on l_orderkey, its
+    * post-HAVING sliver drives the orders join (AQE broadcasts it), and
+    * customer attaches on custkey. TakeOrdered caps the output.
     */
   def q18LargeVolume(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-    val big = l.groupBy(col("l_orderkey"))
-      .agg(sum(col("l_quantity")).as("sq"))
-      .filter(col("sq") > 300)
-      .select(col("l_orderkey").as("o_orderkey"))
-    val o = Tables.orders(spark, dir).join(big, Seq("o_orderkey"), "left_semi")
-    Tables.customer(spark, dir)
-      .join(o, col("c_custkey") === col("o_custkey"))
-      .join(l, col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-        col("o_orderdate"), col("o_totalprice"))
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    Tables.orders(spark, dir)
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("o_totalprice").as("total_price"), col("total_qty"))
@@ -530,9 +526,14 @@ object Relational {
     * CAST chain in DuckDB — the Portable discipline).
     */
   def q22SalesOpportunity(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
+    // r15: the average's acctbal>0 pre-filter makes its scan subtree
+    // differ from the main branch's, so exchange reuse can never dedupe
+    // them — materialize the country-code sliver once (3 columns, ~half
+    // of customer) and feed both consumers from the blocks.
+    val c = graft.Checkpoints.cut(Tables.customer(spark, dir)
       .withColumn("cntrycode", col("c_nationkey") % 10)
       .filter(col("cntrycode").isin(1, 2, 3, 4, 5))
+      .select(col("c_custkey"), col("cntrycode"), col("c_acctbal")))
     val avgBal = c.filter(col("c_acctbal") > 0)
       .agg(centsAvg(col("c_acctbal")).as("ab"))
     c.crossJoin(broadcast(avgBal))
@@ -570,14 +571,20 @@ object Relational {
     * nothing shuffles twice.
     */
   def q11ImportantShare(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-    def rev(c: Column): Column = centsSum(c)
-    val byPart = l.groupBy(col("l_partkey"))
-      .agg(rev(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("value"))
-    val total = l.agg(
-      (rev(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 1000.0)
-        .as("threshold"))
-    byPart.crossJoin(broadcast(total))
+    // ONE lineitem scan (r15): keep the per-part revenue in exact CENTS
+    // (bigint) and derive the global threshold by summing those cents —
+    // integer addition is associative, so the part-level re-sum equals
+    // the direct global sum bit-for-bit, and the double conversion
+    // mirrors the oracle's CAST(..)/100/1000 shape exactly. The old form
+    // aggregated lineitem twice (the global total re-scanned the fact).
+    val byPartC = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("value_c"))
+    val total = byPartC.agg(
+      (sum(col("value_c")).cast("double") / 100.0 / 1000.0).as("threshold"))
+    byPartC.crossJoin(broadcast(total))
+      .withColumn("value", col("value_c").cast("double") / 100.0)
       .filter(col("value") > col("threshold"))
       .select(col("l_partkey"), col("value"))
       .orderBy(col("value").desc, col("l_partkey"))

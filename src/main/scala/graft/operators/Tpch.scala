@@ -39,11 +39,16 @@ object Tpch {
     * like the stock query.
     *
     * Scale shape: the catalog aggregate is map-side-combined on
-    * (partkey, suppkey); the min-per-part re-aggregate reuses the same
-    * hash partitioning (key prefix); region/nation/part are broadcast
-    * dims. Nothing re-scans per row.
+    * (partkey, suppkey); the per-part min is a key-partitioned WINDOW
+    * over that aggregate (r15 — the aggregate-and-join-back form
+    * re-planned the catalog subtree, scanning part and supplier twice);
+    * region/nation/part are broadcast dims. The STANDARD-part semi
+    * filter below the aggregate already restricts l_partkey, so no
+    * second part join is needed for the output key. Nothing re-scans
+    * per row.
     */
   def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val euro = Tables.nation(spark, dir)
       .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
@@ -53,21 +58,20 @@ object Tpch {
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
     val p = Tables.part(spark, dir).filter(col("p_type") === "STANDARD")
     // r11: the part restriction goes BELOW the catalog aggregate — the
-    // correlated min (minc) only matters for STANDARD parts, so the
+    // correlated min (min_c) only matters for STANDARD parts, so the
     // (partkey, suppkey) catalog shuffle carries 1/|types| of the fact
-    // instead of all of it. Identical results: minc is per-part over the
-    // euro catalog, and non-STANDARD parts never survive the final join.
-    val ps = Tables.lineitem(spark, dir)
+    // instead of all of it. The euro-supplier join also sits below the
+    // window: the stock min is over suppliers in the region only.
+    Tables.lineitem(spark, dir)
       .join(Tables.dimHint(p.select(col("p_partkey").as("std_partkey"))),
         col("l_partkey") === col("std_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(cents(col("l_extendedprice") / col("l_quantity"))).as("cost_c"))
       .join(Tables.dimHint(s), col("l_suppkey") === col("s_suppkey"))
-    val minc = ps.groupBy(col("l_partkey").as("mp_partkey"))
-      .agg(min(col("cost_c")).as("min_c"))
-    ps.join(minc, col("l_partkey") === col("mp_partkey") && col("cost_c") === col("min_c"))
-      .join(Tables.dimHint(p), col("l_partkey") === col("p_partkey"))
-      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+      .withColumn("min_c", min(col("cost_c")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("cost_c") === col("min_c"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"),
         (col("cost_c").cast("double") / 100.0).as("supplycost"))
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
       .limit(100)
@@ -330,12 +334,22 @@ object Tpch {
     * tied witnesses — the reason it is not a TopK/limit plan. Revenue stays
     * in exact cents through the equality test; the 1-row max is the
     * sanctioned broadcast-scalar pattern (same as q11/q22).
+    *
+    * Scale shape (r15): the revenue view feeds BOTH the max subquery and
+    * the equality probe; without intervention each consumer re-planned
+    * the lineitem scan+aggregate (exchange reuse does not fire across
+    * the broadcast-scalar boundary — measured two fact scans in the
+    * final plan). The view is supplier-granular — tiny next to the fact —
+    * so it is materialized ONCE through [[graft.Checkpoints.cut]]
+    * (local blocks here, reliable checkpoint under
+    * `graft.checkpoint.reliable` on a real cluster) and both consumers
+    * read the blocks: one fact scan total.
     */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.lineitem(spark, dir)
+    val rev = graft.Checkpoints.cut(Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
       .groupBy(col("l_suppkey"))
-      .agg(sum(cents(volume)).as("rev_c"))
+      .agg(sum(cents(volume)).as("rev_c")))
     val maxRev = rev.agg(max(col("rev_c")).as("max_c"))
     rev.crossJoin(broadcast(maxRev))
       .filter(col("rev_c") === col("max_c"))
@@ -465,21 +479,25 @@ object Tpch {
     * the association, a supplier qualifies when its 1997 shipped quantity
     * of a 'small%' part exceeds 20% of that part's 1997 total across all
     * suppliers (5·ps_qty > p_qty — exact integer-valued doubles, no
-    * division). Two aggregates at different granularities join on the
-    * shared prefix key, then the qualifying supplier set semi-joins back
-    * up to supplier — nothing re-scans per row.
+    * division).
+    *
+    * Scale shape (r15): ONE lineitem scan. The part-level total is a
+    * key-partitioned WINDOW over the (part, supplier) aggregate instead
+    * of a second aggregate joined back (the join-back form re-planned
+    * the fact scan under each consumer); the window's input is already
+    * the map-side-combined per-pair frame, partitioned on l_partkey —
+    * thousands of parts, no funnel. The qualifying supplier set then
+    * semi-joins up to supplier.
     */
   def q20PromotionSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val l97 = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
       .join(Tables.dimHint(Tables.part(spark, dir).filter(col("p_name").like("small%"))),
         col("l_partkey") === col("p_partkey"), "left_semi")
-    val perPS = l97.groupBy(col("l_partkey"), col("l_suppkey"))
+    val dominant = l97.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("ps_qty"))
-    val perP = perPS.groupBy(col("l_partkey").as("pp_partkey"))
-      .agg(sum(col("ps_qty")).as("p_qty"))
-    val dominant = perPS
-      .join(perP, col("l_partkey") === col("pp_partkey"))
+      .withColumn("p_qty", sum(col("ps_qty")).over(Window.partitionBy(col("l_partkey"))))
       .filter(col("ps_qty") * 5 > col("p_qty"))
       .select(col("l_suppkey").as("s_suppkey"))
     Tables.supplier(spark, dir)
