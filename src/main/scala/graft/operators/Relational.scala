@@ -394,55 +394,48 @@ object Relational {
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
   /** TPC-H Q21 shape — suppliers who kept waiting: the chained
-    * EXISTS / NOT EXISTS self-join pattern on the fact table, rewritten
-    * as ONE scan of lineitem with a two-level per-order aggregate
-    * instead of the textbook pair of semi/anti self-joins. The trimmed
-    * schema has no commitdate/receiptdate, so "late" is
-    * l_returnflag = 'R' — the chain shape is identical. Per order:
-    * EXISTS another supplier ⇔ the order has ≥2 distinct suppliers;
-    * NOT EXISTS another late supplier ⇔ exactly 1 distinct supplier has
-    * a returned line — and then every returned line in the order belongs
-    * to that one supplier, so its numwait contribution is the order's
-    * returned-line count. This reproduces the row-level EXISTS chain
-    * exactly (each qualifying l1 ROW counts once, including multiple
-    * returned lines by the same supplier in one order).
+    * EXISTS / NOT EXISTS self-join pattern on the fact table, expressed
+    * Spark-first as LEFT SEMI then LEFT ANTI joins of lineitem against
+    * itself (Catalyst's own decorrelation target for the subqueries — no
+    * per-row re-scan anywhere). A supplier's returned ('R') line on a
+    * finished ('F') order counts only when ANOTHER supplier participated
+    * in the order (semi join) and NO other supplier's line was also
+    * returned (anti join). The trimmed schema has no
+    * commitdate/receiptdate, so "late" is l_returnflag = 'R' — the
+    * chain shape is identical.
     *
-    * Scale shape: the self-join form scans lineitem THREE times and
-    * shuffles all three (the filters/projections differ, so exchange
-    * reuse never fires — measured 130 s at the 17 GB K=1000 corpus).
-    * This form scans it ONCE: a map-side-combined (orderkey, suppkey)
-    * aggregate, then a per-order roll-up whose input is already
-    * near-distinct pairs, then a semi join against finished orders on
-    * the same key and a broadcast dim join for the nation's suppliers.
-    * countDistinct is avoided deliberately — two distinct aggregates
-    * would Expand the shuffle 3×; the two-level groupBy ships each pair
-    * once.
+    * Scale shape — kept on MEASURED evidence (r15): a single-scan
+    * rewrite (two-level per-order aggregate carrying the EXISTS chain's
+    * semantics) was built, oracle-proven, and timed at the 17 GB K=1000
+    * corpus: 242 s vs 72 s for this form, solo fresh-JVM runs
+    * (graft.tools.TpchVariants keeps the rewrite for re-testing).
+    * "Fewer scans" lost because the scans here are column-pruned
+    * streaming reads (3 of ~4.5 GB effective) while the rewrite funnels
+    * all 600M lines through two hash aggregates that overflow to
+    * sort-based spill, plus an AQE runtime broadcast of 75M finished-
+    * order keys built in one 43 s task. The self-joins instead sort-
+    * merge-stream on l_orderkey with two of the three sides pre-filtered
+    * to returned lines (~25%), and supplier/nation broadcast as dims.
     */
   def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
-    val perSupp = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_suppkey"),
-        when(col("l_returnflag") === "R", 1).as("r"))
-      .groupBy(col("l_orderkey"), col("l_suppkey"))
-      .agg(count(col("r")).as("supp_late_lines"))
-    val perOrder = perSupp
-      .groupBy(col("l_orderkey"))
-      .agg(
-        count(lit(1)).as("n_supp"),
-        count(when(col("supp_late_lines") > 0, 1)).as("n_late_supp"),
-        max(when(col("supp_late_lines") > 0, col("l_suppkey"))).as("late_supp"),
-        sum(when(col("supp_late_lines") > 0, col("supp_late_lines"))).as("late_lines"))
-      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    val l1 = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
     val f = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey").as("l_orderkey"))
     val n = Tables.nation(spark, dir).filter(col("n_name") === "NATION_3")
     val s = Tables.supplier(spark, dir)
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"))
-    perOrder
+    l1.join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"), "left_anti")
       .join(f, Seq("l_orderkey"), "left_semi")
-      .join(Tables.dimHint(s), col("late_supp") === col("s_suppkey"))
+      .join(Tables.dimHint(s), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(sum(col("late_lines")).as("numwait"))
+      .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(100)
   }

@@ -67,25 +67,18 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q21: EXISTS/NOT EXISTS chain folds to ONE lineitem scan — no self-joins") {
-    // the chained-subquery semantics are carried by the two-level
-    // per-order aggregate, so lineitem must be scanned exactly once
-    // (the self-join form scanned it three times); finished-order
-    // filtering stays a semi join at ORDER granularity (post-aggregate,
-    // one row per order), and nothing nested-loops
+  test("q21: EXISTS/NOT EXISTS decorrelate to semi/anti joins — no per-row re-scan") {
+    // the chained-subquery shape must plan as hash semi/anti joins on
+    // l_orderkey (three bounded scans of lineitem total), never a
+    // nested-loop per-row re-scan; the anti side's returned-lines filter
+    // prunes at its scan. (A single-scan per-order-aggregate rewrite was
+    // measured 3.4x SLOWER at the 17 GB corpus — see q21's Scaladoc —
+    // so three column-pruned scans are the asserted shape on purpose.)
     val p = planOf("q21_waiting_suppliers")
-    // AQE's plan string appends an "== Initial Plan ==" twin — count
-    // scans in the final section only
-    val finalPlan = p.split("== Initial Plan ==")(0)
-    val lineitemScans = finalPlan.split("\n").count(l =>
-      l.contains("FileScan") && l.contains("lineitem"))
-    assert(lineitemScans == 1,
-      s"lineitem must be scanned once, saw $lineitemScans scans:\n$p")
-    assert(p.contains("LeftSemi"), s"finished-order filter must stay a semi join:\n$p")
-    assert(!p.contains("LeftAnti"), s"the anti self-join must be gone:\n$p")
-    assert(!p.contains("Expand"), s"no countDistinct Expand in the aggregate:\n$p")
-    assert("HashAggregate".r.findAllIn(p).size >= 4,
-      "two-level per-order aggregation expected")
+    assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must become an anti join:\n$p")
+    assert("EqualTo\\(l_returnflag,R\\)".r.findAllIn(p).size >= 2,
+      "returned-lines filter must reach both l1 and l3 scans")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
@@ -149,9 +142,11 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     // their shared view, so their fact scan happens once OUTSIDE the
     // audited plan — a count of 0 is correct there.)
     val tables = Seq("lineitem", "orders", "customer", "part", "supplier")
+    // q21 is deliberately absent: its three-scan semi/anti form measured
+    // 3.4x faster than the single-scan rewrite at the 17 GB corpus
     val queries = Seq("q2_min_cost_supplier", "q11_important_share",
       "q15_top_supplier", "q17_small_qty_revenue", "q18_large_volume",
-      "q20_promotion_suppliers", "q21_waiting_suppliers", "q22_sales_opportunity")
+      "q20_promotion_suppliers", "q22_sales_opportunity")
     for (q <- queries) {
       val finalPlan = planOf(q).split("== Initial Plan ==")(0)
       for (t <- tables) {
