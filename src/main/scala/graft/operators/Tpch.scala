@@ -313,11 +313,25 @@ object Tpch {
     * output row) over a month of lineitem joined to part. Numerator and
     * denominator are exact cents; `100.0 * num / den` is evaluated
     * left-to-right in both engines.
+    *
+    * Scale shape (r15, measured): part here is UNFILTERED — every type
+    * must be classified — so the join side is SF-proportional and must
+    * never broadcast; but Catalyst's static estimate of the
+    * column-pruned scan (60 MB at the 17 GB corpus) sits under the
+    * 64 MB auto threshold and its planning-time broadcast builds a
+    * ~2 GB, 20M-row hashed relation in ONE task (33-69 s measured; AQE
+    * cannot demote a pre-shuffle broadcast). The shuffle_hash hint
+    * instead builds per-partition maps of the 94×-smaller side —
+    * 6.7 s measured, and the per-partition build is bounded by
+    * |part|/shufflePartitions, which scales with the cluster (vs
+    * sort-merge's 17.8 s — sorting the 600M-line probe side costs more
+    * than the bounded hash builds; all three strategies timed in
+    * tools/TpchVariants).
     */
   def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= ts("1997-03-01") && col("l_shipdate") < ts("1997-04-01"))
-      .join(Tables.dimHint(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(spark, dir).hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
       .agg(
         (lit(100.0) * sum(when(col("p_type") === "PROMO", cents(volume)).otherwise(0L)).cast("double")
           / sum(cents(volume)).cast("double")).as("promo_revenue"))

@@ -163,7 +163,52 @@ object TpchVariants {
       .agg((graft.functions.Portable.centsSum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
   }
 
+  /** q14 variants: the committed form lets Catalyst broadcast the full
+    * 20M-row part (60 MB column-pruned estimate -> ~2 GB hashed relation
+    * built in one task). Candidates: force a shuffled hash join
+    * (per-partition parallel builds, no driver/global relation), and a
+    * pre-aggregated probe (month lines folded to per-part cents before
+    * the join - numerator/denominator are integer cent sums, so the
+    * result is bit-identical).
+    */
+  private val volume14 =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  def q14ShuffleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") && col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .join(Tables.part(spark, dir).hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type") === "PROMO", graft.functions.Portable.cents(volume14)).otherwise(0L)).cast("double")
+          / sum(graft.functions.Portable.cents(volume14)).cast("double")).as("promo_revenue"))
+
+  def q14PreAgg(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") && col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(graft.functions.Portable.cents(volume14)).as("cents"))
+    perPart
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_type")).hint("shuffle_hash"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type") === "PROMO", col("cents")).otherwise(0L)).cast("double")
+          / sum(col("cents")).cast("double")).as("promo_revenue"))
+  }
+
+  def q14Merge(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") && col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .join(Tables.part(spark, dir).hint("merge"), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type") === "PROMO", graft.functions.Portable.cents(volume14)).otherwise(0L)).cast("double")
+          / sum(graft.functions.Portable.cents(volume14)).cast("double")).as("promo_revenue"))
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_merge" -> (q14Merge _),
+    "q19_committed" -> ((s, d) => graft.SparkEntry.queries("q19_discounted_revenue")(s, d)),
+    "q14_shufflehash" -> (q14ShuffleHash _),
+    "q14_preagg" -> (q14PreAgg _),
+    "q14_committed" -> ((s, d) => graft.SparkEntry.queries("q14_promo_revenue")(s, d)),
     "q17_joinback" -> (q17JoinBack _),
     "q21_oneshuffle" -> (q21OneShuffle _),
     "q21_singlescan" -> (q21SingleScan _),

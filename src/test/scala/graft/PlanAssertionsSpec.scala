@@ -134,6 +134,18 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q14: unfiltered part never broadcasts — per-partition hash build") {
+    // part is SF-proportional here (no filter — every type classified):
+    // Catalyst's static 60 MB estimate would broadcast a 2 GB hashed
+    // relation built in one task (33-69 s measured at 17 GB, fatal at
+    // 100 TB); the committed plan must show a ShuffledHashJoin instead
+    val p = planOf("q14_promo_revenue")
+    assert(p.contains("ShuffledHashJoin"),
+      s"part join must be a shuffled hash join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"unfiltered part must not broadcast:\n$p")
+  }
+
   test("TPC-H: no query scans a fact table twice in its final plan") {
     // the r15 single-scan sweep: every multi-consumer view is either
     // folded into one aggregate/window, proven exchange-reused, or
