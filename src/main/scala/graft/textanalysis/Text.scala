@@ -165,6 +165,49 @@ object Text {
        |WHERE rn = 1""".stripMargin
   }
 
+  /** Word-boundary blocklist filtering — the "banned terms" pass every
+    * web-corpus curation pipeline runs before training (slur lists, spam
+    * markers, boilerplate markers). Exact-token match, never substring
+    * (a blocklist entry "ass" must not kill "class" — the textbook
+    * blocklist bug), expressed as a higher-order `filter` over the
+    * space-token array: one codegen scan, zero shuffle, trivially
+    * data-parallel at any corpus size. Emits the flagged docs with their
+    * hit count and the distinct matched terms (sorted, comma-joined, so
+    * the row hash is deterministic). The list itself is a tiny literal
+    * baked into the plan — at 100 TB the cost is the scan it shares with
+    * every other per-doc signal.
+    */
+  def blocklist(spark: SparkSession, dir: String): DataFrame =
+    blocklistOf(Tables.documents(spark, dir), BannedTerms)
+
+  private[graft] def blocklistOf(documents: DataFrame, terms: Seq[String]): DataFrame = {
+    val banned = array(terms.map(lit): _*)
+    val hits = filter(split(col("text"), " "),
+      w => array_contains(banned, w))
+    documents
+      .select(col("doc_id"), hits.as("hits"))
+      .filter(size(col("hits")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("hits")).cast("bigint").as("n_hits"),
+        array_join(array_sort(array_distinct(col("hits"))), ",").as("matched"))
+  }
+
+  private val BannedTerms = Seq("slow", "stream", "vector")
+
+  val blocklistSql: String = {
+    val list = BannedTerms.map(t => s"'$t'").mkString(", ")
+    s"""SELECT doc_id,
+       | CAST(len(list_filter(string_split(text, ' '),
+       |          w -> list_contains([$list], w))) AS BIGINT) AS n_hits,
+       | array_to_string(list_sort(list_distinct(
+       |   list_filter(string_split(text, ' '),
+       |               w -> list_contains([$list], w)))), ',') AS matched
+       |FROM documents
+       |WHERE len(list_filter(string_split(text, ' '),
+       |          w -> list_contains([$list], w))) > 0""".stripMargin
+  }
+
   /** Token counting two ways: whitespace tokens and a BPE-ish pre-tokenizer
     * count (the regex families GPT-style tokenizers split on: letter runs /
     * digit runs / punctuation runs, each with an optional leading space) —
@@ -1205,7 +1248,8 @@ object Text {
     "text_fingerprint_md5" -> (fingerprintMd5 _),
     "text_fingerprint" -> (fingerprint _),
     "text_scrub_pii" -> (scrubPii _),
-    "text_bpe_tokens" -> (bpeTokens _))
+    "text_bpe_tokens" -> (bpeTokens _),
+    "text_blocklist" -> (blocklist _))
 
   val oracles: Map[String, String] = Map(
     "text_gopher_quality" -> gopherQualitySql,
@@ -1230,5 +1274,6 @@ object Text {
     "text_quality" -> qualitySql,
     "text_token_count" -> tokenCountSql,
     "text_fingerprint_md5" -> fingerprintMd5Sql,
-    "text_lang_id" -> langIdSql)
+    "text_lang_id" -> langIdSql,
+    "text_blocklist" -> blocklistSql)
 }

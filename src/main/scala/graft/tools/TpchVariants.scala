@@ -203,7 +203,32 @@ object TpchVariants {
         (lit(100.0) * sum(when(col("p_type") === "PROMO", graft.functions.Portable.cents(volume14)).otherwise(0L)).cast("double")
           / sum(graft.functions.Portable.cents(volume14)).cast("double")).as("promo_revenue"))
 
+  /** q5 with the SF-proportional customer slice (ASIA nations, ~20% of
+    * customers) forced to shuffled-hash against orders instead of
+    * Catalyst's static-estimate broadcast (one 9.2 s build task at 17 GB).
+    */
+  def q5ShuffleHash(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .hint("shuffle_hash")
+      .join(o, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dimHint(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(graft.functions.Portable.centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q5_shufflehash" -> (q5ShuffleHash _),
+    "q5_committed" -> ((s, d) => graft.SparkEntry.queries("q5_local_supplier")(s, d)),
     "q14_merge" -> (q14Merge _),
     "q19_committed" -> ((s, d) => graft.SparkEntry.queries("q19_discounted_revenue")(s, d)),
     "q14_shufflehash" -> (q14ShuffleHash _),

@@ -30,6 +30,24 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
     "iota", "kappa", "lam", "mu", "nu", "xi"))
 
+  test("blocklist matches exact tokens only - never substrings, counts every occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the class assignment passes"),      // substrings of "ass" only - no hit
+      (2L, "ass"),                               // exact single token
+      (3L, "an ass and another ass walked by"),  // two occurrences, one distinct term
+      (4L, "spam ass spam"),                     // two distinct banned terms, 3 hits
+      (5L, "clean text entirely")
+    ).toDF("doc_id", "text")
+    val out = graft.textanalysis.Text.blocklistOf(docs, Seq("ass", "spam"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(!out.contains(1L), "substring matches must not flag")
+    assert(!out.contains(5L))
+    assert(out(2L) == ((1L, "ass")))
+    assert(out(3L) == ((2L, "ass")))
+    assert(out(4L) == ((3L, "ass,spam")))
+  }
+
   test("minhash signature similarity estimates jaccard within tolerance") {
     import spark.implicits._
     for ((a, b) <- samples(tokenGen, 8).zip(samples(tokenGen.map(_.reverse), 8))) {
