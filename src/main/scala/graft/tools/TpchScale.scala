@@ -27,7 +27,11 @@ object TpchScale {
     spark.sparkContext.setLogLevel("ERROR")
     keys.foreach { k =>
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(k)(spark, dir).collect().length
+      // count(), not collect(): frontier corpora make some results
+      // corpus-sized (e.g. one row per session), which overflows
+      // spark.driver.maxResultSize under collect; count executes the
+      // same DAG without shipping rows to the driver (TimeOne's choice).
+      val n = graft.SparkEntry.queries(k)(spark, dir).count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"""{"query":"$k","sec":$secs%.1f,"rows":$n}""")
       graft.Checkpoints.releaseAll()
