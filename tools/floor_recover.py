@@ -55,14 +55,23 @@ def git(*args):
     return subprocess.check_output(["git"] + list(args), text=True)
 
 
-def versions(window):
+def versions(window, any_source=False):
     revs = git("rev-list", "HEAD", "--", FLOOR).split()[:window]
     out = []
     for rev in revs:
         try:
-            out.append((rev, json.loads(git("show", f"{rev}:{FLOOR}"))))
+            v = json.loads(git("show", f"{rev}:{FLOOR}"))
         except (subprocess.CalledProcessError, json.JSONDecodeError):
             continue  # deleted at this rev, or a truncated/corrupt capture
+        # Provenance gate (r15 verdict item 8): builder closes stamp
+        # "source": "builder_close" via round_close.sh; a committed version
+        # carrying a DIFFERENT stamp (e.g. a driver run) is excluded from
+        # the healing pool by default. Unstamped versions predate the field
+        # and are kept — they are the legitimate historic floors.
+        src = v.get("source")
+        if src is not None and src != "builder_close" and not any_source:
+            continue
+        out.append((rev, v))
     return out
 
 
@@ -70,7 +79,7 @@ def main(argv):
     write = "--write" in argv
     window = int(argv[argv.index("--window") + 1]) if "--window" in argv else 12
     working = json.load(open(FLOOR))
-    hist = versions(window)
+    hist = versions(window, any_source="--any-source" in argv)
     if not hist:
         print("floor_recover: no committed bench_detail.json in history")
         return 0

@@ -58,6 +58,19 @@ python3 tools/merge_floor.py bench_detail.json "$OUT/detail_close.json" \
   > "$OUT/bench_detail_merged.json"
 mv "$OUT/bench_detail_merged.json" bench_detail.json
 
+# Provenance stamp (r15 verdict item 8): mark this floor as a builder close
+# so floor_recover can distinguish it from a driver capture committed over
+# it — a committed version carrying a different "source" is excluded from
+# the healing pool by default.
+python3 - <<'EOF'
+import json
+d = json.load(open("bench_detail.json"))
+d["source"] = "builder_close"
+with open("bench_detail.json", "w") as f:
+    json.dump(d, f, separators=(",", ":"))
+    f.write("\n")
+EOF
+
 # Regression guard (round 15 — r14 verdict item 8): the min-merge can never
 # regress vs the WORKING bench_detail.json, but the r13 incident was the
 # working file itself having been overwritten by a raw capture before close
