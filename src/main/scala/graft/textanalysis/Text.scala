@@ -169,21 +169,24 @@ object Text {
     * web-corpus curation pipeline runs before training (slur lists, spam
     * markers, boilerplate markers). Exact-token match, never substring
     * (a blocklist entry "ass" must not kill "class" — the textbook
-    * blocklist bug), expressed as a higher-order `filter` over the
-    * space-token array: one codegen scan, zero shuffle, trivially
-    * data-parallel at any corpus size. Emits the flagged docs with their
-    * hit count and the distinct matched terms (sorted, comma-joined, so
-    * the row hash is deterministic). The list itself is a tiny literal
-    * baked into the plan — at 100 TB the cost is the scan it shares with
-    * every other per-doc signal.
+    * blocklist bug). Tokens split on `\W+` runs — the same word/non-word
+    * boundary the text_token_count regex families use — so terms adjacent
+    * to punctuation/newlines ("ass.", "ass\n") are caught on real text,
+    * not just the space-delimited corpus. Membership is `isin` over the
+    * term list, which Catalyst's OptimizeIn rewrites to an `InSet` hash
+    * set above the conversion threshold — O(1) per token however large
+    * the blocklist, one codegen scan, zero shuffle. Emits the flagged
+    * docs with their hit count and the distinct matched terms (sorted,
+    * comma-joined, so the row hash is deterministic). At 100 TB the cost
+    * is the scan it shares with every other per-doc signal; the 50k-term
+    * per-doc cost is measured flat vs 3 terms (tools/BlocklistScale,
+    * docs/BENCH_NOTES.md round-16 addendum).
     */
   def blocklist(spark: SparkSession, dir: String): DataFrame =
     blocklistOf(Tables.documents(spark, dir), BannedTerms)
 
   private[graft] def blocklistOf(documents: DataFrame, terms: Seq[String]): DataFrame = {
-    val banned = array(terms.map(lit): _*)
-    val hits = filter(split(col("text"), " "),
-      w => array_contains(banned, w))
+    val hits = filter(split(col("text"), "\\W+"), w => w.isin(terms: _*))
     documents
       .select(col("doc_id"), hits.as("hits"))
       .filter(size(col("hits")) > 0)
@@ -196,15 +199,17 @@ object Text {
   private val BannedTerms = Seq("slow", "stream", "vector")
 
   val blocklistSql: String = {
-    val list = BannedTerms.map(t => s"'$t'").mkString(", ")
+    // '' is SQL's quote escape — a future term carrying an apostrophe
+    // must not break (or inject into) the oracle query
+    val list = BannedTerms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     s"""SELECT doc_id,
-       | CAST(len(list_filter(string_split(text, ' '),
+       | CAST(len(list_filter(regexp_split_to_array(text, '\\W+'),
        |          w -> list_contains([$list], w))) AS BIGINT) AS n_hits,
        | array_to_string(list_sort(list_distinct(
-       |   list_filter(string_split(text, ' '),
+       |   list_filter(regexp_split_to_array(text, '\\W+'),
        |               w -> list_contains([$list], w)))), ',') AS matched
        |FROM documents
-       |WHERE len(list_filter(string_split(text, ' '),
+       |WHERE len(list_filter(regexp_split_to_array(text, '\\W+'),
        |          w -> list_contains([$list], w))) > 0""".stripMargin
   }
 

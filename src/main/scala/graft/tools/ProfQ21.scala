@@ -19,23 +19,27 @@ object ProfQ21 {
         SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    @volatile var lines = List.empty[String]
+    // listener-bus events arrive on their own thread; a synchronized
+    // buffer + waitUntilEmpty drains deterministically so warm-run stages
+    // never leak into (nor measured stages drop from) the printed profile
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
-        lines ::= f"stage ${i.stageId}%3d tasks=${i.numTasks}%4d wall=$wall%6.2fs  ${i.name.split('\n').head.take(90)}"
+        lines.add(f"stage ${i.stageId}%3d tasks=${i.numTasks}%4d wall=$wall%6.2fs  ${i.name.split('\n').head.take(90)}")
       }
     })
     // warm run then measured run, per-stage print for the measured one
-    SparkEntry.queries(name)(spark, sfDir).count()
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
     graft.Checkpoints.releaseAll()
-    lines = Nil
+    org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+    lines.clear()
     val t0 = System.nanoTime()
-    val n = SparkEntry.queries(name)(spark, sfDir).count()
+    val n = SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
     println(f"total ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
-    Thread.sleep(500)
-    lines.reverse.foreach(println)
+    org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+    lines.forEach(println)
     spark.stop()
   }
 }

@@ -27,11 +27,15 @@ object TpchScale {
     spark.sparkContext.setLogLevel("ERROR")
     keys.foreach { k =>
       val t0 = System.nanoTime()
-      // count(), not collect(): frontier corpora make some results
-      // corpus-sized (e.g. one row per session), which overflows
-      // spark.driver.maxResultSize under collect; count executes the
-      // same DAG without shipping rows to the driver (TimeOne's choice).
-      val n = graft.SparkEntry.queries(k)(spark, dir).count()
+      // toRdd.count(), not collect() and not Dataset.count(): frontier
+      // corpora make some results corpus-sized (e.g. one row per
+      // session), which overflows spark.driver.maxResultSize under
+      // collect — and Dataset.count() lets Catalyst prune projections
+      // and non-grouping aggregate expressions not needed to count rows,
+      // under-measuring expression-heavy shapes. queryExecution.toRdd
+      // is the already-optimized physical plan AS WRITTEN; counting its
+      // rows executes every projection without shipping rows back.
+      val n = graft.SparkEntry.queries(k)(spark, dir).queryExecution.toRdd.count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"""{"query":"$k","sec":$secs%.1f,"rows":$n}""")
       graft.Checkpoints.releaseAll()

@@ -93,9 +93,12 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
       l.contains("FileScan") && l.contains("lineitem"))
     assert(lineitemScans == 1,
       s"lineitem must be scanned once, saw $lineitemScans scans:\n$p")
-    assert(p.contains("Window") && p.contains("partitionBy" ) ||
-      "Window \\[.*windowspecdefinition\\(l_partkey".r.findFirstIn(p).isDefined,
+    // physical-plan strings never contain "partitionBy"; the
+    // windowspecdefinition argument list is the real partitioning record
+    assert("Window \\[.*windowspecdefinition\\(l_partkey".r.findFirstIn(p).isDefined,
       s"window must partition on l_partkey:\n$p")
+    assert(!"windowspecdefinition\\(\\)".r.findFirstIn(p).isDefined,
+      s"empty-partition window would funnel the fact through one task:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 

@@ -37,7 +37,10 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, "ass"),                               // exact single token
       (3L, "an ass and another ass walked by"),  // two occurrences, one distinct term
       (4L, "spam ass spam"),                     // two distinct banned terms, 3 hits
-      (5L, "clean text entirely")
+      (5L, "clean text entirely"),
+      (6L, "what an ass. truly"),                // punctuation-adjacent
+      (7L, "ass\nnewline\tand spam,comma"),      // newline/tab/comma boundaries
+      (8L, "assign ass's owner")                 // apostrophe splits; possessive stem hits
     ).toDF("doc_id", "text")
     val out = graft.textanalysis.Text.blocklistOf(docs, Seq("ass", "spam"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
@@ -46,6 +49,24 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((1L, "ass")))
     assert(out(3L) == ((2L, "ass")))
     assert(out(4L) == ((3L, "ass,spam")))
+    assert(out(6L) == ((1L, "ass")), "term adjacent to punctuation must flag")
+    assert(out(7L) == ((2L, "ass,spam")), "newline/tab/comma are word boundaries")
+    assert(out(8L) == ((1L, "ass")), "apostrophe is a boundary; 'assign' is not a hit")
+  }
+
+  test("blocklist membership becomes an InSet hash set above the conversion threshold") {
+    // spark.range keeps the plan non-foldable — a literal LocalRelation
+    // would be constant-folded away before the InSet rewrite is visible
+    val docs = spark.range(1).select(
+      col("id").as("doc_id"),
+      concat(lit("t00042 present run"), col("id")).as("text"))
+    val terms = (0 until 50).map(i => f"t$i%05d")
+    val q = graft.textanalysis.Text.blocklistOf(docs, terms)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("INSET") || optimized.toLowerCase.contains("inset"),
+      s"50-term membership must optimize to InSet (O(1) hash probe per token):\n$optimized")
+    val row = q.collect()
+    assert(row.length == 1 && row(0).getLong(1) == 1L && row(0).getString(2) == "t00042")
   }
 
   test("minhash signature similarity estimates jaccard within tolerance") {
