@@ -133,17 +133,31 @@ object Sources {
     * or incremental ingest: thousands of kilobyte files turn a scan into a
     * task-scheduling exercise (one task per file, footer overhead per
     * task). Rewrites a directory to ~`targetBytes` files, preserving rows.
+    *
+    * `clusterCols` (round 16 — r15 verdict item 5): a hash-random rewrite
+    * silently DESTROYS the table's clustering — every compacted file then
+    * spans the full key range, so footer-stats skipping and the stats
+    * manifest degrade to keep-everything. Pass the table's cluster keys
+    * and compaction re-lays the files out range-disjoint + sorted (the
+    * [[writeClustered]] layout), so a post-compaction manifest refresh
+    * restores file-level pruning instead of merely re-proving it useless.
     */
   def compact(spark: SparkSession, srcUri: String, dstUri: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      compression: String = "zstd"): Unit = {
+      compression: String = "zstd",
+      clusterCols: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
     val src = new Path(srcUri)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(src).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(srcUri).repartition(nFiles)
-      .write.mode("overwrite").option("compression", compression).parquet(dstUri)
+    val df = spark.read.parquet(srcUri)
+    val laidOut =
+      if (clusterCols.isEmpty) df.repartition(nFiles)
+      else df.repartitionByRange(nFiles, clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*)
+    laidOut.write.mode("overwrite").option("compression", compression).parquet(dstUri)
   }
 
   /** FILE-LEVEL stats manifest (the Iceberg/Delta pattern, round 13):
