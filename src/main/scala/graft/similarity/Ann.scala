@@ -176,7 +176,7 @@ object Ann {
     filteredTopkIvfOver(spark, dir, cells, nProbe, replicas)
   }
 
-  private def filteredTopkIvfOver(spark: SparkSession, dir: String,
+  private[graft] def filteredTopkIvfOver(spark: SparkSession, dir: String,
       cells: DataFrame, nProbe: Int, replicas: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
@@ -222,15 +222,92 @@ object Ann {
     // computeIfAbsent, not containsKey-then-put (ADVICE r15): the write
     // runs exactly once per target, and a concurrent query on the same key
     // BLOCKS until the first write completes instead of racing it or
-    // reading a half-written artifact
+    // reading a half-written artifact. An artifact already committed on
+    // disk (a previous JVM's build, or one maintained by [[appendCells]])
+    // is adopted as-is — write-once means once per ARTIFACT, not per JVM.
     cellArtifactsWritten.computeIfAbsent(target, { _ =>
-      val nFiles = math.max(8, spark.sparkContext.defaultParallelism)
-      graft.sources.Sources.writeClustered(
-        coarseCells(spark, dir, maxRn).select(col("vec_id"), col("cell"), col("rn")),
-        target, Seq("cell", "vec_id"), nFiles = nFiles)
+      val p = new org.apache.hadoop.fs.Path(target, "_SUCCESS")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) writeCellsArtifact(spark, dir, maxRn, target)
       java.lang.Boolean.TRUE
     })
     spark.read.parquet(target)
+  }
+
+  private[graft] def writeCellsArtifact(spark: SparkSession, dir: String,
+      maxRn: Int, target: String, targetCell: Int = 2000): Unit = {
+    val nFiles = math.max(8, spark.sparkContext.defaultParallelism)
+    val (cells, leafStats, levels) =
+      coarseCellsWithStats(spark, dir, maxRn, targetCell)
+    graft.sources.Sources.writeClustered(
+      cells.select(col("vec_id"), col("cell"), col("rn")),
+      target, Seq("cell", "vec_id"), nFiles = nFiles)
+    // the frozen quantizer rides next to the index: O(|cells|·dims)
+    // moment rows plus the routing constants — everything appendCells
+    // needs to route a new batch without a corpus pass
+    leafStats
+      .withColumn("levels", lit(levels))
+      .withColumn("max_rn", lit(maxRn))
+      .withColumn("target_cell", lit(targetCell))
+      .write.mode("overwrite").parquet(target + QuantSuffix)
+  }
+
+  private val QuantSuffix = "_quant"
+
+  /** INCREMENTAL cell maintenance (round 16 — r15 verdict item 3): route
+    * an appended vector batch through the EXISTING tree and append the
+    * assignments as a new shard — O(batch·levels·maxRn) centroid
+    * distances and O(batch) write IO, vs the full rebuild's corpus pass
+    * (56-70 s at the 2M-vector frontier; the
+    * [[graft.sources.Sources.appendStatsManifest]] economics applied to
+    * the ANN index). [[beamDescend]] is deterministic over the FROZEN
+    * quantizer persisted at build time, so an appended vector lands in
+    * exactly the cell the build would have routed it to given the same
+    * tree; the tree's centroids simply stop tracking corpus drift, which
+    * is the standard IVF trade (FAISS `add` vs `train`).
+    *
+    * Returns true when the index has DRIFTED past its design load: some
+    * cell's primary (rn=1) membership exceeds `driftFactor ×
+    * target_cell`, the point where cell-routed candidate volume starts
+    * its quadratic creep and [[capCells]] stops being a skew guard and
+    * becomes a recall tax. The caller then schedules
+    * [[rebuildMaterializedCells]] (re-split = re-train here: the
+    * bisection tree is cheap to rebuild relative to serving degraded
+    * recall). The membership count is a groupBy over the slim 3-column
+    * artifact — planning-sized IO, no corpus read.
+    */
+  def appendCells(spark: SparkSession, newVectors: DataFrame,
+      cellsUri: String, driftFactor: Double = 2.0): Boolean = {
+    val stats = spark.read.parquet(cellsUri + QuantSuffix)
+    val meta = stats.select(col("levels"), col("max_rn"), col("target_cell"))
+      .head()
+    val (levels, maxRn, targetCell) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val nPart = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val ie = newVectors.select(col("vec_id"),
+      expr("transform(cast(embedding as array<double>), v -> cast(round(v * 1000000.0) as bigint))")
+        .as("ie"))
+      .repartition(nPart, col("vec_id")).sortWithinPartitions(col("vec_id"))
+      .cutLineage()
+    beamDescend(ie, stats.select(col("cell"), col("dim"), col("s"), col("c")),
+      levels, maxRn)
+      .select(col("vec_id"), col("cell"), col("rn"))
+      .write.mode("append").parquet(cellsUri)
+    val maxMembers = spark.read.parquet(cellsUri)
+      .filter(col("rn") === 1).groupBy(col("cell")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    maxMembers > (driftFactor * targetCell).toLong
+  }
+
+  /** Full re-train + rewrite of a cells artifact over the (grown) corpus
+    * at `dir` — the drift response [[appendCells]]'s gate schedules. The
+    * staging-free overwrite is safe here because the artifact is consumed
+    * through [[materializedCells]] snapshots, not concurrently tailed.
+    */
+  def rebuildMaterializedCells(spark: SparkSession, dir: String,
+      maxRn: Int, uri: String, targetCell: Int = 2000): Unit = {
+    writeCellsArtifact(spark, dir, maxRn, uri, targetCell)
+    cellArtifactsWritten.put(uri, java.lang.Boolean.TRUE)
   }
 
   private val cellArtifacts =
@@ -667,7 +744,18 @@ object Ann {
     * (it feeds both sides of the cell-routed join in every caller).
     */
   private[graft] def coarseCells(spark: SparkSession, dir: String,
-      maxRn: Int, targetCell: Int = 2000): DataFrame = {
+      maxRn: Int, targetCell: Int = 2000): DataFrame =
+    coarseCellsWithStats(spark, dir, maxRn, targetCell)._1
+
+  /** Coarse quantizer BUILD + self-routing: returns the cell assignment
+    * (the [[coarseCells]] contract) together with the frozen quantizer —
+    * the per-leaf moment table (cell, dim, s, c) and the tree depth —
+    * which [[appendCells]] needs to route APPENDED vectors without
+    * touching the corpus again. The moments are O(|cells|·dims), the
+    * planning-sized artifact every IVF system persists next to the index.
+    */
+  private[graft] def coarseCellsWithStats(spark: SparkSession, dir: String,
+      maxRn: Int, targetCell: Int = 2000): (DataFrame, DataFrame, Int) = {
     val base = Tables.embeddings(spark, dir).select(col("vec_id"),
       col("label").cast("bigint").as("label"),
       expr("transform(cast(embedding as array<double>), v -> cast(round(v * 1000000.0) as bigint))")
@@ -677,16 +765,6 @@ object Ann {
     val nLabels = base.select(col("label")).distinct().count()
     val levels = math.max(0, math.ceil(math.log(
       n.toDouble / (nLabels.toDouble * targetCell)) / math.log(2.0)).toInt)
-    // codegen kernel, not the interpreted HOF (round 15): one tight long
-    // loop per (vector, candidate cell) — same accumulation order, exact
-    // BIGINT, bit-identical to the previous aggregate(zip_with(...)) and
-    // to the oracle's SUM((xi-cq)^2)
-    val dist = native.intSquaredL2(col("ie"), col("cent"))
-    def rankBeam(cand: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist_sq"), col("ccell"))
-      cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= maxRn)
-        .select(col("vec_id"), col("ccell").as("cell"), col("rn"), col("dist_sq"))
-    }
     // The build's measured cost profile (round 15, 2M-vector stage trace):
     // eager per-level localCheckpoints of ie-carrying frames dominated —
     // not the leaf explode, not the joins per se. So the heavy integer
@@ -738,6 +816,33 @@ object Ann {
           .as(Seq("dim", "s")))
       .select(col("cell"), col("dim"), col("s"), col("c"))
       .cutLineage()
+    // beam descent over the same co-partitioned corpus: basePart is
+    // already partitioned and sorted by vec_id, so every level's
+    // candidate join and ranking window run exchange-free
+    val beam = beamDescend(
+      basePart.select(col("vec_id"), col("ie")), leafStats, levels, maxRn)
+    (beam, leafStats, levels)
+  }
+
+  /** Beam descent of the bisection tree for an ARBITRARY vector set
+    * against a FROZEN quantizer — extracted from the build (round 16) so
+    * [[appendCells]] can route an appended batch through the EXISTING
+    * cell tree in O(batch·levels·maxRn) centroid distances, never
+    * touching the corpus. Deterministic: exact BIGINT distances via the
+    * [[native.intSquaredL2]] codegen kernel (one tight long loop per
+    * (vector, candidate cell)), (dist, cell) tie-break — identical
+    * routing whether a vector arrives in the build or in an append.
+    * `vectors` is (vec_id, ie); every beam checkpoint is slim
+    * (vec_id, cell, rn, dist_sq).
+    */
+  private[graft] def beamDescend(vectors: DataFrame, leafStats: DataFrame,
+      levels: Int, maxRn: Int): DataFrame = {
+    val dist = native.intSquaredL2(col("ie"), col("cent"))
+    def rankBeam(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist_sq"), col("ccell"))
+      cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= maxRn)
+        .select(col("vec_id"), col("ccell").as("cell"), col("rn"), col("dist_sq"))
+    }
     def centAt(level: Int): DataFrame = {
       val div = 1L << (levels - level)
       leafStats.groupBy(expr(s"cell div $div").as("ccell"), col("dim"))
@@ -745,18 +850,13 @@ object Ann {
         .groupBy(col("ccell"))
         .agg(expr("transform(array_sort(collect_list(struct(dim, cq))), t -> t.cq)").as("cent"))
     }
-    // beam descent over the same co-partitioned corpus: the window
-    // hash-partitions the beam by vec_id, checkpoints preserve it, and
-    // basePart is already partitioned and sorted the same way — every
-    // level's candidate join and ranking window run exchange-free, and
-    // every beam checkpoint is slim (vec_id, cell, rn, dist_sq).
-    var beam = rankBeam(basePart.select(col("vec_id"), col("ie"))
+    var beam = rankBeam(vectors
       .crossJoin(broadcast(centAt(0))).withColumn("dist_sq", dist)).cutLineage()
     for (i <- 1 to levels) {
       val cand = beam
         .select(col("vec_id"),
           explode(array(col("cell") * 2, col("cell") * 2 + 1)).as("ccell"))
-        .join(basePart.select(col("vec_id"), col("ie")), Seq("vec_id"))
+        .join(vectors, Seq("vec_id"))
         .join(broadcast(centAt(i)), Seq("ccell"))
         .withColumn("dist_sq", dist)
       beam = rankBeam(cand).cutLineage()

@@ -79,6 +79,98 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.4, f"PQ ADC recall@3 $recall%.3f below floor 0.4")
   }
 
+  test("appendCells: O(batch) incremental routing matches the frozen tree; recall floor holds") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // snapshot A = vec_id < 400; batch B = the remaining 100 vectors.
+    // Build the artifact on A, append B through the FROZEN quantizer,
+    // and the appended artifact must serve the full corpus at the same
+    // recall floor the rebuild route is held to.
+    val tmp = Files.createTempDirectory("ivf_append").toString
+    val dirA = tmp + "/snapA"
+    new java.io.File(dirA).mkdirs()
+    val all = Tables.embeddings(spark, sf)
+    all.filter($"vec_id" < 400).write.parquet(dirA + "/embeddings.parquet")
+    val uri = tmp + "/cells"
+    similarity.Ann.materializedCells(spark, dirA, 3, Some(uri))
+    val before = spark.read.parquet(uri).count()
+    assert(before == 400L * 3, s"snapshot artifact rows: $before")
+    val batchB = all.filter($"vec_id" >= 400).select($"vec_id", $"embedding")
+    val drifted = similarity.Ann.appendCells(spark, batchB, uri)
+    val after = spark.read.parquet(uri).count()
+    assert(after - before == 100L * 3,
+      s"append must add exactly batch-size*maxRn rows, got ${after - before}")
+    assert(!drifted, "100 appended vectors must not trip the 2x-targetCell gate")
+    // deterministic routing: appending the same batch against the same
+    // frozen tree assigns each vector exactly the cells beamDescend gives
+    // it when routed standalone (same quantizer, same tie-break)
+    val appendedRows = spark.read.parquet(uri)
+      .filter($"vec_id" >= 400).select($"vec_id", $"cell", $"rn")
+      .as[(Long, Long, Int)].collect().toSet
+    val stats = spark.read.parquet(uri + "_quant")
+    val ie = batchB.select($"vec_id",
+      expr("transform(cast(embedding as array<double>), v -> cast(round(v * 1000000.0) as bigint))").as("ie"))
+    val direct = similarity.Ann.beamDescend(ie,
+        stats.select($"cell", $"dim", $"s", $"c"),
+        stats.select($"levels").head.getInt(0), 3)
+      .select($"vec_id", $"cell", $"rn").as[(Long, Long, Int)].collect().toSet
+    assert(appendedRows == direct, "append-path routing must be deterministic")
+    // the appended artifact serves the full corpus: same recall floor as
+    // the ann_filtered_ivf gate below
+    val exact = similarity.Ann.filteredTopk(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val routed = similarity.Ann.filteredTopkIvfOver(spark, sf,
+        spark.read.parquet(uri), 3, 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(routed.contains).toDouble / exact.size
+    info(f"appended-cells filtered recall@5: $recall%.3f")
+    println(f"[recall] ann_filtered over appended cells recall@5 = $recall%.3f")
+    assert(recall >= 0.4, f"appended-artifact recall@5 $recall%.3f below floor 0.4")
+  }
+
+  test("appendCells drift gate fires on a hot cell; rebuild re-splits and restores balance") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // a deep tree with tiny target cells (targetCell=4 over 500 vectors),
+    // then a skewed batch aimed at ONE region: the gate must fire, and a
+    // re-train over the grown corpus must spread the hot region back out
+    val tmp = Files.createTempDirectory("ivf_drift").toString
+    val dirAll = tmp + "/corpus"
+    new java.io.File(dirAll).mkdirs()
+    val all = Tables.embeddings(spark, sf)
+    all.write.parquet(dirAll + "/embeddings.parquet")
+    val uri = tmp + "/cells"
+    similarity.Ann.writeCellsArtifact(spark, dirAll, 1, uri, targetCell = 4)
+    def maxCell(u: String): Long = spark.read.parquet(u)
+      .filter($"rn" === 1).groupBy($"cell").count()
+      .agg(max($"count")).head.getLong(0)
+    val balancedMax = maxCell(uri)
+    // 60 jittered copies of vector 0 — tightly clustered, they descend to
+    // the same few leaves (deterministic jitter so a re-split CAN separate)
+    val seedEmb = all.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head.getSeq[Double](0)
+    val skew = (0 until 60).map { i =>
+      (10000L + i, seedEmb.zipWithIndex.map { case (v, d) =>
+        (v + ((i * 31 + d * 7) % 13 - 6) * 1e-4).toFloat })
+    }.toDF("vec_id", "embedding")
+    val drifted = similarity.Ann.appendCells(spark, skew, uri)
+    assert(drifted, "60 same-region vectors over targetCell=4 must trip the drift gate")
+    val hotMax = maxCell(uri)
+    assert(hotMax > 2L * 4, s"hot cell should exceed the gate, got $hotMax")
+    // drift response: re-train over the grown corpus (corpus table grew in
+    // lockstep with the artifact); the skewed rows inherit vector 0's label
+    val seedLabel = all.filter($"vec_id" === 0).select($"label").head.getInt(0)
+    all.select($"vec_id", $"embedding", $"label")
+      .unionByName(skew.withColumn("label", lit(seedLabel)))
+      .write.mode("overwrite").parquet(dirAll + "/embeddings.parquet")
+    similarity.Ann.rebuildMaterializedCells(spark, dirAll, 1, uri, targetCell = 4)
+    val rebuiltMax = maxCell(uri)
+    assert(rebuiltMax < hotMax,
+      s"re-split must spread the hot region: $rebuiltMax vs hot $hotMax")
+    assert(spark.read.parquet(uri).filter($"rn" === 1).count() == 560L,
+      "rebuilt artifact must cover the grown corpus exactly once")
+  }
+
   test("ann_filtered_ivf: constrained IVF route holds a recall@5 floor vs brute-force filtered") {
     import spark.implicits._
     val exact = similarity.Ann.filteredTopk(spark, sf)
