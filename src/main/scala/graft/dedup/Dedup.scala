@@ -204,9 +204,9 @@ object Dedup {
     * for O(n+m) exact-Jaccard verification (hash Jaccard ≡ shingle Jaccard
     * w.h.p. at 64 bits).
     */
-  private[graft] def withMinhash(df: DataFrame): DataFrame =
+  private[graft] def withMinhash(df: DataFrame, bands: Int = 16): DataFrame =
     withShingles(df)
-      .withColumn("sig", native.minHashSignature(col("shingles")))
+      .withColumn("sig", native.minHashSignature(col("shingles"), 4 * bands))
       .withColumn("gh", array_sort(array_distinct(expr("transform(shingles, s -> xxhash64(s))"))))
 
   /** Hot-bucket cap for LSH band joins (round-4 verdict): a degenerate band
@@ -259,12 +259,12 @@ object Dedup {
     * B—C pair).
     */
   private[graft] def minhashVerifiedPairs(spark: SparkSession, dir: String,
-      threshold: Double, maxBucket: Int = 10000): DataFrame = {
-    val docs = withMinhash(Tables.documents(spark, dir))
+      threshold: Double, maxBucket: Int = 10000, nBands: Int = 16): DataFrame = {
+    val docs = withMinhash(Tables.documents(spark, dir), nBands)
       .select(col("doc_id"), col("gh"), col("sig"))
     val bands = capBuckets(
       docs.select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 15),
+        s"""transform(sequence(0, ${nBands - 1}),
           |  b -> named_struct('band', b, 'bh', xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3])))""".stripMargin))
         .as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh")),

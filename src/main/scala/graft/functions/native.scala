@@ -24,9 +24,12 @@ object native {
   def simHash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
 
-  /** 64-element MinHash signature of an `array<string>` column (codegen). */
-  def minHashSignature(tokens: Column): Column =
-    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(tokens)))
+  /** MinHash signature of an `array<string>` column (codegen): `nPerms`
+    * Carter–Wegman permutations, prefix-compatible across widths (the
+    * first 64 of a 128-perm signature equal the 64-perm signature).
+    */
+  def minHashSignature(tokens: Column, nPerms: Int = 64): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(tokens), nPerms))
 
   /** |A ∩ B| of two ascending-sorted `array<long>` columns (codegen). */
   def sortedIntersectCount(a: Column, b: Column): Column =

@@ -284,12 +284,16 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
-/** 64-element MinHash signature of a token array in one pass: each token
-  * gets two independent 64-bit polynomial hashes (h1, h2); permutation j is
-  * approximated as h1 + j*h2 (Carter–Wegman), so the per-token cost is two
-  * byte-loops + 64 adds instead of 64 full string hashes.
+/** `nPerms`-element MinHash signature of a token array in one pass: each
+  * token gets two independent 64-bit polynomial hashes (h1, h2);
+  * permutation j is approximated as h1 + j*h2 (Carter–Wegman), so the
+  * per-token cost is two byte-loops + nPerms adds instead of nPerms full
+  * string hashes. The default 64 perms band as 16×4; a SECOND independent
+  * band family (round 16 — the r15 designed-miss item) is permutations
+  * 64..127 of the SAME construction: prefix-compatible, so sig[0..63] of
+  * a 128-perm signature is bit-identical to the 64-perm signature.
   */
-case class MinHashSignature(child: Expression)
+case class MinHashSignature(child: Expression, nPerms: Int = 64)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
@@ -298,7 +302,7 @@ case class MinHashSignature(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val sig = Array.fill(64)(Long.MaxValue)
+    val sig = Array.fill(nPerms)(Long.MaxValue)
     var w = 0
     while (w < arr.numElements()) {
       if (!arr.isNullAt(w)) {
@@ -313,7 +317,7 @@ case class MinHashSignature(child: Expression)
         }
         var j = 0
         var hj = h1
-        while (j < 64) {
+        while (j < nPerms) {
           if (hj < sig(j)) sig(j) = hj
           hj += h2
           j += 1
@@ -335,7 +339,7 @@ case class MinHashSignature(child: Expression)
       val j = ctx.freshName("j")
       val hj = ctx.freshName("hj")
       s"""
-         |long[] $sig = new long[64];
+         |long[] $sig = new long[$nPerms];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $w = 0; $w < $c.numElements(); $w++) {
          |  if (!$c.isNullAt($w)) {
@@ -346,7 +350,7 @@ case class MinHashSignature(child: Expression)
          |      $h2 = ($h2 ^ ($bytes[$i] & 0xffL)) * 1099511628211L;
          |    }
          |    long $hj = $h1;
-         |    for (int $j = 0; $j < 64; $j++) {
+         |    for (int $j = 0; $j < $nPerms; $j++) {
          |      if ($hj < $sig[$j]) $sig[$j] = $hj;
          |      $hj += $h2;
          |    }

@@ -69,6 +69,25 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.length == 1 && row(0).getLong(1) == 1L && row(0).getString(2) == "t00042")
   }
 
+  test("minhash signatures are prefix-compatible across widths") {
+    import spark.implicits._
+    // the second band family is permutations 64..127 of the SAME
+    // Carter-Wegman construction: sig[0..63] of a 128-perm signature must
+    // be bit-identical to the 64-perm signature, so widening the LSH
+    // never changes what the first 16 bands see (dedup_incremental and
+    // the streaming band mirror keep their 64-perm contract untouched)
+    for (tokens <- samples(tokenGen, 6)) {
+      val df = Seq(Tuple1(tokens.distinct)).toDF("t")
+      val row = df.select(
+        native.minHashSignature(col("t")).as("s64"),
+        native.minHashSignature(col("t"), 128).as("s128")).head
+      val s64 = row.getSeq[Long](0)
+      val s128 = row.getSeq[Long](1)
+      assert(s128.length == 128 && s64.length == 64)
+      assert(s128.take(64) == s64, "first 64 perms must match the 64-perm signature")
+    }
+  }
+
   test("minhash signature similarity estimates jaccard within tolerance") {
     import spark.implicits._
     for ((a, b) <- samples(tokenGen, 8).zip(samples(tokenGen.map(_.reverse), 8))) {

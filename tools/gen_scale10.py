@@ -65,7 +65,21 @@ def main() -> int:
     copy("nation")
     gen("supplier", f"s_suppkey + {off} AS s_suppkey, s_name, s_nationkey, s_acctbal")
     gen("customer", f"c_custkey + {off} AS c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment")
-    gen("part", f"p_partkey + {off} AS p_partkey, p_name, p_brand, p_type, p_size, p_retailprice")
+    # Perturb the LAST name token per replica (r>0): q_name_match blocks on
+    # (last token, size), so unperturbed replicas would put 1000 copies of
+    # every name in one block and pair volume would grow K^2 — a generator
+    # artifact, not catalog growth (a real 1000x catalog has ~1000x more
+    # DISTINCT names). Suffixing the block token multiplies block COUNT,
+    # keeping block SIZE constant — the real growth model — while prefix/
+    # first-word/substring consumers of p_name keep their semantics.
+    gen(
+        "part",
+        f"p_partkey + {off} AS p_partkey, "
+        "CASE WHEN r = 0 THEN p_name ELSE "
+        "  regexp_replace(p_name, '(\\S+)$', '\\1_' || r) "
+        "END AS p_name, "
+        "p_brand, p_type, p_size, p_retailprice",
+    )
     gen(
         "orders",
         f"o_orderkey + {off} AS o_orderkey, o_custkey + {off} AS o_custkey, "
