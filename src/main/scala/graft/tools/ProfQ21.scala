@@ -27,7 +27,15 @@ object ProfQ21 {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
-        lines.add(f"stage ${i.stageId}%3d tasks=${i.numTasks}%4d wall=$wall%6.2fs  ${i.name.split('\n').head.take(90)}")
+        // shuffle record counts answer the partial-aggregation question
+        // directly: a map-side combine that works shows write-records ≪
+        // input-records; one that degenerates shows ~1:1 (r15 verdict
+        // item 6 asks this of q18/q11's fact-cardinality GROUP BYs)
+        val m = i.taskMetrics
+        val sw = m.shuffleWriteMetrics.recordsWritten
+        val sr = m.shuffleReadMetrics.recordsRead
+        val in = m.inputMetrics.recordsRead
+        lines.add(f"stage ${i.stageId}%3d tasks=${i.numTasks}%4d wall=$wall%6.2fs in=$in%,13d shufR=$sr%,13d shufW=$sw%,13d  ${i.name.split('\n').head.take(70)}")
       }
     })
     // warm run then measured run, per-stage print for the measured one
