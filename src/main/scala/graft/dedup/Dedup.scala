@@ -234,23 +234,32 @@ object Dedup {
     bands.join(graft.Tables.dimHint(hot), keyCols, "left_anti")
   }
 
-  /** MinHash + banded LSH near-dup detection: 16 bands × 4 rows, exact
-    * Jaccard verification, reported at the dedup threshold j ≥ 0.8.
+  /** MinHash + banded LSH near-dup detection: TWO independent band
+    * families — 32 bands × 4 rows over a 128-permutation signature
+    * (round 16; permutations 64..127 are the second Carter–Wegman family,
+    * prefix-compatible with the 64-perm signature) — exact Jaccard
+    * verification, reported at the dedup threshold j ≥ 0.8.
     *
-    * Pipeline: signature → band hashes → explode bands (16 rows/doc) →
+    * Pipeline: signature → band hashes → explode bands (32 rows/doc) →
     * hot-bucket cap → self-join on (band, band_hash) → distinct candidate
     * pairs → verify with exact Jaccard on the shingle-hash sets → best
     * verified candidate per doc (nullable left join back to all docs).
     *
-    * ORACLE CAVEAT (same family as [[embeddingSql]]): the oracle is exact
-    * all-pairs shingle Jaccard, the Spark side is banded-LSH candidates +
-    * exact verify — the hash check measures LSH recall directly. With 16
-    * bands × 4 rows the per-pair miss probability is (1−j⁴)¹⁶ ≈ 2·10⁻⁴ at
-    * j = 0.8 and ≈ 4·10⁻⁸ at j = 0.9 (this corpus's ≥0.8 pairs all sit at
-    * ≥0.9). A future red row with exactly one missing near-threshold pair
-    * is the designed recall tail — raise the band count, don't revert to
-    * all-pairs. Hash-Jaccard over xxhash64(shingle) equals shingle Jaccard
-    * absent in-corpus 64-bit collisions.
+    * ORACLE CAVEAT, now mostly retired (r15 verdict item 7, decided by
+    * measurement): the oracle is exact all-pairs shingle Jaccard, the
+    * Spark side is banded-LSH candidates + exact verify — the hash check
+    * measures LSH recall directly. The old 16-band family missed a pair
+    * with probability (1−j⁴)¹⁶ ≈ 2·10⁻⁴ at j = 0.8; the second family
+    * squares that to (1−j⁴)³² ≈ 4.6·10⁻⁸. Measured at the 5M-doc corpus
+    * (tools/MinhashBandsScale, BENCH_NOTES round-16 addendum): 1.25×
+    * wall (213.9 → 267.7 s) and the wider family RECOVERED 5 real ≥0.8
+    * pairs of 256k the 16-band run missed — the designed tail was
+    * observable at corpus scale, which is why it was worth closing.
+    * [[incremental]] and the streaming band mirror STAY on the 16-band
+    * family: their per-doc streaming state doubles with band count, and
+    * their caveat remains documented instead. Hash-Jaccard over
+    * xxhash64(shingle) equals shingle Jaccard absent in-corpus 64-bit
+    * collisions.
     */
   /** All LSH-candidate pairs with exact verified Jaccard ≥ `threshold` —
     * the shared pair engine behind [[minhashLsh]] (best-candidate view) and
@@ -259,7 +268,7 @@ object Dedup {
     * B—C pair).
     */
   private[graft] def minhashVerifiedPairs(spark: SparkSession, dir: String,
-      threshold: Double, maxBucket: Int = 10000, nBands: Int = 16): DataFrame = {
+      threshold: Double, maxBucket: Int = 10000, nBands: Int = 32): DataFrame = {
     val docs = withMinhash(Tables.documents(spark, dir), nBands)
       .select(col("doc_id"), col("gh"), col("sig"))
     val bands = capBuckets(
