@@ -244,11 +244,20 @@ object Ann {
       target, Seq("cell", "vec_id"), nFiles = nFiles)
     // the frozen quantizer rides next to the index: O(|cells|·dims)
     // moment rows plus the routing constants — everything appendCells
-    // needs to route a new batch without a corpus pass
+    // needs to route a new batch without a corpus pass. built_max_cell
+    // records the build's OWN worst rn=1 cell: mean-threshold bisection
+    // is deterministic but not balanced (the 2M-vector corpus builds
+    // median 203 / max 11,122 against a 2,000 target — measured r16), so
+    // the drift gate must be RELATIVE to the build profile, not to the
+    // target alone, or it fires from birth on build imbalance.
+    val builtMax = spark.read.parquet(target)
+      .filter(col("rn") === 1).groupBy(col("cell")).count()
+      .agg(max(col("count"))).head.getLong(0)
     leafStats
       .withColumn("levels", lit(levels))
       .withColumn("max_rn", lit(maxRn))
       .withColumn("target_cell", lit(targetCell))
+      .withColumn("built_max_cell", lit(builtMax))
       .write.mode("overwrite").parquet(target + QuantSuffix)
   }
 
@@ -268,21 +277,27 @@ object Ann {
     *
     * Returns true when the index has DRIFTED past its design load: some
     * cell's primary (rn=1) membership exceeds `driftFactor ×
-    * target_cell`, the point where cell-routed candidate volume starts
-    * its quadratic creep and [[capCells]] stops being a skew guard and
-    * becomes a recall tax. The caller then schedules
-    * [[rebuildMaterializedCells]] (re-split = re-train here: the
-    * bisection tree is cheap to rebuild relative to serving degraded
-    * recall). The membership count is a groupBy over the slim 3-column
-    * artifact — planning-sized IO, no corpus read.
+    * max(target_cell, built_max_cell)` — the point where cell-routed
+    * candidate volume starts its quadratic creep and [[capCells]] stops
+    * being a skew guard and becomes a recall tax. The baseline is the
+    * BUILD's own worst cell, not the target alone: mean-threshold
+    * bisection is imbalanced by construction (measured r16: max 11,122
+    * against a 2,000 target at 2M vectors), so drift means "appends made
+    * the worst cell materially worse than the build left it", never
+    * "the build was imbalanced" (that is the re-train's job to improve,
+    * and [[capCells]] bounds its query-time cost meanwhile). The caller
+    * then schedules [[rebuildMaterializedCells]] (re-split = re-train
+    * here: the bisection tree is cheap to rebuild relative to serving
+    * degraded recall). The membership count is a groupBy over the slim
+    * 3-column artifact — planning-sized IO, no corpus read.
     */
   def appendCells(spark: SparkSession, newVectors: DataFrame,
       cellsUri: String, driftFactor: Double = 2.0): Boolean = {
     val stats = spark.read.parquet(cellsUri + QuantSuffix)
-    val meta = stats.select(col("levels"), col("max_rn"), col("target_cell"))
-      .head()
-    val (levels, maxRn, targetCell) =
-      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val meta = stats.select(col("levels"), col("max_rn"), col("target_cell"),
+      col("built_max_cell")).head()
+    val (levels, maxRn, targetCell, builtMax) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3))
     val nPart = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val ie = newVectors.select(col("vec_id"),
       expr("transform(cast(embedding as array<double>), v -> cast(round(v * 1000000.0) as bigint))")
@@ -296,7 +311,7 @@ object Ann {
     val maxMembers = spark.read.parquet(cellsUri)
       .filter(col("rn") === 1).groupBy(col("cell")).count()
       .agg(max(col("count"))).head.getLong(0)
-    maxMembers > (driftFactor * targetCell).toLong
+    maxMembers > (driftFactor * math.max(targetCell.toLong, builtMax)).toLong
   }
 
   /** Full re-train + rewrite of a cells artifact over the (grown) corpus

@@ -145,18 +145,25 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter($"rn" === 1).groupBy($"cell").count()
       .agg(max($"count")).head.getLong(0)
     val balancedMax = maxCell(uri)
-    // 60 jittered copies of vector 0 — tightly clustered, they descend to
-    // the same few leaves (deterministic jitter so a re-split CAN separate)
+    val builtMax = spark.read.parquet(uri + "_quant")
+      .select($"built_max_cell").head.getLong(0)
+    assert(builtMax == balancedMax, "sidecar must record the build's own worst cell")
+    // 200 jittered copies of vector 0 — tightly clustered, they descend to
+    // the same few leaves (deterministic jitter so a re-split CAN separate).
+    // 200 > 2x the build's worst cell on this corpus, so the RELATIVE gate
+    // (drift vs the build profile, not the target alone) must fire.
     val seedEmb = all.filter($"vec_id" === 0)
       .select($"embedding".cast("array<double>")).head.getSeq[Double](0)
-    val skew = (0 until 60).map { i =>
+    val skew = (0 until 200).map { i =>
       (10000L + i, seedEmb.zipWithIndex.map { case (v, d) =>
         (v + ((i * 31 + d * 7) % 13 - 6) * 1e-4).toFloat })
     }.toDF("vec_id", "embedding")
+    assert(200 > 2 * builtMax,
+      s"test premise: the skew batch must exceed the relative gate (builtMax=$builtMax)")
     val drifted = similarity.Ann.appendCells(spark, skew, uri)
-    assert(drifted, "60 same-region vectors over targetCell=4 must trip the drift gate")
+    assert(drifted, "200 same-region vectors must trip the relative drift gate")
     val hotMax = maxCell(uri)
-    assert(hotMax > 2L * 4, s"hot cell should exceed the gate, got $hotMax")
+    assert(hotMax > 2L * builtMax, s"hot cell should exceed the gate, got $hotMax")
     // drift response: re-train over the grown corpus (corpus table grew in
     // lockstep with the artifact); the skewed rows inherit vector 0's label
     val seedLabel = all.filter($"vec_id" === 0).select($"label").head.getInt(0)
@@ -167,7 +174,7 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rebuiltMax = maxCell(uri)
     assert(rebuiltMax < hotMax,
       s"re-split must spread the hot region: $rebuiltMax vs hot $hotMax")
-    assert(spark.read.parquet(uri).filter($"rn" === 1).count() == 560L,
+    assert(spark.read.parquet(uri).filter($"rn" === 1).count() == 700L,
       "rebuilt artifact must cover the grown corpus exactly once")
   }
 
