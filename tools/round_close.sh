@@ -53,9 +53,18 @@ EOF
 # tools/floor_recover.py's header.
 python3 tools/floor_recover.py --write
 
-# floor merge: fresh capture min-merged into the (healed) committed floor
-python3 tools/merge_floor.py bench_detail.json "$OUT/detail_close.json" \
-  > "$OUT/bench_detail_merged.json"
+# floor merge: fresh capture min-merged into the (healed) committed floor.
+# GRAFT_REBASE (comma-separated query names): queries whose algorithm
+# intentionally changed this round — their floor re-bases to the fresh
+# capture instead of min-merging against the unattainable old value.
+if [ -n "${GRAFT_REBASE:-}" ]; then
+  python3 tools/merge_floor.py --rebase "$GRAFT_REBASE" \
+    bench_detail.json "$OUT/detail_close.json" \
+    > "$OUT/bench_detail_merged.json"
+else
+  python3 tools/merge_floor.py bench_detail.json "$OUT/detail_close.json" \
+    > "$OUT/bench_detail_merged.json"
+fi
 mv "$OUT/bench_detail_merged.json" bench_detail.json
 
 # Provenance stamp (r15 verdict item 8): mark this floor as a builder close
@@ -79,7 +88,7 @@ EOF
 # or that vanished, means the working file was corrupted — fail loudly
 # BEFORE the bad floor is committed.
 python3 - <<'EOF'
-import json, subprocess, sys
+import json, os, subprocess, sys
 try:
     committed = json.loads(subprocess.check_output(
         ["git", "show", "HEAD:bench_detail.json"], text=True))
@@ -87,15 +96,19 @@ except subprocess.CalledProcessError:
     print("floor guard: no committed bench_detail.json at HEAD (first capture)")
     sys.exit(0)
 merged = json.load(open("bench_detail.json"))
+rebased = set(filter(None, os.environ.get("GRAFT_REBASE", "").split(",")))
 def floors(d):
     q = d.get("queries", d)
     return {k: (v["sec"] if isinstance(v, dict) and "sec" in v else v)
             for k, v in q.items() if isinstance(v, (int, float, dict))}
 old, new = floors(committed), floors(merged)
 bad = [k for k in old if k not in new]
-slower = [(k, old[k], new[k]) for k in old if k in new
+slower = [(k, old[k], new[k]) for k in old if k in new and k not in rebased
           and isinstance(old[k], (int, float)) and isinstance(new[k], (int, float))
           and new[k] > old[k] + 1e-9]
+for k in sorted(rebased & set(old) & set(new)):
+    if new[k] > old[k] + 1e-9:
+        print(f"floor guard: '{k}' re-based {old[k]:.3f} -> {new[k]:.3f} (intentional)")
 if bad or slower:
     for k in bad:
         print(f"floor guard: query '{k}' VANISHED from the merged floor")
