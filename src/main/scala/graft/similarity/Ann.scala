@@ -224,14 +224,38 @@ object Ann {
     // BLOCKS until the first write completes instead of racing it or
     // reading a half-written artifact. An artifact already committed on
     // disk (a previous JVM's build, or one maintained by [[appendCells]])
-    // is adopted as-is — write-once means once per ARTIFACT, not per JVM.
+    // is adopted ONLY when its _quant sidecar is committed AND its stamp
+    // matches this request's (dir, maxRn) (ADVICE r16): the sidecar is
+    // written LAST in [[writeCellsArtifact]], so "sidecar committed" is
+    // the artifact's real commit marker — a crash between the cells write
+    // and the sidecar write leaves cells/_SUCCESS but no valid sidecar,
+    // and blind cells/_SUCCESS adoption would then serve an index that
+    // [[appendCells]] cannot route into. The stamp guards the other
+    // failure: a uri pointed at an artifact built from a DIFFERENT corpus
+    // or maxRn would silently serve wrong assignments; mismatch → rebuild.
     cellArtifactsWritten.computeIfAbsent(target, { _ =>
-      val p = new org.apache.hadoop.fs.Path(target, "_SUCCESS")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) writeCellsArtifact(spark, dir, maxRn, target)
+      if (!sidecarValid(spark, target, dir, maxRn))
+        writeCellsArtifact(spark, dir, maxRn, target)
       java.lang.Boolean.TRUE
     })
     spark.read.parquet(target)
+  }
+
+  /** True iff `target`'s _quant sidecar is committed and stamped with this
+    * (dir, maxRn) — the adoption predicate for [[materializedCells]].
+    */
+  private def sidecarValid(spark: SparkSession, target: String,
+      dir: String, maxRn: Int): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(target + QuantSuffix, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val stats = spark.read.parquet(target + QuantSuffix)
+      // pre-stamp sidecars (no src_dir column) fail closed → rebuild
+      stats.columns.contains("src_dir") && {
+        val m = stats.select(col("src_dir"), col("max_rn")).head()
+        m.getString(0) == dir && m.getInt(1) == maxRn
+      }
+    }
   }
 
   private[graft] def writeCellsArtifact(spark: SparkSession, dir: String,
@@ -253,11 +277,14 @@ object Ann {
     val builtMax = spark.read.parquet(target)
       .filter(col("rn") === 1).groupBy(col("cell")).count()
       .agg(max(col("count"))).head.getLong(0)
+    // the sidecar is the artifact's COMMIT MARKER (written last) and
+    // carries the build stamp [[sidecarValid]] checks at adoption time
     leafStats
       .withColumn("levels", lit(levels))
       .withColumn("max_rn", lit(maxRn))
       .withColumn("target_cell", lit(targetCell))
       .withColumn("built_max_cell", lit(builtMax))
+      .withColumn("src_dir", lit(dir))
       .write.mode("overwrite").parquet(target + QuantSuffix)
   }
 
@@ -299,11 +326,24 @@ object Ann {
     val (levels, maxRn, targetCell, builtMax) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3))
     val nPart = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val ie = newVectors.select(col("vec_id"),
+    // idempotency guard (ADVICE r16): a retry after the append's parquet
+    // commit but before the caller records success would duplicate the
+    // batch's rows — double-counted memberships inflate the drift gate and
+    // duplicate candidates downstream. Anti-join on the artifact's rn=1
+    // vec_ids (one row per vector, slim 3-column scan) drops the
+    // already-routed part of the batch, making retries no-ops.
+    val fresh = newVectors.join(
+      spark.read.parquet(cellsUri).filter(col("rn") === 1).select(col("vec_id")),
+      Seq("vec_id"), "left_anti")
+    val ie = fresh.select(col("vec_id"),
       expr("transform(cast(embedding as array<double>), v -> cast(round(v * 1000000.0) as bigint))")
         .as("ie"))
       .repartition(nPart, col("vec_id")).sortWithinPartitions(col("vec_id"))
       .cutLineage()
+    // appended shards are NOT (cell, vec_id)-clustered — each append
+    // erodes the build's row-group locality, which is the compaction
+    // trigger: Sources.compact with clusterCols=(cell, vec_id) restores
+    // the writeClustered layout once appended bytes dominate.
     beamDescend(ie, stats.select(col("cell"), col("dim"), col("s"), col("c")),
       levels, maxRn)
       .select(col("vec_id"), col("cell"), col("rn"))
@@ -315,13 +355,38 @@ object Ann {
   }
 
   /** Full re-train + rewrite of a cells artifact over the (grown) corpus
-    * at `dir` — the drift response [[appendCells]]'s gate schedules. The
-    * staging-free overwrite is safe here because the artifact is consumed
-    * through [[materializedCells]] snapshots, not concurrently tailed.
+    * at `dir` — the drift response [[appendCells]]'s gate schedules.
+    *
+    * The rebuild goes through a STAGING path and a delete+rename swap
+    * (ADVICE r16, the [[graft.sources.Sources.updateStatsManifest]]
+    * pattern): an in-place overwrite would leave the target without
+    * _SUCCESS for the full ~70 s build, and a second JVM adopting via
+    * [[materializedCells]] mid-rebuild would start a competing build into
+    * the same directory or read a partial artifact. With the swap, the
+    * old committed artifact keeps serving until two renames replace it.
+    * The renames themselves are not jointly atomic — maintenance (this
+    * method and [[appendCells]]) is single-maintainer by contract; only
+    * READERS are safe to run concurrently with it.
     */
   def rebuildMaterializedCells(spark: SparkSession, dir: String,
       maxRn: Int, uri: String, targetCell: Int = 2000): Unit = {
-    writeCellsArtifact(spark, dir, maxRn, uri, targetCell)
+    val fs = new org.apache.hadoop.fs.Path(uri)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = uri + s".staging_$tag"
+    writeCellsArtifact(spark, dir, maxRn, staging, targetCell)
+    def swap(from: String, to: String): Unit = {
+      val (f, t) = (new org.apache.hadoop.fs.Path(from),
+        new org.apache.hadoop.fs.Path(to))
+      fs.delete(t, true)
+      require(fs.rename(f, t),
+        s"rebuildMaterializedCells: staging swap failed for $to")
+    }
+    // sidecar (= commit marker) swaps LAST: a reader between the two
+    // swaps sees new cells + old sidecar → stamp still matches, and the
+    // moment rows only drift by one rebuild epoch for that one read
+    swap(staging, uri)
+    swap(staging + QuantSuffix, uri + QuantSuffix)
     cellArtifactsWritten.put(uri, java.lang.Boolean.TRUE)
   }
 

@@ -128,6 +128,70 @@ class DedupAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.4, f"appended-artifact recall@5 $recall%.3f below floor 0.4")
   }
 
+  test("appendCells is idempotent: re-appending an already-routed batch adds zero rows") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("ivf_idem").toString
+    val dirA = tmp + "/snapA"
+    new java.io.File(dirA).mkdirs()
+    val all = Tables.embeddings(spark, sf)
+    all.filter($"vec_id" < 400).write.parquet(dirA + "/embeddings.parquet")
+    val uri = tmp + "/cells"
+    similarity.Ann.writeCellsArtifact(spark, dirA, 3, uri)
+    val batchB = all.filter($"vec_id" >= 400).select($"vec_id", $"embedding")
+    similarity.Ann.appendCells(spark, batchB, uri)
+    val afterFirst = spark.read.parquet(uri).count()
+    // the retry scenario: the append's parquet commit succeeded but the
+    // caller never recorded it and re-sends the same batch
+    similarity.Ann.appendCells(spark, batchB, uri)
+    val afterRetry = spark.read.parquet(uri).count()
+    assert(afterRetry == afterFirst,
+      s"retry duplicated rows: $afterFirst -> $afterRetry")
+    // partial overlap: a batch mixing routed and new vectors appends only
+    // the new ones (half-committed upstream batches re-sent in full)
+    val mixed = all.filter($"vec_id" >= 300).select($"vec_id", $"embedding")
+    similarity.Ann.appendCells(spark, mixed, uri)
+    assert(spark.read.parquet(uri).count() == afterFirst,
+      "vec_id 300-499 were all already routed; mixed re-send must add nothing")
+  }
+
+  test("materializedCells adoption validates the sidecar stamp and commit marker") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("ivf_adopt").toString
+    val all = Tables.embeddings(spark, sf)
+    val dirA = tmp + "/corpusA"; val dirB = tmp + "/corpusB"
+    new java.io.File(dirA).mkdirs(); new java.io.File(dirB).mkdirs()
+    all.filter($"vec_id" < 400).write.parquet(dirA + "/embeddings.parquet")
+    all.write.parquet(dirB + "/embeddings.parquet")
+    // crash window: cells committed (with _SUCCESS) but the _quant sidecar
+    // write never ran — adoption must NOT trust cells/_SUCCESS alone
+    val uri1 = tmp + "/cells1"
+    similarity.Ann.writeCellsArtifact(spark, dirA, 3, uri1)
+    val fs = new org.apache.hadoop.fs.Path(uri1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(uri1 + "_quant"), true)
+    similarity.Ann.materializedCells(spark, dirA, 3, Some(uri1))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(uri1 + "_quant", "_SUCCESS")),
+      "missing sidecar must trigger a rebuild that restores it")
+    // stamp mismatch: an on-disk artifact built from a DIFFERENT corpus
+    // must be rebuilt, not silently adopted
+    val uri2 = tmp + "/cells2"
+    similarity.Ann.writeCellsArtifact(spark, dirA, 3, uri2)
+    assert(spark.read.parquet(uri2).count() == 400L * 3)
+    val adopted = similarity.Ann.materializedCells(spark, dirB, 3, Some(uri2))
+    assert(adopted.count() == 500L * 3,
+      "corpus-mismatch adoption must rebuild over the requested corpus")
+    assert(spark.read.parquet(uri2 + "_quant").select($"src_dir").head.getString(0) == dirB)
+    // matched stamp: the committed artifact is adopted as-is (write-once)
+    val uri3 = tmp + "/cells3"
+    similarity.Ann.writeCellsArtifact(spark, dirA, 3, uri3)
+    val t0 = fs.getFileStatus(new org.apache.hadoop.fs.Path(uri3)).getModificationTime
+    similarity.Ann.materializedCells(spark, dirA, 3, Some(uri3))
+    assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(uri3)).getModificationTime == t0,
+      "a valid committed artifact must be adopted without a rewrite")
+  }
+
   test("appendCells drift gate fires on a hot cell; rebuild re-splits and restores balance") {
     import spark.implicits._
     import java.nio.file.Files

@@ -97,7 +97,11 @@ class PlanAssertionsSpec extends AnyFunSuite with BeforeAndAfterAll
     // windowspecdefinition argument list is the real partitioning record
     assert("Window \\[.*windowspecdefinition\\(l_partkey".r.findFirstIn(p).isDefined,
       s"window must partition on l_partkey:\n$p")
-    assert(!"windowspecdefinition\\(\\)".r.findFirstIn(p).isDefined,
+    // an empty-partitionBy window prints its frame spec as the FIRST
+    // argument (physical plans always print order+frame inside
+    // windowspecdefinition), so the anchored shape below is the real
+    // empty-partition signature — "windowspecdefinition()" never occurs
+    assert(!"windowspecdefinition\\(specifiedwindowframe".r.findFirstIn(p).isDefined,
       s"empty-partition window would funnel the fact through one task:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
