@@ -791,10 +791,18 @@ object Analytics {
         (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
         (col("n") * col("sxx") - col("sx") * col("sx")).as("denx"),
         (col("n") * col("syy") - col("sy") * col("sy")).as("deny"))
+      // wide integers reach double THROUGH THE DIGIT STRING (the
+      // q_welch_ttest rule): above 2^53 DuckDB's direct HUGEINT→DOUBLE
+      // composes the two 64-bit halves in double arithmetic and is not
+      // correctly rounded, while string→double is correctly rounded in
+      // both engines — without this the oracle diverged by 1 ulp at some
+      // scale factors (observed sf0.001, r16)
       .select(col("n_pairs"),
-        (col("num").cast("double") / col("denx").cast("double")).as("ar1_slope"),
-        (col("num").cast("double") / sqrt(col("denx").cast("double"))
-          / sqrt(col("deny").cast("double"))).as("corr"))
+        expr("cast(cast(num as string) as double)" +
+          " / cast(cast(denx as string) as double)").as("ar1_slope"),
+        expr("cast(cast(num as string) as double)" +
+          " / sqrt(cast(cast(denx as string) as double))" +
+          " / sqrt(cast(cast(deny as string) as double))").as("corr"))
   }
 
   val autocorrSql: String =
@@ -819,9 +827,11 @@ object Analytics {
       |    n * syy - sy * sy AS deny
       |  FROM m)
       |SELECT n_pairs,
-      |  CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) AS ar1_slope,
-      |  CAST(num AS DOUBLE) / sqrt(CAST(denx AS DOUBLE))
-      |    / sqrt(CAST(deny AS DOUBLE)) AS corr
+      |  CAST(CAST(num AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(denx AS VARCHAR) AS DOUBLE) AS ar1_slope,
+      |  CAST(CAST(num AS VARCHAR) AS DOUBLE)
+      |    / sqrt(CAST(CAST(denx AS VARCHAR) AS DOUBLE))
+      |    / sqrt(CAST(CAST(deny AS VARCHAR) AS DOUBLE)) AS corr
       |FROM t""".stripMargin
 
   /** Percentile-bootstrap confidence interval for the mean order value —
