@@ -92,9 +92,55 @@ object Layout {
        |FROM lineitem, m""".stripMargin
   }
 
+  /** Lineitem BUCKETED on l_orderkey — the storage-layout lever addendum 8
+    * named for fact-cardinality aggregates (q18/q11's 600M-row shuffle IS
+    * their floor; bucketing moves that shuffle to write time, once,
+    * amortized over every subsequent orderkey aggregate/join). Spark's
+    * bucketBy publishes HashPartitioning(l_orderkey, n) in the catalog, so
+    * a groupBy(l_orderkey) over the table plans with NO Exchange — the
+    * partial aggregate that reduced only 2% at 17 GB disappears entirely
+    * along with the 588M-row shuffle (measured: tools/BucketedAggScale).
+    * Write-once per (dir, buckets) per JVM, like [[graft.similarity.Ann
+    * .materializedCells]]; table name is dir-keyed so different corpora
+    * never collide.
+    */
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def bucketedLineitem(spark: SparkSession, dir: String,
+      buckets: Int = 16): String =
+    bucketedTables.computeIfAbsent(s"$dir#$buckets", { _ =>
+      val tbl = "graft_li_b_" +
+        java.lang.Integer.toHexString(s"$dir#$buckets".hashCode)
+      Tables.lineitem(spark, dir)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(tbl)
+      tbl
+    })
+
+  /** The q18-shape per-order HAVING aggregate served from the bucketed
+    * layout — the exchange-free plan BucketingSpec proves, as an
+    * oracle-checked query: the oracle runs the same aggregate over RAW
+    * lineitem, so a hash match proves the bucketed copy is value-identical
+    * AND the layout serves the aggregate correctly (the q_manifest_scan
+    * value-identity pattern).
+    */
+  def bucketedAgg(spark: SparkSession, dir: String): DataFrame =
+    spark.table(bucketedLineitem(spark, dir))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+
+  val bucketedAggSql: String =
+    """SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      |FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "layout_zorder" -> (zorder _))
+    "layout_zorder" -> (zorder _),
+    "layout_bucketed" -> (bucketedAgg _))
 
   val oracles: Map[String, String] = Map(
-    "layout_zorder" -> zorderSql)
+    "layout_zorder" -> zorderSql,
+    "layout_bucketed" -> bucketedAggSql)
 }

@@ -22,6 +22,23 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.stop()
   }
 
+  test("layout_bucketed: q18-shape aggregate over the bucketed layout is exchange-free and value-identical") {
+    val df = operators.Layout.bucketedAgg(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed aggregate must not shuffle:\n$plan")
+    // value identity vs the same aggregate over raw parquet — the oracle
+    // relation CORRECTNESS checks at sf0.01, pinned here at sf0.001 too
+    val raw = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+      .collect().map(r => (r.get(0), r.get(1))).toSet
+    val got = df.collect().map(r => (r.get(0), r.get(1))).toSet
+    assert(got == raw, s"bucketed aggregate diverged: ${got.size} vs ${raw.size}")
+    assert(got.nonEmpty, "threshold 300 must keep rows at sf0.001")
+  }
+
   test("bucketed join plans with no shuffle exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
