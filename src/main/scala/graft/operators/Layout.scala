@@ -104,20 +104,38 @@ object Layout {
     * .materializedCells]]; table name is dir-keyed so different corpora
     * never collide.
     */
-  private val bucketedTables =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val bucketedTableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private[graft] def bucketedLineitem(spark: SparkSession, dir: String,
-      buckets: Int = 16): String =
-    bucketedTables.computeIfAbsent(s"$dir#$buckets", { _ =>
-      val tbl = "graft_li_b_" +
-        java.lang.Integer.toHexString(s"$dir#$buckets".hashCode)
-      Tables.lineitem(spark, dir)
-        .write.mode("overwrite")
-        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(tbl)
-      tbl
-    })
+      buckets: Int = 16): String = {
+    val tbl = "graft_li_b_" +
+      java.lang.Integer.toHexString(s"$dir#$buckets".hashCode)
+    // existence is a property of the SESSION's catalog, not of this JVM: a
+    // JVM-global "already written" memo goes stale the moment a test
+    // harness cycles sessions (each fresh in-memory catalog loses the
+    // table metadata while the memo still claims it exists — measured as
+    // TABLE_OR_VIEW_NOT_FOUND in ScalePatternsSpec/BucketingSpec). The
+    // lock map only serializes concurrent writers of the same table.
+    bucketedTableLocks.computeIfAbsent(tbl, _ => new Object).synchronized {
+      if (!spark.catalog.tableExists(tbl)) {
+        // a previous session (or JVM) may have died between catalog loss
+        // and location cleanup: saveAsTable refuses a managed-table
+        // location that exists without metadata (LOCATION_ALREADY_EXISTS),
+        // so an orphaned warehouse dir is deleted before the rewrite —
+        // its metadata is gone, the files are unreachable either way
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), tbl)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        Tables.lineitem(spark, dir)
+          .write.mode("overwrite")
+          .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(tbl)
+      }
+    }
+    tbl
+  }
 
   /** The q18-shape per-order HAVING aggregate served from the bucketed
     * layout — the exchange-free plan BucketingSpec proves, as an
