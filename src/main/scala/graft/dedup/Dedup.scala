@@ -269,8 +269,16 @@ object Dedup {
     */
   private[graft] def minhashVerifiedPairs(spark: SparkSession, dir: String,
       threshold: Double, maxBucket: Int = 10000, nBands: Int = 32): DataFrame = {
+    // materialize the signature frame ONCE (guide §1.2 "don't compute
+    // things you throw away"): `docs` feeds the band explode AND both
+    // sides of the verify join, and without the cut each consumer re-runs
+    // the scan + shingling + 128-perm MinHash + gh sort — three corpus
+    // passes over the most expensive per-row expressions in the pipeline.
+    // Production materializes signatures next to the corpus for the same
+    // reason (they are the reusable index artifact).
     val docs = withMinhash(Tables.documents(spark, dir), nBands)
       .select(col("doc_id"), col("gh"), col("sig"))
+      .cutLineage()
     val bands = capBuckets(
       docs.select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${nBands - 1}),
@@ -1205,9 +1213,13 @@ object Dedup {
     * vs banded-LSH candidates, per-pair miss ≈ 2·10⁻⁴ at j = 0.8.
     */
   def incremental(spark: SparkSession, dir: String, maxBucket: Int = 10000): DataFrame = {
+    // one signature pass (the minhashVerifiedPairs cut): docs feeds the
+    // band explode, both verify-join sides, and the final batch spine —
+    // four shingling passes without the materialization
     val docs = withMinhash(Tables.documents(spark, dir))
       .withColumn("is_batch", graft.functions.Portable.md5Byte0(col("doc_id")) < 64)
       .select(col("doc_id"), col("gh"), col("sig"), col("is_batch"))
+      .cutLineage()
     val bands = capBuckets(
       docs.select(col("doc_id"), col("is_batch"), explode(expr(
         """transform(sequence(0, 15),

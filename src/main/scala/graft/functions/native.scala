@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BpeTokenStats, CharNgramHashes, ColumnBridge, CosineSimilarity, DotProduct, GearChunkEnds, HyperplaneBuckets, IntSquaredL2, MinHashSignature, RollingHash, SimHash64, SortedIntersectCount}
+import org.apache.spark.sql.graft.{BpeTokenStats, CharNgramHashes, ColumnBridge, CosineSimilarity, DotProduct, GearChunkEnds, HyperplaneBuckets, IntDot, IntSquaredL2, MinHashSignature, RollingHash, SimHash64, SortedIntersectCount}
 
 /** Column-API front for graft's native Catalyst expressions. */
 object native {
@@ -40,6 +40,12 @@ object native {
     */
   def intSquaredL2(a: Column, b: Column): Column =
     ColumnBridge.column(IntSquaredL2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Exact Σ aᵢ·bᵢ over two bigint arrays — codegen'd, replacing the
+    * interpreted aggregate(zip_with(...)) fold (same accumulation order).
+    */
+  def intDot(a: Column, b: Column): Column =
+    ColumnBridge.column(IntDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Greedy longest-match subword token stats [n_tokens, n_fallback] of a
     * string column over an ASCII vocab (codegen).

@@ -399,7 +399,20 @@ object Blobs {
     val sigExpr = (0 until 16)
       .map(k => s"if(${b(k)} * 16 > total, ${1L << k}L, 0L)").mkString(" + ")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-    Tables.documents(spark, dir)
+    // spread BEFORE the per-frame signature projection (guide §2.5/§2.6 +
+    // the Tables.spread defect class): documents is a single-row-group
+    // file at test SFs, and the ~32 conv() calls per exploded frame row
+    // sit BELOW the window's exchange, so they inherited the scan's 1-2
+    // input splits and serialized ~2.5M hex-byte parses on one core. The
+    // round-robin moves only (doc_id, text) — KB-scale here, and on a
+    // well-laid-out corpus the scan has enough splits that this exchange
+    // is AQE-coalesced noise next to the per-row decode it parallelizes.
+    // (A fully row-local rewrite — 16 literal-index signatures + adjacent
+    // hamming in ONE projection, no explode/window/agg — was tried and
+    // measured 2x WORSE: the 512-conv expressions exceed the JIT's huge-
+    // method limit and the generated code runs interpreted. Small
+    // per-row expressions + one narrow exchange is the faster shape.)
+    Tables.spread(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"),
         greatest((length(col("text").cast("binary")) / 16).cast("int"), lit(1)).as("n_frames"))
       .select(col("doc_id"), col("hx"),

@@ -840,9 +840,17 @@ object Ann {
       col("label").cast("bigint").as("label"),
       expr("transform(cast(embedding as array<double>), v -> cast(round(v * 1000000.0) as bigint))")
         .as("ie"))
-    val dims = base.select(size(col("ie"))).head.getInt(0)
-    val n = base.count()
-    val nLabels = base.select(col("label")).distinct().count()
+    // ONE metadata pass, not three (guide §1.2 "don't compute things you
+    // throw away" + §2.3): n, |labels| and dims ride a single aggregate
+    // job — the previous count()/distinct().count()/head() trio cost two
+    // extra full corpus scans per IVF query at every scale. max(size) ==
+    // the first row's size (fixed-dim embeddings), so `levels` is
+    // unchanged.
+    val metaRow = base.agg(count(lit(1)).as("n"),
+      countDistinct(col("label")).as("nl"),
+      max(size(col("ie"))).as("dims")).head()
+    val (n, nLabels, dims) =
+      (metaRow.getLong(0), metaRow.getLong(1), metaRow.getInt(2))
     val levels = math.max(0, math.ceil(math.log(
       n.toDouble / (nLabels.toDouble * targetCell)) / math.log(2.0)).toInt)
     // The build's measured cost profile (round 15, 2M-vector stage trace):
@@ -853,6 +861,35 @@ object Ann {
     // stage that needs ie re-attaches it through an exchange-free merge
     // join whose big side never re-sorts, and every per-level checkpoint
     // is a SLIM (vec_id, cell) membership map.
+    val dimSums = (0 until dims).map(d =>
+      sum(expr(s"element_at(ie, ${d + 1})")).as(s"s$d"))
+    def leafStatsOf(membered: DataFrame): DataFrame = membered
+      .groupBy(col("cell"))
+      .agg(dimSums.head, (dimSums.tail :+ count(lit(1)).as("c")): _*)
+      .select(col("cell"), col("c"),
+        posexplode(array((0 until dims).map(d => col(s"s$d")): _*))
+          .as(Seq("dim", "s")))
+      .select(col("cell"), col("dim"), col("s"), col("c"))
+      .cutLineage()
+    // levels == 0 (every corpus below |labels|·targetCell, i.e. all oracle
+    // SFs): the leaf cells ARE the labels, so the bisection loop's staging
+    // frame is pure overhead — skip the repartition+sort+localCheckpoint
+    // of the ie-carrying corpus and the vec_id self-join, and build the
+    // per-leaf moments as ONE wide codegen aggregate straight off the
+    // scan (guide §2.4: remove exchanges the data doesn't need). Values
+    // are bit-identical: the same integer sums over the same groups, and
+    // the beam ranks the same exact (dist_sq, cell) pairs.
+    if (levels == 0) {
+      // (a spread+cut of the scan was also tried here — 2 more jobs and
+      // 32-wide single-row stages measured strictly worse at this corpus
+      // size; the levels==0 compute is small enough that the serial scan
+      // splits win)
+      val leafStats = leafStatsOf(
+        base.select(col("label").as("cell"), col("ie")))
+      val beam = beamDescend(
+        base.select(col("vec_id"), col("ie")), leafStats, 0, maxRn)
+      return (beam, leafStats, 0)
+    }
     val nPart = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val basePart = base
       .repartition(nPart, col("vec_id")).sortWithinPartitions(col("vec_id"))
@@ -885,17 +922,9 @@ object Ann {
     // |cells|×dims result explodes back to the (cell, dim, s, c) shape
     // every level's centroid table rolls up from — never a second corpus
     // pass per level.
-    val dimSums = (0 until dims).map(d =>
-      sum(expr(s"element_at(ie, ${d + 1})")).as(s"s$d"))
-    val leafStats = basePart.select(col("vec_id"), col("ie"))
+    val leafStats = leafStatsOf(basePart.select(col("vec_id"), col("ie"))
       .join(home, Seq("vec_id"))
-      .groupBy(col("cell"))
-      .agg(dimSums.head, (dimSums.tail :+ count(lit(1)).as("c")): _*)
-      .select(col("cell"), col("c"),
-        posexplode(array((0 until dims).map(d => col(s"s$d")): _*))
-          .as(Seq("dim", "s")))
-      .select(col("cell"), col("dim"), col("s"), col("c"))
-      .cutLineage()
+      .select(col("cell"), col("ie")))
     // beam descent over the same co-partitioned corpus: basePart is
     // already partitioned and sorted by vec_id, so every level's
     // candidate join and ranking window run exchange-free
@@ -1651,9 +1680,7 @@ object Ann {
     val wShort = Window.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("l2_dist"), col("neighbor_id"))
     adc.withColumn("sr", row_number().over(wShort)).filter(col("sr") <= 32)
-      .withColumn("l2_dist", expr(
-        """aggregate(zip_with(qxi, xi, (a, b) -> (a - b) * (a - b)),
-          |  cast(0 as bigint), (a, v) -> a + v)""".stripMargin))
+      .withColumn("l2_dist", native.intSquaredL2(col("qxi"), col("xi")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("l2_dist"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("l2_dist"))
@@ -1803,9 +1830,7 @@ object Ann {
       k = shortlistK)
     val w = Window.partitionBy(col("query_id")).orderBy(col("l2_dist"), col("neighbor_id"))
     short
-      .withColumn("l2_dist", expr(
-        """aggregate(zip_with(qxi, xi, (a, b) -> (a - b) * (a - b)),
-          |  cast(0 as bigint), (a, v) -> a + v)""".stripMargin))
+      .withColumn("l2_dist", native.intSquaredL2(col("qxi"), col("xi")))
       .select(col("query_id"), col("neighbor_id"), col("l2_dist"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("l2_dist"))

@@ -525,16 +525,17 @@ object Graph {
       .select(col("vec_id"), expr(
         "transform(cast(embedding as array<double>)," +
           " v -> cast(round(v * 1000000.0) as bigint))").as("xi"))
+    // codegen'd integer dots (graft_int_dot), not aggregate(zip_with(...)):
+    // the HOF fold pays ~dims interpreted boxed lambda calls per edge —
+    // the IntSquaredL2 lesson (r15) applied to the edge-weight kernel.
+    // Same accumulation order, exact BIGINT: values unchanged.
     val weighted = edgeSrc
       .join(xint.select(col("vec_id").as("u"), col("xi").as("xu")), Seq("u"))
       .join(xint.select(col("vec_id").as("v"), col("xi").as("xv")), Seq("v"))
       .select(col("u"), col("v"),
-        expr("aggregate(zip_with(xu, xv, (a, b) -> a * b)," +
-          " cast(0 as bigint), (acc, x) -> acc + x)").as("dot"),
-        expr("aggregate(zip_with(xu, xu, (a, b) -> a * b)," +
-          " cast(0 as bigint), (acc, x) -> acc + x)").as("nx"),
-        expr("aggregate(zip_with(xv, xv, (a, b) -> a * b)," +
-          " cast(0 as bigint), (acc, x) -> acc + x)").as("ny"))
+        graft.functions.native.intDot(col("xu"), col("xv")).as("dot"),
+        graft.functions.native.intDot(col("xu"), col("xu")).as("nx"),
+        graft.functions.native.intDot(col("xv"), col("xv")).as("ny"))
       .select(col("u"), col("v"), expr(
         s"""1001 - (case when dot < 0 then -1 else 1 end)
            | * cast(cast(dot as $d38) * dot * 1000
@@ -622,16 +623,15 @@ object Graph {
       .select(col("vec_id"), expr(
         "transform(cast(embedding as array<double>)," +
           " v -> cast(round(v * 1000000.0) as bigint))").as("xi"))
+    // codegen'd integer dots — see ssspOf; values bit-identical to the
+    // HOF fold (same order, exact BIGINT)
     edgeSrc
       .join(xint.select(col("vec_id").as("u"), col("xi").as("xu")), Seq("u"))
       .join(xint.select(col("vec_id").as("v"), col("xi").as("xv")), Seq("v"))
       .select(
-        expr("aggregate(zip_with(xu, xv, (a, b) -> a * b)," +
-          " cast(0 as bigint), (acc, x) -> acc + x)").as("dot"),
-        expr("aggregate(zip_with(xu, xu, (a, b) -> a * b)," +
-          " cast(0 as bigint), (acc, x) -> acc + x)").as("nx"),
-        expr("aggregate(zip_with(xv, xv, (a, b) -> a * b)," +
-          " cast(0 as bigint), (acc, x) -> acc + x)").as("ny"))
+        graft.functions.native.intDot(col("xu"), col("xv")).as("dot"),
+        graft.functions.native.intDot(col("xu"), col("xu")).as("nx"),
+        graft.functions.native.intDot(col("xv"), col("xv")).as("ny"))
       .select(expr(
         s"""(case when dot < 0 then -1 else 1 end)
            | * cast(cast(dot as $d38) * dot * 1000

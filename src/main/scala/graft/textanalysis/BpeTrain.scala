@@ -54,6 +54,16 @@ object BpeTrain {
     val merges = ArrayBuffer.empty[(Long, String, String, Long)]
     var i = 1
     var exhausted = false
+    // checkpoint cadence: every round used to cut, which cost one
+    // materialization JOB per merge on top of the best-pair job — 40 jobs
+    // for 20 merges, pure scheduling floor at vocab size (the vocab is
+    // language-sized, not corpus-sized). The merge apply is ONE string
+    // replace projection with exactly two consumers (next round's pair
+    // count and the next replace), so a ≤5-deep lazy replace chain
+    // recomputes at most 4 cheap projections per job — measurably cheaper
+    // than 16 extra materializations, and the cut every 5th round still
+    // bounds lineage/analysis depth for the full 20-merge run.
+    var sinceCut = 0
     while (i <= NMerges && !exhausted) {
       val best = vocab
         .select(col("cnt"), split(col("pieces"), " ").as("l"))
@@ -73,7 +83,11 @@ object BpeTrain {
             trim(replace(concat(lit(" "), col("pieces"), lit(" ")),
               lit(s" $pr "), lit(s" $merged "))).as("pieces"),
             col("cnt"))
-          .cutLineage()
+        sinceCut += 1
+        if (sinceCut == 5) {
+          vocab = vocab.cutLineage()
+          sinceCut = 0
+        }
         i += 1
       }
     }

@@ -170,6 +170,56 @@ case class IntSquaredL2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ aᵢ·bᵢ over two `array<bigint>` columns — the exact integer dot
+  * product behind the graph family's signed-squared-cosine buckets
+  * (emb_cosine_hist, graph_sssp edge weights): the HOF formulation
+  * (`aggregate(zip_with(...))`) pays ~dims interpreted boxed lambda calls
+  * per edge — the same cost profile [[IntSquaredL2]] was built to remove
+  * from the quantizer build (round 15). Exact BIGINT arithmetic, same
+  * sequential accumulation order as the HOF and the oracle's
+  * SUM(xu.xi * xv.xi): bit-identical results, one tight loop.
+  */
+case class IntDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_int_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 64-bit polynomial rolling hash (base 1000003, mod 2^64) over UTF-8
   * bytes — a content fingerprint cheaper than md5 with a one-multiplication
   * per-byte loop.
