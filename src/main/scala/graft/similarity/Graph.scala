@@ -220,11 +220,16 @@ object Graph {
   def kcoreOf(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var e = edges.cutLineage()
     for (_ <- 1 to rounds) {
+      // NO cut on `live` (r17): it feeds both semi joins, but from a
+      // checkpointed `e` the survivor filter is ONE vertex-sized aggregate
+      // — recomputing it twice inside the round's job is cheaper than a
+      // per-round materialization job (8 extra job floors per query;
+      // measured, see OPTIMIZATION_r17.md), and ReuseExchange can still
+      // dedupe the identical aggregate subtree inside the round.
       val live = e.select(explode(array(col("u"), col("v"))).as("vec_id"))
         .groupBy(col("vec_id")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
         .select(col("vec_id"))
-        .cutLineage() // feeds BOTH semi joins of the round
       e = e.join(live.select(col("vec_id").as("u")), Seq("u"), "left_semi")
         .join(live.select(col("vec_id").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
@@ -323,15 +328,21 @@ object Graph {
   private def labelsOf(adj: DataFrame): DataFrame = {
     var lab = adj.select(col("dst").as("vec_id")).distinct()
       .withColumn("label", col("vec_id"))
+    // ONE cut after the final round (r17): inside the loop each round's
+    // labels feed exactly one consumer (the next round's join), so the
+    // lazy 3-round chain over the checkpointed adj recomputes nothing —
+    // the per-round cuts were 2 extra materialization jobs per query.
+    // The FINAL labels do fan out (labelProp: sizes + join; modularity:
+    // ein twice + dsum), so the single cut stays, preserving the
+    // one-materialization contract every caller assumes.
     for (_ <- 1 to 3) {
       lab = adj.join(lab.withColumnRenamed("vec_id", "src"), Seq("src"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst").as("vec_id"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("vec_id"), (-col("m.nl")).as("label"))
-        .cutLineage()
     }
-    lab
+    lab.cutLineage()
   }
 
   def labelPropOf(edgeSrc: DataFrame): DataFrame = {
@@ -395,7 +406,7 @@ object Graph {
     val adj = e.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
       .cutLineage()
-    val lab = labelsOf(adj).cutLineage()
+    val lab = labelsOf(adj) // already lineage-cut by labelsOf
     val ein = e
       .join(lab.select(col("vec_id").as("u"), col("label").as("lu")), Seq("u"))
       .join(lab.select(col("vec_id").as("v"), col("label").as("lv")), Seq("v"))
