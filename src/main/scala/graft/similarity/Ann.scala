@@ -261,7 +261,7 @@ object Ann {
   private[graft] def writeCellsArtifact(spark: SparkSession, dir: String,
       maxRn: Int, target: String, targetCell: Int = 2000): Unit = {
     val nFiles = math.max(8, spark.sparkContext.defaultParallelism)
-    val (cells, leafStats, levels) =
+    val (cells, leafStats, levels, _) =
       coarseCellsWithStats(spark, dir, maxRn, targetCell)
     graft.sources.Sources.writeClustered(
       cells.select(col("vec_id"), col("cell"), col("rn")),
@@ -835,7 +835,7 @@ object Ann {
     * planning-sized artifact every IVF system persists next to the index.
     */
   private[graft] def coarseCellsWithStats(spark: SparkSession, dir: String,
-      maxRn: Int, targetCell: Int = 2000): (DataFrame, DataFrame, Int) = {
+      maxRn: Int, targetCell: Int = 2000): (DataFrame, DataFrame, Int, Long) = {
     val base = Tables.embeddings(spark, dir).select(col("vec_id"),
       col("label").cast("bigint").as("label"),
       expr("transform(cast(embedding as array<double>), v -> cast(round(v * 1000000.0) as bigint))")
@@ -888,7 +888,7 @@ object Ann {
         base.select(col("label").as("cell"), col("ie")))
       val beam = beamDescend(
         base.select(col("vec_id"), col("ie")), leafStats, 0, maxRn)
-      return (beam, leafStats, 0)
+      return (beam, leafStats, 0, n)
     }
     val nPart = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val basePart = base
@@ -930,7 +930,7 @@ object Ann {
     // candidate join and ranking window run exchange-free
     val beam = beamDescend(
       basePart.select(col("vec_id"), col("ie")), leafStats, levels, maxRn)
-    (beam, leafStats, levels)
+    (beam, leafStats, levels, n)
   }
 
   /** Beam descent of the bisection tree for an ARBITRARY vector set
@@ -992,7 +992,8 @@ object Ann {
   private[graft] def knnGraphIvfTuned(spark: SparkSession, dir: String,
       probes: Int, replicas: Int, maxCell: Int,
       targetCell: Int = 2000): DataFrame = {
-    val cells = coarseCells(spark, dir, math.max(probes, replicas), targetCell)
+    val (cells, _, _, n) =
+      coarseCellsWithStats(spark, dir, math.max(probes, replicas), targetCell)
     val members = capCells(cells.filter(col("rn") <= replicas),
       maxCell, "ivf_cell_cap")
     val e = Tables.embeddings(spark, dir)
@@ -1014,8 +1015,16 @@ object Ann {
     //    to every salt), so the join key is (cell, salt) — |cells|·S
     //    balanced groups instead of |cells| fat ones. AQE's skew-split
     //    did not fire here (the join INPUTS are small; only the output is
-    //    quadratic), so the salt is explicit.
-    val salts = 16
+    //    quadratic), so the salt is explicit. The salt COUNT derives from
+    //    the corpus (r17, guide §2.5: size the spread from the data, not a
+    //    constant tuned for one scale): one salt per targetCell of corpus,
+    //    capped at 16 — 16 at the 2M-vector frontier exactly as before,
+    //    1 at the oracle SFs where the ×S replication of the
+    //    embedding-carrying query side was the scoring exchange's whole
+    //    payload. Any salt count yields the same result set: a pair meets
+    //    in exactly one (cell, salt) group either way, and the first-
+    //    shared-cell filter is salt-independent.
+    val salts = math.min(16L, math.max(1L, (n + targetCell - 1) / targetCell)).toInt
     val qside = cells.filter(col("rn") <= probes)
       .groupBy(col("vec_id")).agg(sort_array(collect_list(col("cell"))).as("qcs"))
       .join(e, "vec_id")
