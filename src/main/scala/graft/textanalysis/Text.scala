@@ -927,6 +927,12 @@ object Text {
     */
   def containment(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialize the distinct shingle stream once (r17, the
+    // minhashVerifiedPairs signature-cut pattern): sh feeds the per-doc
+    // counts, the rarity filter, AND both sides of the self-join — without
+    // the cut the scan+explode+md5+distinct subtree appears 18× in the
+    // plan and runtime stage reuse only collapses the identical exchanges,
+    // not the per-consumer rescans above them
     val sh = Tables.documents(spark, dir)
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 5)
@@ -935,6 +941,7 @@ object Text {
           |  i -> substring(md5(concat_ws(' ', slice(w, i, 5))), 1, 16))""".stripMargin))
         .as("sk"))
       .distinct()
+      .cutLineage()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val rare = sh.groupBy(col("sk")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 20).select(col("sk"))
